@@ -1,0 +1,98 @@
+"""Delta + varint posting-list codec (numpy-vectorized, no per-row Python).
+
+The reference compresses stored state with 4/8-bit quantization
+(reference angle_emb/angle.py:795-813); the lossless analog for an inverted
+index is classic delta + LEB128 varint over docID-ascending postings.
+Blocks are capped at BLOCK_SIZE docs so a stopword's posting list is many
+small rows, never one giant cell — this is what bounds single-task memory
+at 10^12 docs and what block-max WAND skips over.
+
+Encode/decode are vectorized over the whole array (loop bound = max varint
+byte width = 10, not the number of values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # docs per posting block (power of two, WAND-friendly)
+
+# Okapi BM25 constants (north rule: k1=1.2, b=0.75).
+K1 = 1.2
+B = 0.75
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints to bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lengths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    idx = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    cur = v.copy()
+    remaining = lengths.copy()
+    while True:
+        active = remaining > 0
+        if not active.any():
+            break
+        byte = (cur & np.uint64(0x7F)).astype(np.uint8)
+        byte[active & (remaining > 1)] |= 0x80
+        out[idx[active]] = byte[active]
+        idx = idx + active
+        cur = cur >> np.uint64(7)
+        remaining = remaining - active
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for i in range(int(lengths.max())):
+        mask = lengths > i
+        vals[mask] |= (b[starts[mask] + i].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * i
+        )
+    return vals
+
+
+def encode_doc_deltas(doc_ids: np.ndarray) -> bytes:
+    """Delta-encode a strictly ascending docID array, then varint."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.diff(d, prepend=np.int64(0))
+    deltas[0] = d[0]  # first delta is the absolute first docID
+    return encode_varints(deltas.astype(np.uint64))
+
+
+def decode_doc_deltas(buf: bytes) -> np.ndarray:
+    deltas = decode_varints(buf).astype(np.int64)
+    return np.cumsum(deltas)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    """tf >= 1 always; store tf-1 to shave a byte off the common tf=1."""
+    return encode_varints(np.asarray(tfs, dtype=np.uint64) - np.uint64(1))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return decode_varints(buf).astype(np.int64) + 1
+
+
+def impact_upper_bound(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> float:
+    """max over block of the idf-free BM25 term contribution:
+    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).  Multiplied by idf(term) at
+    query time this is the block-max WAND score bound."""
+    tf = np.asarray(tfs, dtype=np.float64)
+    dl = np.asarray(dls, dtype=np.float64)
+    denom = tf + K1 * (1.0 - B + B * dl / float(avgdl))
+    return float(np.max(tf * (K1 + 1.0) / denom))
