@@ -1,0 +1,457 @@
+"""Driver-contract query implementations (__spark_entry__ delegates here).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; each
+has a matching ANSI-SQL oracle in ORACLE_SQL runnable by DuckDB over the
+same parquet. Column names/aliases match exactly (the driver hash-compares
+values after sorting columns by name). Floating aggregates are rounded to
+absorb summation-order ULP noise; money sums are cast to DECIMAL so they
+compare exactly.
+
+Operator coverage index (SURVEY.md §2): see the comment above each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from angle_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
+from angle_spark.index.stats import corpus_stats, term_frequencies, term_stats, with_tokens
+from angle_spark.query.bm25 import bm25_topk
+
+# ---------------------------------------------------------------------------
+# Fixed reference query set over the `documents` table (vocab is the
+# testdata's ~40-word query-engine vocabulary; includes a rare term 'dup',
+# multi-term, repeated-term, and no-hit queries).
+# ---------------------------------------------------------------------------
+DOC_QUERY_SET: list[tuple[str, str, int]] = [
+    ("q01", "join hash", 10),
+    ("q02", "dup", 10),
+    ("q03", "scan filter merge sort", 10),
+    ("q04", "customer order line", 10),
+    ("q05", "the fast query", 10),
+    ("q06", "zzzz missingterm", 10),
+    ("q07", "group group batch", 10),
+    ("q08", "spark", 5),
+]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _doc_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DOC_QUERY_SET, schema="query_id string, text string, k int"
+    )
+
+
+def _doc_queries_values_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}', {k})" for q, t, k in DOC_QUERY_SET)
+    return f"(VALUES {rows}) AS q(query_id, text, k)"
+
+
+# --- S1/S2 scan + P4 tokenize + A9 stats + F16 BM25 + J2 term join + W1 topk
+def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    tf = term_frequencies(docs)
+    n_docs, avgdl = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    out = bm25_topk(tf, tstats, _doc_queries_df(spark), n_docs, avgdl)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _bm25_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql()}
+), scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, qt.k, tf.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- A9: document frequency per term (exact, grouped agg)
+def q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    tf = term_frequencies(docs)
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+# --- P4: tokenize + doc length
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "dl")
+
+
+# --- A5/A9: corpus scalars
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+# --- A9: term frequencies (the uncompressed posting rows)
+def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    return term_frequencies(docs).select("doc_id", "term", "tf")
+
+
+# --- P6/SO1: exact dedup by full text (hash-groupBy dedup family)
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+# --- F14/S9: JSON path extraction over events
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# --- A7: grouped aggregate with weighted average
+def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value") * F.col("user_id")) / F.sum("user_id"), 6
+        ).alias("weighted_avg"),
+    )
+
+
+# --- W1: top-k per group via row_number window (deterministic tie-break)
+def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "rank", "event_id", "value")
+    )
+
+
+# --- P7: label filter + remap (when/otherwise)
+def q_orders_label_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") != "P")
+        .withColumn(
+            "label",
+            F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+# --- P1/F1: prompt templating (the reference's Prompts.C,
+#     reference angle_emb/angle.py:64-87)
+def q_prompt_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.format_string(
+            "Represent this sentence for searching relevant passages: %s",
+            F.col("c_name"),
+        ).alias("prompted"),
+    )
+
+
+# --- J1: paired equi-join (zip join by explicit key, never row order)
+def q_paired_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("segment_total"),
+        )
+    )
+
+
+# --- W2/F8: Spearman via average-rank window + Pearson corr aggregate
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    rx = (
+        F.rank().over(Window.orderBy("l_quantity"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("l_quantity")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.orderBy("l_extendedprice"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice")) - 1) / 2.0
+    )
+    ranked = li.select(rx.alias("rx"), ry.alias("ry"))
+    return ranked.agg(F.round(F.corr("rx", "ry"), 6).alias("spearman"))
+
+
+# --- F4/F5: cosine top-k against a fixed query vector (brute-force ANN)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    qnrm = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
+    cos = dot / (nrm * F.lit(qnrm))
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- SO2: union + distinct
+def q_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+# --- P2: multi-value sampling, made deterministic (element_at by key hash)
+def q_multivalue_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
+    idx = (F.col("doc_id") % F.size("tokens")).cast("int") + F.lit(1)
+    return docs.select(
+        "doc_id", F.element_at("tokens", idx).alias("sampled_token")
+    )
+
+
+# --- A1-A7 composite: TPC-H Q1-style wide aggregation (decimal-exact)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- text quality scoring (training-data pipeline op; SURVEY extras)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
+    stop = ["the", "a", "of", "and", "to"]
+    n_tokens = F.size("tokens")
+    n_stop = F.size(F.filter("tokens", lambda t: t.isin(stop)))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct("tokens")).cast("double") / n_tokens, 6
+        ).alias("distinct_ratio"),
+    )
+
+
+QUERIES = {
+    "bm25_topk_documents": q_bm25_topk_documents,
+    "doc_term_df": q_doc_term_df,
+    "doc_lengths": q_doc_lengths,
+    "corpus_stats": q_corpus_stats,
+    "term_tf": q_term_tf,
+    "dedup_exact_text": q_dedup_exact_text,
+    "events_json_extract": q_events_json_extract,
+    "events_agg": q_events_agg,
+    "events_topk_per_user": q_events_topk_per_user,
+    "orders_label_remap": q_orders_label_remap,
+    "prompt_format": q_prompt_format,
+    "paired_join": q_paired_join,
+    "spearman_qty_price": q_spearman_qty_price,
+    "cosine_topk": q_cosine_topk,
+    "union_distinct_nations": q_union_distinct_nations,
+    "multivalue_sample": q_multivalue_sample,
+    "tpch_q1": q_tpch_q1,
+    "doc_quality": q_doc_quality,
+}
+
+_TOKS = duckdb_tokens_sql("text")
+
+ORACLE_SQL = {
+    "bm25_topk_documents": _bm25_oracle_sql(),
+    "doc_term_df": f"""
+        SELECT term, count(*)::BIGINT AS df
+        FROM (SELECT doc_id, term FROM (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              GROUP BY doc_id, term)
+        GROUP BY term
+    """,
+    "doc_lengths": f"SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents",
+    "corpus_stats": f"""
+        SELECT count(*)::BIGINT AS n_docs, round(avg(len({_TOKS})), 6) AS avgdl
+        FROM documents
+    """,
+    "term_tf": f"""
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY doc_id, term
+    """,
+    "dedup_exact_text": """
+        SELECT min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY text HAVING count(*) > 1
+    """,
+    "events_json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val FROM events
+    """,
+    "events_agg": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(avg(value), 6) AS avg_value,
+               round(sum(value * user_id) / sum(user_id), 6) AS weighted_avg
+        FROM events GROUP BY event_type
+    """,
+    "events_topk_per_user": """
+        SELECT user_id, rank, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events) WHERE rank <= 3
+    """,
+    "orders_label_remap": """
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+               count(*)::BIGINT AS n,
+               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+        FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1
+    """,
+    "prompt_format": """
+        SELECT c_custkey,
+               'Represent this sentence for searching relevant passages: ' || c_name
+               AS prompted
+        FROM customer
+    """,
+    "paired_join": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+               sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS segment_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "spearman_qty_price": """
+        WITH ranked AS (
+          SELECT rank() OVER (ORDER BY l_quantity)
+                   + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+                 rank() OVER (ORDER BY l_extendedprice)
+                   + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry
+          FROM lineitem)
+        SELECT round(corr(rx, ry), 6) AS spearman FROM ranked
+    """,
+    "cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+          FROM embeddings, q WHERE vec_id <> 0)
+        SELECT rank, vec_id, round(cos_raw, 6) AS cosine FROM (
+          SELECT vec_id, cos_raw,
+                 row_number() OVER (ORDER BY cos_raw DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= 10
+    """,
+    "union_distinct_nations": """
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+    """,
+    "multivalue_sample": f"""
+        SELECT doc_id, tokens[(doc_id % len(tokens))::INT + 1] AS sampled_token
+        FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+               sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+               sum((l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,6))::DOUBLE
+                 AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "doc_quality": f"""
+        SELECT doc_id, len(tokens)::INT AS n_tokens,
+               length(text)::INT AS n_chars_actual,
+               round(len(list_filter(tokens,
+                     t -> t IN ('the','a','of','and','to')))::DOUBLE / len(tokens), 6)
+                 AS stopword_ratio,
+               round(len(list_distinct(tokens))::DOUBLE / len(tokens), 6)
+                 AS distinct_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM documents)
+    """,
+}
