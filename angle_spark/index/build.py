@@ -1,0 +1,206 @@
+"""Index build orchestration: checkpointed segment builds + global merge.
+
+Iceberg-style semantics on plain parquet (the sandbox has no Iceberg
+catalog jar; the sink is abstracted so an Iceberg writer slots in — see
+SURVEY.md §7 "degrade gracefully, keep the API identical"). The reference's
+analog is checkpoint-per-N-steps with max-epoch resume
+(reference angle_emb/angle.py:933-944,1143-1148).
+
+Layout under <out_dir>/:
+    corpus_stats.json                     n_docs, avgdl, config
+    segments/segment_id=K/*.parquet      encoded block rows, one dir per segment
+    lineage/*.parquet                     (partition_id, doc_count, term_count,
+                                           bytes, wall_ms, commit_ts) per segment
+    merged/bucket=B/*.parquet             final term-bucketed, salt-spread layout
+    term_stats/*.parquet                  (term, df, cf)
+
+Resume: the work list is segment ids minus lineage's committed ids
+(anti-join semantics; here a driver-side set difference since the segment
+count is bounded — at 10^12 turns / 8M-doc segments it is ~125k ids, a few
+MB). Builds run in batches of segments, one Spark job per batch, dynamic
+partition overwrite making a half-written batch safely rebuildable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angle_spark.codec import BLOCK_SIZE
+from angle_spark.index.spimi import DEFAULT_SEGMENT_DOCS, build_segments
+from angle_spark.index.stats import corpus_stats
+
+LINEAGE_SCHEMA = (
+    "partition_id long, doc_count long, term_count long, bytes long, "
+    "wall_ms long, commit_ts timestamp"
+)
+
+# buckets in the merged layout; queries prune to the buckets their terms
+# hash into. A real deployment sizes this ~ (cluster cores * 4).
+N_BUCKETS = 64
+# a term's blocks are spread over ceil(blocks/BLOCKS_PER_SALT) write tasks,
+# so a stopword posting list never serializes through one task (skew-aware
+# salt; north rule).
+BLOCKS_PER_SALT = 1024
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    segment_docs: int
+    block_size: int
+    n_buckets: int = N_BUCKETS
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def committed_segments(spark: SparkSession, out_dir: str) -> set[int]:
+    path = _lineage_dir(out_dir)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ):
+        return set()
+    return {
+        r["partition_id"]
+        for r in spark.read.parquet(path).select("partition_id").distinct().collect()
+    }
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    segment_docs: int = DEFAULT_SEGMENT_DOCS,
+    block_size: int = BLOCK_SIZE,
+    batch_segments: int = 64,
+    fail_after_batches: int | None = None,
+) -> IndexMeta:
+    """docs(doc_id, tokens, dl) -> on-disk index; resumable.
+
+    fail_after_batches: test hook — raise after N committed batches to
+    simulate a killed job (kill/resume pytest, SURVEY.md §5).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs = docs.persist()
+    n_docs, avgdl = corpus_stats(docs)
+    meta = IndexMeta(n_docs, avgdl, segment_docs, block_size)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+        json.dump(meta.__dict__, f)
+
+    n_segments = (n_docs + segment_docs - 1) // segment_docs
+    done = committed_segments(spark, out_dir)
+    todo = [s for s in range(n_segments) if s not in done]
+
+    seg_dir = os.path.join(out_dir, "segments")
+    batches = 0
+    for i in range(0, len(todo), batch_segments):
+        batch = todo[i : i + batch_segments]
+        t0 = time.monotonic()
+        lo_ids = F.col("doc_id") / F.lit(segment_docs)
+        batch_docs = docs.filter(lo_ids.cast("long").isin(batch))
+        blocks = build_segments(batch_docs, avgdl, segment_docs, block_size)
+        (
+            blocks.repartition(F.col("segment_id"))
+            .sortWithinPartitions("term", "block_in_seg")
+            .write.mode("overwrite")
+            .partitionBy("segment_id")
+            .parquet(seg_dir)
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        # lineage rows from the *written* data (what's committed, not what
+        # we intended to write)
+        written = spark.read.parquet(seg_dir).filter(
+            F.col("segment_id").isin(batch)
+        )
+        lin = written.groupBy("segment_id").agg(
+            F.sum("n_postings").alias("post_count"),
+            F.count_distinct("term").alias("term_count"),
+            F.sum(
+                F.octet_length("docs_bin")
+                + F.octet_length("tfs_bin")
+                + F.octet_length("dls_bin")
+            ).alias("bytes"),
+        )
+        doc_counts = (
+            docs.select((F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id"))
+            .filter(F.col("segment_id").isin(batch))
+            .groupBy("segment_id")
+            .count()
+        )
+        (
+            lin.join(doc_counts, "segment_id", "right")
+            .select(
+                F.col("segment_id").alias("partition_id"),
+                F.col("count").alias("doc_count"),
+                F.coalesce("term_count", F.lit(0)).alias("term_count"),
+                F.coalesce("bytes", F.lit(0)).alias("bytes"),
+                F.lit(wall_ms).alias("wall_ms"),
+                F.current_timestamp().alias("commit_ts"),
+            )
+            .write.mode("append")
+            .parquet(_lineage_dir(out_dir))
+        )
+        batches += 1
+        if fail_after_batches is not None and batches >= fail_after_batches:
+            raise RuntimeError(f"injected failure after {batches} batches")
+
+    merge_index(spark, out_dir, meta)
+    docs.unpersist()
+    return meta
+
+
+def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
+    """Segments -> final queryable layout + global term stats.
+
+    Segments hold disjoint ascending docID ranges, so the globally sorted
+    posting list of a term is its blocks ordered by (segment_id,
+    block_in_seg) — the merge is a *layout* operation, not a re-sort:
+    bucket by hash(term), salt by block position so stopword-heavy terms
+    fan out over many tasks (skew-aware), sort within partitions for
+    run-length locality, write partitioned by bucket for query pruning.
+    """
+    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    bucketed = seg.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(meta.n_buckets))
+    ).withColumn(
+        "salt",
+        F.pmod(
+            (F.col("segment_id") * F.lit(1_000_000) + F.col("block_in_seg")),
+            F.lit(BLOCKS_PER_SALT),
+        ),
+    )
+    (
+        bucketed.repartition(F.col("bucket"), F.col("salt"))
+        .drop("salt")
+        .sortWithinPartitions("term", "segment_id", "block_in_seg")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "merged"))
+    )
+    merged = spark.read.parquet(os.path.join(out_dir, "merged"))
+    # (term, doc) is unique across blocks, so df = total postings per term
+    (
+        merged.groupBy("term")
+        .agg(F.sum("n_postings").alias("df"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_stats"))
+    )
+
+
+def load_index(spark: SparkSession, out_dir: str):
+    """-> (merged blocks DF, term_stats DF, IndexMeta)."""
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        meta = IndexMeta(**json.load(f))
+    merged = spark.read.parquet(os.path.join(out_dir, "merged"))
+    tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    return merged, tstats, meta
