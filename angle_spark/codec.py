@@ -22,11 +22,12 @@ K1 = 1.2
 B = 0.75
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints to bytes."""
+def encode_varints_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array; also return per-value byte lengths so a
+    caller can slice the stream at value boundaries (block packing)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     lengths = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -46,7 +47,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         idx = idx + active
         cur = cur >> np.uint64(7)
         remaining = remaining - active
-    return out.tobytes()
+    return out.tobytes(), lengths
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints to bytes."""
+    return encode_varints_with_lengths(values)[0]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:

@@ -54,7 +54,9 @@ def _doc_queries_values_sql() -> str:
 # --- S1/S2 scan + P4 tokenize + A9 stats + F16 BM25 + J2 term join + W1 topk
 def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
-    tf = term_frequencies(docs)
+    # tf feeds three consumers (corpus stats trigger, term stats, scoring) —
+    # persist so tokenize+explode+groupBy runs once
+    tf = term_frequencies(docs).persist()
     n_docs, avgdl = corpus_stats(docs)
     tstats = term_stats(tf, n_docs)
     out = bm25_topk(tf, tstats, _doc_queries_df(spark), n_docs, avgdl)

@@ -40,13 +40,9 @@ LINEAGE_SCHEMA = (
     "wall_ms long, commit_ts timestamp"
 )
 
-# buckets in the merged layout; queries prune to the buckets their terms
-# hash into. A real deployment sizes this ~ (cluster cores * 4).
+# kept in IndexMeta for layout versioning; the merged layout is range-
+# partitioned on (term, segment_id, block_in_seg) — see merge_index
 N_BUCKETS = 64
-# a term's blocks are spread over ceil(blocks/BLOCKS_PER_SALT) write tasks,
-# so a stopword posting list never serializes through one task (skew-aware
-# salt; north rule).
-BLOCKS_PER_SALT = 1024
 
 
 @dataclass
@@ -78,12 +74,17 @@ def build_index(
     spark: SparkSession,
     docs: DataFrame,
     out_dir: str,
-    segment_docs: int = DEFAULT_SEGMENT_DOCS,
+    segment_docs: int | None = None,
     block_size: int = BLOCK_SIZE,
     batch_segments: int = 64,
     fail_after_batches: int | None = None,
 ) -> IndexMeta:
     """docs(doc_id, tokens, dl) -> on-disk index; resumable.
+
+    segment_docs=None sizes segments for ~4 per core (a cluster deployment
+    pins it explicitly; it must stay constant across resumed runs —
+    it is persisted in corpus_stats.json and the resume path should pass
+    the same value).
 
     fail_after_batches: test hook — raise after N committed batches to
     simulate a killed job (kill/resume pytest, SURVEY.md §5).
@@ -91,6 +92,9 @@ def build_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = docs.persist()
     n_docs, avgdl = corpus_stats(docs)
+    if segment_docs is None:
+        par = spark.sparkContext.defaultParallelism
+        segment_docs = max(1024, (n_docs + par * 4 - 1) // (par * 4))
     meta = IndexMeta(n_docs, avgdl, segment_docs, block_size)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
@@ -100,6 +104,17 @@ def build_index(
     done = committed_segments(spark, out_dir)
     todo = [s for s in range(n_segments) if s not in done]
 
+    # per-segment doc counts: one job up front (segment count is bounded)
+    seg_counts = {
+        r["segment_id"]: r["count"]
+        for r in docs.select(
+            (F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id")
+        )
+        .groupBy("segment_id")
+        .count()
+        .collect()
+    }
+
     seg_dir = os.path.join(out_dir, "segments")
     batches = 0
     for i in range(0, len(todo), batch_segments):
@@ -107,7 +122,7 @@ def build_index(
         t0 = time.monotonic()
         lo_ids = F.col("doc_id") / F.lit(segment_docs)
         batch_docs = docs.filter(lo_ids.cast("long").isin(batch))
-        blocks = build_segments(batch_docs, avgdl, segment_docs, block_size)
+        blocks = build_segments(batch_docs, avgdl, segment_docs, block_size).persist()
         (
             blocks.repartition(F.col("segment_id"))
             .sortWithinPartitions("term", "block_in_seg")
@@ -117,12 +132,9 @@ def build_index(
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        # lineage rows from the *written* data (what's committed, not what
-        # we intended to write)
-        written = spark.read.parquet(seg_dir).filter(
-            F.col("segment_id").isin(batch)
-        )
-        lin = written.groupBy("segment_id").agg(
+        # lineage from the persisted batch blocks (the write above either
+        # committed them all or raised; no second disk read needed)
+        lin = blocks.groupBy("segment_id").agg(
             F.sum("n_postings").alias("post_count"),
             F.count_distinct("term").alias("term_count"),
             F.sum(
@@ -131,17 +143,15 @@ def build_index(
                 + F.octet_length("dls_bin")
             ).alias("bytes"),
         )
-        doc_counts = (
-            docs.select((F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id"))
-            .filter(F.col("segment_id").isin(batch))
-            .groupBy("segment_id")
-            .count()
+        doc_counts = spark.createDataFrame(
+            [(s, seg_counts.get(s, 0)) for s in batch],
+            schema="segment_id long, doc_count long",
         )
         (
             lin.join(doc_counts, "segment_id", "right")
             .select(
                 F.col("segment_id").alias("partition_id"),
-                F.col("count").alias("doc_count"),
+                F.col("doc_count"),
                 F.coalesce("term_count", F.lit(0)).alias("term_count"),
                 F.coalesce("bytes", F.lit(0)).alias("bytes"),
                 F.lit(wall_ms).alias("wall_ms"),
@@ -150,6 +160,7 @@ def build_index(
             .write.mode("append")
             .parquet(_lineage_dir(out_dir))
         )
+        blocks.unpersist()
         batches += 1
         if fail_after_batches is not None and batches >= fail_after_batches:
             raise RuntimeError(f"injected failure after {batches} batches")
@@ -164,31 +175,24 @@ def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
 
     Segments hold disjoint ascending docID ranges, so the globally sorted
     posting list of a term is its blocks ordered by (segment_id,
-    block_in_seg) — the merge is a *layout* operation, not a re-sort:
-    bucket by hash(term), salt by block position so stopword-heavy terms
-    fan out over many tasks (skew-aware), sort within partitions for
-    run-length locality, write partitioned by bucket for query pruning.
+    block_in_seg) — the merge is a *layout* operation, not a re-sort.
+    Layout = range-partition by (term, segment_id, block_in_seg) and sort
+    within partitions: parquet row-group min/max stats on the sorted term
+    column give the query side free block skipping (finer than hash-bucket
+    dirs, and no small-file explosion), while the range key's block suffix
+    spreads a stopword's posting list across several partitions instead of
+    hot-spotting one task (skew-aware salting by block position).
     """
     seg = spark.read.parquet(os.path.join(out_dir, "segments"))
-    bucketed = seg.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(meta.n_buckets))
-    ).withColumn(
-        "salt",
-        F.pmod(
-            (F.col("segment_id") * F.lit(1_000_000) + F.col("block_in_seg")),
-            F.lit(BLOCKS_PER_SALT),
-        ),
-    )
     (
-        bucketed.repartition(F.col("bucket"), F.col("salt"))
-        .drop("salt")
+        seg.repartitionByRange("term", "segment_id", "block_in_seg")
         .sortWithinPartitions("term", "segment_id", "block_in_seg")
         .write.mode("overwrite")
-        .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "merged"))
     )
     merged = spark.read.parquet(os.path.join(out_dir, "merged"))
-    # (term, doc) is unique across blocks, so df = total postings per term
+    # (term, doc) is unique across blocks, so df = total postings per term;
+    # column pruning means this scan touches only (term, n_postings)
     (
         merged.groupBy("term")
         .agg(F.sum("n_postings").alias("df"))

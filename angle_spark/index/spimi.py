@@ -30,11 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from angle_spark.codec import (
+    B,
     BLOCK_SIZE,
-    encode_doc_deltas,
-    encode_tfs,
-    encode_varints,
-    impact_upper_bound,
+    K1,
+    encode_varints_with_lengths,
 )
 
 SEGMENT_SCHEMA = (
@@ -67,43 +66,72 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     lens = pdf["tokens"].map(len).to_numpy(dtype=np.int64)
     if lens.sum() == 0:
         return empty
-    terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
+    terms = np.concatenate(pdf["tokens"].to_numpy())
     docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
     dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
 
-    tdf = (
-        pd.DataFrame({"term": terms, "doc_id": docs, "dl": dls})
-        .groupby(["term", "doc_id"], sort=True)
-        .agg(tf=("dl", "size"), dl=("dl", "first"))
-        .reset_index()
+    # factorize terms -> int codes; all grouping in pure numpy (a pandas
+    # string-key groupby here is 10x slower — this is the executor hot loop)
+    uniq_terms, codes = np.unique(terms, return_inverse=True)
+    order = np.lexsort((docs, codes))
+    codes, docs, dls = codes[order], docs[order], dls[order]
+    # run boundaries where (code, doc) changes -> tf = run length
+    new_run = np.concatenate(
+        ([True], (codes[1:] != codes[:-1]) | (docs[1:] != docs[:-1]))
     )
+    starts = np.flatnonzero(new_run)
+    tfs = np.diff(np.append(starts, len(codes)))
+    p_codes, p_docs, p_dls = codes[starts], docs[starts], dls[starts]
 
-    rows = []
-    for term, g in tdf.groupby("term", sort=True):
-        d = g["doc_id"].to_numpy()
-        t = g["tf"].to_numpy()
-        dl = g["dl"].to_numpy()
-        for b in range(0, len(d), block_size):
-            db, tb, lb = d[b : b + block_size], t[b : b + block_size], dl[b : b + block_size]
-            rows.append(
-                (
-                    term,
-                    seg_id,
-                    b // block_size,
-                    int(db[0]),
-                    int(db[-1]),
-                    len(db),
-                    int(tb.max()),
-                    impact_upper_bound(tb, lb, avgdl),
-                    encode_doc_deltas(db),
-                    encode_tfs(tb),
-                    encode_varints(lb.astype(np.uint64)),
-                )
-            )
+    # block boundaries: every block_size postings within a term run
+    n_post = len(p_codes)
+    new_term = np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+    term_starts = np.flatnonzero(new_term)
+    term_counts = np.diff(np.append(term_starts, n_post))
+    pos_in_term = np.arange(n_post) - np.repeat(term_starts, term_counts)
+    block_in_seg = pos_in_term // block_size
+    new_block = new_term.copy()
+    new_block[1:] |= block_in_seg[1:] != block_in_seg[:-1]
+    bstart = np.flatnonzero(new_block)
+    bend = np.append(bstart[1:], n_post)  # exclusive
+
+    # delta-encode docIDs with an absolute restart at every block start
+    deltas = np.diff(p_docs, prepend=np.int64(0))
+    deltas[bstart] = p_docs[bstart]
+
+    # ONE varint encode per stream per segment; blocks are byte slices
+    docs_bytes, dlen = encode_varints_with_lengths(deltas.astype(np.uint64))
+    tfs_bytes, tlen = encode_varints_with_lengths(tfs.astype(np.uint64) - np.uint64(1))
+    dls_bytes, llen = encode_varints_with_lengths(p_dls.astype(np.uint64))
+    doff = np.concatenate(([0], np.cumsum(dlen)))
+    toff = np.concatenate(([0], np.cumsum(tlen)))
+    loff = np.concatenate(([0], np.cumsum(llen)))
+
+    # per-block aggregates, all reduceat (no per-term Python loop)
+    imp = tfs.astype(np.float64)
+    imp = imp * (K1 + 1.0) / (imp + K1 * (1.0 - B + B * p_dls.astype(np.float64) / avgdl))
+    max_impact = np.maximum.reduceat(imp, bstart)
+    max_tf = np.maximum.reduceat(tfs, bstart)
+
+    mv_d, mv_t, mv_l = memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(dls_bytes)
+    docs_bin = [bytes(mv_d[doff[s] : doff[e]]) for s, e in zip(bstart, bend, strict=False)]
+    tfs_bin = [bytes(mv_t[toff[s] : toff[e]]) for s, e in zip(bstart, bend, strict=False)]
+    dls_bin = [bytes(mv_l[loff[s] : loff[e]]) for s, e in zip(bstart, bend, strict=False)]
+
     return pd.DataFrame(
-        rows,
-        columns="term segment_id block_in_seg first_doc last_doc n_postings "
-        "max_tf max_impact docs_bin tfs_bin dls_bin".split(),
+        {
+            "term": uniq_terms[p_codes[bstart]],
+            "segment_id": np.full(len(bstart), seg_id, dtype=np.int64),
+            "block_in_seg": block_in_seg[bstart].astype(np.int32),
+            "first_doc": p_docs[bstart],
+            "last_doc": p_docs[bend - 1],
+            "n_postings": (bend - bstart).astype(np.int32),
+            "max_tf": max_tf.astype(np.int32),
+            "max_impact": max_impact,
+            "docs_bin": docs_bin,
+            "tfs_bin": tfs_bin,
+            "dls_bin": dls_bin,
+        }
     )
 
 

