@@ -305,6 +305,40 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup family (SURVEY extras; reference per-batch dedup
+#     angle_emb/angle.py:216-227 generalized to global ops)
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        with_tokens(_read(spark, sf_dir, "documents"))
+        .select("doc_id", "tokens")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    sig = minhash_signatures(shingles(_doc_tokens(spark, sf_dir))).persist()
+    return lsh_candidate_pairs(sig)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    return ngram_jaccard_pairs(shingles(_doc_tokens(spark, sf_dir)), threshold=0.8)
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import simhash
+
+    return simhash(_doc_tokens(spark, sf_dir))
+
+
+def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import embedding_topk_pairs
+
+    return embedding_topk_pairs(_read(spark, sf_dir, "embeddings"), k=20)
+
+
 # --- text quality scoring (training-data pipeline op; SURVEY extras)
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
@@ -341,9 +375,32 @@ QUERIES = {
     "multivalue_sample": q_multivalue_sample,
     "tpch_q1": q_tpch_q1,
     "doc_quality": q_doc_quality,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_topk_pairs": q_embedding_topk_pairs,
 }
 
+# shared oracle fragments for the dedup family
+from angle_spark.operators.dedup import A as _MH_A  # noqa: E402
+from angle_spark.operators.dedup import B_COEF as _MH_B  # noqa: E402
+from angle_spark.operators.dedup import N_HASHES as _NH  # noqa: E402
+from angle_spark.operators.dedup import P as _MH_P  # noqa: E402
+
+_FAM_VALUES = ", ".join(f"({k}, {_MH_A[k]}, {_MH_B[k]})" for k in range(_NH))
+
 _TOKS = duckdb_tokens_sql("text")
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(tokens) AS term, unnest(range(1, len(tokens)+1)) AS pos
+  FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)
+), sh AS (
+  SELECT DISTINCT doc_id,
+         term || ' ' || lead(term,1) OVER w || ' ' || lead(term,2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(term,2) OVER w IS NOT NULL
+)"""
 
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_oracle_sql(),
@@ -455,5 +512,76 @@ ORACLE_SQL = {
                round(len(list_distinct(tokens))::DOUBLE / len(tokens), 6)
                  AS distinct_ratio
         FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM documents)
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        hashed AS (
+          SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+        ), fam(k, a, b) AS (VALUES {_FAM_VALUES}),
+        sig AS (
+          SELECT doc_id, k, min((h * a + b) % {_MH_P}) AS mh
+          FROM hashed CROSS JOIN fam GROUP BY doc_id, k
+        ), bands AS (
+          SELECT doc_id, (k // 2)::INT AS band,
+                 min(CASE WHEN k % 2 = 0 THEN mh END) AS b0,
+                 min(CASE WHEN k % 2 = 1 THEN mh END) AS b1
+          FROM sig GROUP BY doc_id, band
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+          FROM bands x JOIN bands y USING (band, b0, b1)
+          WHERE x.doc_id < y.doc_id
+        )
+        SELECT doc1, doc2,
+               (sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / {float(_NH)})
+                 AS est_jaccard
+        FROM cand
+        JOIN sig s1 ON s1.doc_id = doc1
+        JOIN sig s2 ON s2.doc_id = doc2 AND s2.k = s1.k
+        GROUP BY doc1, doc2
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY doc1, doc2
+        )
+        SELECT doc1, doc2, i / (n1.n + n2.n - i)::DOUBLE AS jaccard
+        FROM inter
+        JOIN sizes n1 ON n1.doc_id = doc1
+        JOIN sizes n2 ON n2.doc_id = doc2
+        WHERE i / (n1.n + n2.n - i)::DOUBLE >= 0.8
+    """,
+    "simhash_fingerprints": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+        ), ht AS (
+          SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf
+        ), bits AS (SELECT unnest(range(0, 32)) AS bit),
+        wsum AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+          FROM ht CROSS JOIN bits GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM wsum GROUP BY doc_id
+    """,
+    "embedding_topk_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT rank, id1, id2, round(cos_raw, 6) AS cosine FROM (
+          SELECT id1, id2, cos_raw,
+                 row_number() OVER (ORDER BY cos_raw DESC, id1 ASC, id2 ASC) AS rank
+          FROM pairs) WHERE rank <= 20
     """,
 }

@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference dedups per-batch by hashing tokenized texts
+(reference angle_emb/angle.py:216-227); at 100 TB dedup must be global and
+come in several strengths. All are pure DataFrame compositions (JVM-side)
+so Catalyst handles pushdown/pruning; nothing here needs a UDF.
+
+Portability contract: every hash used by an oracle-checked operator is the
+first 8 hex chars of md5 (exists in both Spark and DuckDB, identical
+results) — xxhash64/murmur are engine-specific and would fork the oracle.
+
+Operators:
+  exact_dedup          hash-groupBy on full text
+  shingles             w-gram word shingles via posexplode + window
+  minhash_signatures   k portable hash fns, min per (doc, hash)
+  lsh_candidate_pairs  banded LSH -> candidate pairs + estimated Jaccard
+  ngram_jaccard_pairs  exact Jaccard over shingle sets (self-join)
+  simhash              tf-weighted bitwise fingerprint (32-bit)
+  simhash_near_pairs   pairs within a Hamming radius
+  embedding_topk_pairs brute-force cosine top-k pairs (near-dup by vector)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed MinHash family: h_k(x) = (A[k]*x + B[k]) % P  (all < 2**20 so the
+# int64 product never overflows in either engine)
+P = 2_147_483_647
+N_HASHES = 16
+BAND_ROWS = 2  # 8 bands x 2 rows
+A = [634_211 + 9_176 * k for k in range(N_HASHES)]
+B_COEF = [401_933 + 7_919 * k for k in range(N_HASHES)]
+SIMHASH_BITS = 32
+SHINGLE_W = 3
+
+
+def portable_hash32(col: Column) -> Column:
+    """First 8 md5 hex chars as int64 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def duckdb_hash32(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical text; global exact dedup."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(docs_tokens: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, tokens) -> (doc_id, shingle) distinct w-gram shingles.
+
+    posexplode + lead windows (partitioned by doc — parallel, unskewed)."""
+    toks = docs_tokens.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", i).over(win) for i in range(1, w)]
+    return (
+        toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"),
+                    F.lead("term", w - 1).over(win).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, k, mh) — k in [0, N_HASHES)."""
+    hashed = sh.select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
+    # single pass: explode a literal hash-family array (no N scans)
+    fam = F.array(
+        *[F.struct(F.lit(k).alias("k"), F.lit(A[k]).alias("a"), F.lit(B_COEF[k]).alias("b"))
+          for k in range(N_HASHES)]
+    )
+    expanded = hashed.select(
+        "doc_id", "h", F.explode(fam).alias("f")
+    ).select(
+        "doc_id",
+        F.col("f.k").alias("k"),
+        ((F.col("h") * F.col("f.a") + F.col("f.b")) % F.lit(P)).alias("hk"),
+    )
+    return expanded.groupBy("doc_id", "k").agg(F.min("hk").alias("mh"))
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """signatures -> (doc1, doc2, est_jaccard) via banded LSH.
+
+    Bucket join replaces the all-pairs cross product: only docs agreeing
+    on a full band meet. Scale: the bucket groupBy is keyed on
+    (band, b0, b1) — fine-grained; a pathological bucket (thousands of
+    identical docs) would square, which is the expected cost of true
+    mass-duplication and is bounded by upstream exact_dedup."""
+    bands = sig.groupBy("doc_id", (F.col("k") / F.lit(BAND_ROWS)).cast("int").alias("band")).agg(
+        F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("b0"),
+        F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("b1"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc1"), "band", "b0", "b1"
+    )
+    right = bands.select(F.col("doc_id").alias("doc2"), "band", "b0", "b1")
+    cand = (
+        left.join(right, ["band", "b0", "b1"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("doc1"), "k", F.col("mh").alias("mh1"))
+    s2 = sig.select(F.col("doc_id").alias("doc2"), "k", F.col("mh").alias("mh2"))
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "k"])
+        .groupBy("doc1", "doc2")
+        .agg(
+            (F.sum((F.col("mh1") == F.col("mh2")).cast("int")) / F.lit(float(N_HASHES))).alias(
+                "est_jaccard"
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """exact Jaccard over shingle sets for pairs sharing >=1 shingle."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(n1, "doc1")
+        .join(n2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("inter")
+                / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, tokens) -> (doc_id, simhash) — 32-bit tf-weighted."""
+    tf = (
+        docs_tokens.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", portable_hash32(F.col("term")))
+    )
+    bits = F.array(*[F.lit(i) for i in range(SIMHASH_BITS)])
+    exploded = tf.select(
+        "doc_id", "tf", "h", F.explode(bits).alias("bit")
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.expr("shiftright(h, bit) & 1") == 1,
+            F.col("tf"),
+        )
+        .otherwise(-F.col("tf"))
+        .alias("w"),
+    )
+    return (
+        exploded.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """pairs of docs within Hamming radius (self-join; at scale this would
+    bucket on bit-chunks first — provided for completeness, the LSH path
+    is the scale path)."""
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
+    """brute-force cosine top-k pairs over (vec_id, embedding array<float>).
+
+    The all-pairs cross join is the correctness baseline; the scale path is
+    angle_spark.operators.ann (LSH-bucketed). Dot products stay JVM-side
+    via zip_with + aggregate in float64."""
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    a = v.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", (dot / (F.col("n1") * F.col("n2"))).alias("cos_raw"))
+    )
+    w = Window.orderBy(F.desc("cos_raw"), F.asc("id1"), F.asc("id2"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "id1", "id2", F.round("cos_raw", 6).alias("cosine"))
+    )
