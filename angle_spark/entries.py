@@ -339,6 +339,85 @@ def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_topk_pairs(_read(spark, sf_dir, "embeddings"), k=20)
 
 
+# --- language-ID heuristic (training-data pipeline op)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.text_stats import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(tokens_col("text")).alias("lang_pred"))
+
+
+# --- token counting variants (P4 family)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.text_stats import token_count_subword_est, token_count_ws
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        F.size(tokens_col("text")).alias("n_v1"),
+        token_count_subword_est(F.col("text")).alias("n_subword"),
+    )
+
+
+# --- rolling-hash document fingerprint (order-sensitive; not SQL-
+#     expressible in DuckDB without a fold -> rows-only driver check)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.text_stats import rolling_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(tokens_col("text")).alias("fingerprint")
+    )
+
+
+# --- W2/F7/F8 composite: the reference CorrelationEvaluator as one query
+#     (reference angle_emb/evaluation.py:55-70): paired cosine vs a label,
+#     Pearson + Spearman-via-average-ranks
+def q_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    n_pairs = 250
+    a = emb.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pair_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v1"),
+        F.col("label").alias("l1"),
+    )
+    b = emb.filter(
+        (F.col("vec_id") >= n_pairs) & (F.col("vec_id") < 2 * n_pairs)
+    ).select(
+        (F.col("vec_id") - n_pairs).alias("pair_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v2"),
+        F.col("label").alias("l2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm1 = F.sqrt(
+        F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    nrm2 = F.sqrt(
+        F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = a.join(b, "pair_id").select(
+        "pair_id",
+        (dot / (nrm1 * nrm2)).alias("cosine"),
+        (F.col("l1") == F.col("l2")).cast("double").alias("label"),
+    )
+    rx = (
+        F.rank().over(Window.orderBy("cosine"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("cosine")) - 1) / 2.0
+    )
+    ry = (
+        F.rank().over(Window.orderBy("label"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("label")) - 1) / 2.0
+    )
+    ranked = pairs.select("cosine", "label", rx.alias("rx"), ry.alias("ry"))
+    return ranked.agg(
+        F.round(F.corr("cosine", "label"), 6).alias("pearson_cosine"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_cosine"),
+    )
+
+
 # --- text quality scoring (training-data pipeline op; SURVEY extras)
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
@@ -379,6 +458,10 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_topk_pairs": q_embedding_topk_pairs,
+    "doc_langid": q_doc_langid,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "correlation_eval": q_correlation_eval,
 }
 
 # shared oracle fragments for the dedup family
@@ -571,6 +654,39 @@ ORACLE_SQL = {
                  AS simhash
         FROM wsum GROUP BY doc_id
     """,
+    # doc_fingerprints: intentionally no oracle — an ordered fold over
+    # tokens is not expressible in DuckDB SQL; driver records rows-only
+    "doc_langid": None,  # filled below (generated from LANG_PROFILES)
+    "token_counts": f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::INT
+                 AS n_ws,
+               len(tokens)::INT AS n_v1,
+               coalesce(list_sum(list_transform(tokens,
+                        t -> ceil(length(t) / 4.0)::INT)), 0)::INT AS n_subword
+        FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM documents)
+    """,
+    "correlation_eval": """
+        WITH a AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS v1, label AS l1
+                   FROM embeddings WHERE vec_id < 250),
+        b AS (SELECT vec_id - 250 AS pair_id, embedding::DOUBLE[] AS v2, label AS l2
+              FROM embeddings WHERE vec_id >= 250 AND vec_id < 500),
+        p AS (SELECT pair_id,
+                     list_dot_product(v1, v2)
+                     / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2)))
+                       AS cosine,
+                     (l1 = l2)::INT::DOUBLE AS label
+              FROM a JOIN b USING (pair_id)),
+        r AS (SELECT cosine, label,
+                     rank() OVER (ORDER BY cosine)
+                       + (count(*) OVER (PARTITION BY cosine) - 1) / 2.0 AS rx,
+                     rank() OVER (ORDER BY label)
+                       + (count(*) OVER (PARTITION BY label) - 1) / 2.0 AS ry
+              FROM p)
+        SELECT round(corr(cosine, label), 6) AS pearson_cosine,
+               round(corr(rx, ry), 6) AS spearman_cosine
+        FROM r
+    """,
     "embedding_topk_pairs": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         pairs AS (
@@ -585,3 +701,42 @@ ORACLE_SQL = {
           FROM pairs) WHERE rank <= 20
     """,
 }
+
+
+def _langid_oracle_sql() -> str:
+    """generated from LANG_PROFILES; tie-break = lexicographically LAST
+    language (matching Spark array_max over (score, lang) structs)."""
+    from angle_spark.functions.text_stats import LANG_PROFILES
+
+    frac = {
+        lang: (
+            "len(list_filter(tokens, x -> x IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + ")))::DOUBLE / greatest(len(tokens), 1)"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs_desc = sorted(LANG_PROFILES, reverse=True)  # fr, es, en, de
+    score_cols = ",\n               ".join(f"{frac[lang]} AS s_{lang}" for lang in LANG_PROFILES)
+    conds = []
+    for i, lang in enumerate(langs_desc[:-1]):
+        others = langs_desc[i + 1:]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    case = (
+        "CASE WHEN greatest("
+        + ", ".join(f"s_{lang}" for lang in LANG_PROFILES)
+        + ") = 0 THEN 'und' "
+        + " ".join(conds)
+        + f" ELSE '{langs_desc[-1]}' END"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+        sc AS (SELECT doc_id,
+               {score_cols}
+        FROM t)
+        SELECT doc_id, {case} AS lang_pred FROM sc
+    """
+
+
+ORACLE_SQL["doc_langid"] = _langid_oracle_sql()

@@ -90,11 +90,19 @@ def build_index(
     simulate a killed job (kill/resume pytest, SURVEY.md §5).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    docs = docs.persist()
+    # DISK_ONLY: building the in-memory columnar cache for array<string>
+    # token columns is ~6x slower than writing them to local disk, and the
+    # re-read is sub-second (measured; see BENCH.md)
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.DISK_ONLY)
     n_docs, avgdl = corpus_stats(docs)
     if segment_docs is None:
-        par = spark.sparkContext.defaultParallelism
-        segment_docs = max(1024, (n_docs + par * 4 - 1) // (par * 4))
+        # data-derived, never core-count-derived: the index content must be
+        # identical at any parallelism level (and block fragmentation must
+        # not grow with the cluster). ~128 segments locally; a cluster
+        # deployment pins e.g. 8M docs/segment explicitly.
+        segment_docs = min(8_000_000, max(4096, n_docs // 128))
     meta = IndexMeta(n_docs, avgdl, segment_docs, block_size)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
@@ -199,6 +207,26 @@ def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
+
+
+def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
+    """Recompute (n_docs, avgdl) from the index itself — lineage carries
+    doc counts, blocks carry sum_tf (total tokens) — and rewrite
+    corpus_stats.json. Needed after streamed delta segments land, so BM25
+    scores use corpus-true stats rather than build-time ones. Exact:
+    avgdl = sum(all tf) / n_docs, both integers until the final division."""
+    meta = IndexMeta(**json.load(open(os.path.join(out_dir, "corpus_stats.json"))))
+    # every lineage row counts each doc exactly once (batch rows: docs per
+    # segment; streamed rows: docs added by that micro-batch) -> plain sum
+    lin = spark.read.parquet(_lineage_dir(out_dir))
+    n_docs = int(lin.agg(F.sum("doc_count")).collect()[0][0])
+    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+    meta.n_docs = n_docs
+    meta.avgdl = total_tokens / n_docs if n_docs else 0.0
+    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+        json.dump(meta.__dict__, f)
+    return meta
 
 
 def load_index(spark: SparkSession, out_dir: str):

@@ -38,8 +38,8 @@ from angle_spark.codec import (
 
 SEGMENT_SCHEMA = (
     "term string, segment_id long, block_in_seg int, first_doc long, "
-    "last_doc long, n_postings int, max_tf int, max_impact double, "
-    "docs_bin binary, tfs_bin binary, dls_bin binary"
+    "last_doc long, n_postings int, max_tf int, min_dl long, sum_tf long, "
+    "max_impact double, docs_bin binary, tfs_bin binary, dls_bin binary"
 )
 
 DEFAULT_SEGMENT_DOCS = 100_000
@@ -56,6 +56,8 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
             "last_doc": pd.Series(dtype="int64"),
             "n_postings": pd.Series(dtype="int32"),
             "max_tf": pd.Series(dtype="int32"),
+            "min_dl": pd.Series(dtype="int64"),
+            "sum_tf": pd.Series(dtype="int64"),
             "max_impact": pd.Series(dtype="float64"),
             "docs_bin": pd.Series(dtype=object),
             "tfs_bin": pd.Series(dtype=object),
@@ -112,6 +114,8 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     imp = imp * (K1 + 1.0) / (imp + K1 * (1.0 - B + B * p_dls.astype(np.float64) / avgdl))
     max_impact = np.maximum.reduceat(imp, bstart)
     max_tf = np.maximum.reduceat(tfs, bstart)
+    min_dl = np.minimum.reduceat(p_dls, bstart)
+    sum_tf = np.add.reduceat(tfs, bstart)
 
     mv_d, mv_t, mv_l = memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(dls_bytes)
     docs_bin = [bytes(mv_d[doff[s] : doff[e]]) for s, e in zip(bstart, bend, strict=False)]
@@ -127,6 +131,8 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
             "last_doc": p_docs[bend - 1],
             "n_postings": (bend - bstart).astype(np.int32),
             "max_tf": max_tf.astype(np.int32),
+            "min_dl": min_dl.astype(np.int64),
+            "sum_tf": sum_tf.astype(np.int64),
             "max_impact": max_impact,
             "docs_bin": docs_bin,
             "tfs_bin": tfs_bin,

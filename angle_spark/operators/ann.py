@@ -1,0 +1,152 @@
+"""Approximate nearest neighbor search over embedding columns.
+
+The reference's retrieval is exact dense cosine over all docs
+(reference README.md:119-128, docs/notes/tutorial.rst:239-271). At 100 TB
+the all-pairs product is impossible, so:
+
+  brute_force_topk   exact baseline: broadcast query vectors, JVM-side
+                     zip_with/aggregate dot products, window top-k
+  rhp_signatures     random-hyperplane LSH signature (sign bits of dot
+                     with H fixed hyperplanes) — deterministic seeded
+                     hyperplanes, pure column arithmetic
+  lsh_topk           bucket-join candidates on signature bands, exact
+                     cosine rescore within candidates, per-query top-k.
+                     Recall < 1 by construction; shadow-tested against
+                     brute force for recall >= threshold in tests.
+
+All vector math stays in Spark SQL higher-order functions (zip_with /
+aggregate / transform) — no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+BAND_BITS = 4  # 4 bands x 4 bits
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = 1234) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """queries(query_id, qvec array<float>) x emb(vec_id, embedding) ->
+    (query_id, rank, vec_id, cosine). Exact; query side broadcast."""
+    q = queries.select(
+        "query_id",
+        F.transform("qvec", lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("vn", _norm(F.col("v")))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos_raw").alias("cosine"))
+    )
+
+
+def rhp_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """sign-bit signature of a vector column against fixed hyperplanes,
+    as one integer per band (BAND_BITS bits each)."""
+    bands = []
+    n_bands = planes.shape[0] // BAND_BITS
+    for band in range(n_bands):
+        acc = F.lit(0)
+        for j in range(BAND_BITS):
+            p = planes[band * BAND_BITS + j]
+            plane_lit = F.array(*[F.lit(float(x)) for x in p])
+            bit = (_dot(vec, plane_lit) > 0).cast("int")
+            acc = acc * 2 + bit
+        bands.append(acc.alias(f"band_{band}"))
+    return F.array(*bands)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    seed: int = 1234,
+) -> DataFrame:
+    """Banded random-hyperplane LSH: candidates = vectors sharing at least
+    one band value with the query; exact cosine rescore of candidates.
+
+    Scale shape: signatures are computed in one pass over the corpus
+    (write-once at ingest in a real pipeline), the candidate join is an
+    equi-join on (band_idx, band_val) — no cross product, no shuffle of
+    the full corpus per query."""
+    planes = _hyperplanes(dim, seed=seed)
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e_sig = e.withColumn("sig", rhp_signature_col(F.col("v"), planes)).select(
+        "vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val")
+    )
+    q = queries.select(
+        "query_id",
+        F.transform("qvec", lambda x: x.cast("double")).alias("qv"),
+    )
+    q_sig = q.withColumn("sig", rhp_signature_col(F.col("qv"), planes)).select(
+        "query_id", "qv", F.posexplode("sig").alias("band_idx", "band_val")
+    )
+    cand = (
+        e_sig.join(F.broadcast(q_sig), ["band_idx", "band_val"])
+        .select("query_id", "qv", "vec_id", "v")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias(
+            "cos_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos_raw").alias("cosine"))
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> float:
+    """fraction of exact top-k ids recovered by the approximate result."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    b = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    hit = a.join(b, ["query_id", "vec_id"]).count()
+    total = b.count()
+    return hit / total if total else 1.0

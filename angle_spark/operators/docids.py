@@ -40,7 +40,8 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     parted = (
         df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
         .sortWithinPartitions("conv_id", "turn_idx")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)  # wide text rows: disk beats
+        # columnar-cache construction by a wide margin
     )
 
     # pass 1 stays JVM-side: count per physical partition, no Arrow transfer

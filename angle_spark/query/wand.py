@@ -74,7 +74,15 @@ def _score_shard(pdf: pd.DataFrame, avgdl: float, prune: bool) -> pd.DataFrame:
     """All candidate blocks of one (query, shard) -> local exact top-k."""
     qid = pdf["query_id"].iloc[0]
     k = int(pdf["k"].iloc[0])
-    pdf = pdf.assign(ub=pdf["idf"] * pdf["max_impact"])
+    # block bound recomputed from (max_tf, min_dl) with the CURRENT avgdl —
+    # valid even when streamed appends have drifted avgdl since the block
+    # was written (the stored max_impact is only tight for the build-time
+    # avgdl). impact is increasing in tf and decreasing in dl, so
+    # impact(max_tf, min_dl) >= impact(tf_i, dl_i) for every posting i.
+    mt = pdf["max_tf"].to_numpy(dtype=np.float64)
+    md = pdf["min_dl"].to_numpy(dtype=np.float64)
+    bound = mt * (K1 + 1.0) / (mt + K1 * (1.0 - B + B * md / avgdl))
+    pdf = pdf.assign(ub=pdf["idf"].to_numpy() * bound)
 
     if prune:
         # per-doc upper bound from docID-only decode

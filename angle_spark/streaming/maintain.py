@@ -1,0 +1,126 @@
+"""Streaming index maintenance.
+
+The reference has only a streaming *source* flag (HF IterableDataset,
+reference angle_emb/angle_trainer.py:107-108,219 — sequential shards, no
+watermarks or stateful ops). The Spark-native upgrade: new transcript
+turns arrive as a stream; each micro-batch appends delta segments to the
+index via foreachBatch, with dropDuplicatesWithinWatermark on
+(conv_id, turn_idx) handling replays/late data (SURVEY.md §2.9).
+
+Delta segments reuse the SPIMI builder: a micro-batch's turns get docIDs
+above the current high-water mark, become one-or-more new segments, and
+land with the same lineage rows the batch build writes — so resume,
+merge, and the WAND scorer treat streamed segments identically to batch
+ones. Queries see the union of merged/ plus any committed delta segments.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from angle_spark.index.build import IndexMeta
+from angle_spark.index.spimi import build_segments
+from angle_spark.index.stats import with_tokens
+
+
+def _load_meta(out_dir: str) -> IndexMeta:
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        return IndexMeta(**json.load(f))
+
+
+def append_micro_batch(
+    batch_df: DataFrame, batch_id: int, out_dir: str, high_water_doc: int
+) -> int:
+    """foreachBatch body: assign docIDs after the high-water mark, build
+    delta segment blocks, append to segments/ + lineage. Returns the new
+    high-water mark. Stats (df, avgdl) are refreshed by the next
+    merge_index run — standard segment-then-merge search maintenance."""
+    meta = _load_meta(out_dir)
+    spark = batch_df.sparkSession
+    rows = batch_df.select("conv_id", "turn_idx", "text").dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+    # micro-batches are bounded: a single-partition window is fine here
+    # (this is per-batch data, not the corpus)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("conv_id", "turn_idx")
+    ids = rows.withColumn(
+        "doc_id",
+        F.row_number().over(w) - F.lit(1) + F.lit(high_water_doc).cast("long"),
+    )
+    docs = with_tokens(ids).select("doc_id", "tokens", "dl")
+    n_new = docs.count()
+    if n_new == 0:
+        return high_water_doc
+    blocks = build_segments(docs, meta.avgdl, meta.segment_docs, meta.block_size)
+    (
+        blocks.write.mode("append")
+        .partitionBy("segment_id")
+        .parquet(os.path.join(out_dir, "segments"))
+    )
+    # per-segment doc counts for THIS batch only (a batch may span several
+    # segments; every doc must be counted exactly once across all lineage
+    # rows — refresh_corpus_stats sums them)
+    seg_docs = (
+        docs.select(
+            (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long").alias("segment_id")
+        )
+        .groupBy("segment_id")
+        .count()
+        .withColumnRenamed("count", "doc_count")
+    )
+    lin = blocks.groupBy("segment_id").agg(
+        F.count_distinct("term").alias("term_count"),
+        F.sum(
+            F.octet_length("docs_bin")
+            + F.octet_length("tfs_bin")
+            + F.octet_length("dls_bin")
+        ).alias("bytes"),
+    )
+    (
+        lin.join(seg_docs, "segment_id")
+        .select(
+            F.col("segment_id").alias("partition_id"),
+            F.col("doc_count"),
+            F.col("term_count"),
+            F.col("bytes"),
+            F.lit(-1).cast("long").alias("wall_ms"),
+            F.current_timestamp().alias("commit_ts"),
+        )
+        .write.mode("append")
+        .parquet(os.path.join(out_dir, "lineage"))
+    )
+    return high_water_doc + n_new
+
+
+def maintain_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    start_high_water: int,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+) -> Any:
+    """wire a transcripts stream into the index. Late/replayed turns are
+    dropped by key within the watermark window."""
+    state = {"hw": start_high_water}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        state["hw"] = append_micro_batch(batch_df, batch_id, out_dir, state["hw"])
+
+    deduped = (
+        stream_df.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -175,6 +175,22 @@ QUERY_SET: list[tuple[str, str, int]] = [
 ]
 
 
+def bench_queries_pdf(n: int = 100, seed: int = 7) -> pd.DataFrame:
+    """Deterministic n-query workload for throughput benchmarks: 1-4 terms
+    drawn across the Zipf range (heavy stopwords through ultra-rare)."""
+    keys = np.arange(n, dtype=np.uint64) ^ _U64(seed * 0x9E3779B1)
+    n_terms = (1 + (_mix(keys ^ _U64(11)) % _U64(4))).astype(np.int64)
+    rows = []
+    for i in range(n):
+        ks = _mix(keys[i] + np.arange(int(n_terms[i]), dtype=np.uint64))
+        # skew term picks like real queries: mostly common, some rare
+        ranks = (ks % _U64(VOCAB_SIZE)).astype(np.int64)
+        ranks = np.where(ranks % 3 == 0, ranks % 50, ranks)  # bias to head
+        text = " ".join(_VOCAB[r] for r in ranks)
+        rows.append((f"bq_{i:04d}", text, 10))
+    return pd.DataFrame(rows, columns=["query_id", "text", "k"])
+
+
 def queries_pdf() -> pd.DataFrame:
     return pd.DataFrame(
         [(q, t, k) for q, t, k in QUERY_SET],

@@ -55,11 +55,20 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(app_name=f"bench_{cpus}", cores=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
-    # --- leg 1: index build (tokenize -> docIDs -> SPIMI -> merge) ---
+    # setup (untimed): the north-rule input is a STORED transcripts table;
+    # materialize the deterministic corpus once and share it across runs
+    # and parallelism levels so both read identical bytes
+    corpus_dir = f"/tmp/angle_bench_corpus_{n_convs}.parquet"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        transcripts_df(spark, n_convs, seed=42, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+
+    # --- leg 1: index build (scan -> docIDs -> tokenize -> SPIMI -> merge) ---
     out_dir = tempfile.mkdtemp(prefix="angle_bench_idx_")
     try:
         t0 = time.monotonic()
-        raw = transcripts_df(spark, n_convs, seed=42, partitions=cpus * 2)
+        raw = spark.read.parquet(corpus_dir)
         docs = with_tokens(assign_doc_ids(raw, num_partitions=cpus * 2)).select(
             "doc_id", "tokens", "dl"
         )
@@ -111,18 +120,74 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
-    """Same job at N and 4N cores in fresh JVMs; efficiency = T_4N/(4*T_N)
-    per throughput metric."""
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", 100_000))  # ~2M turns
+
+
+def run_scale_leg(cpus: int) -> dict:
+    """One parallelism level of the N-vs-4N scaling measurement.
+
+    Protocol (single machine is noisy — page cache, JIT, GC):
+      * corpus is a pre-materialized parquet table shared by all levels
+      * index build runs twice, the warm (second) run is reported
+      * query leg runs the 100-query workload 3x, best run reported
+    """
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.query.wand import wand_topk
+    from angle_spark.session import get_spark
+    from angle_spark.synth import bench_queries_pdf, transcripts_df
+
+    spark = get_spark(app_name=f"scale_{cpus}", cores=cpus, shuffle_partitions=cpus)
+    corpus_dir = f"/tmp/angle_scale_corpus_{SCALE_CONVS}.parquet"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        transcripts_df(spark, SCALE_CONVS, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+
+    build_secs = []
+    out_dir = None
+    for attempt in range(2):
+        if out_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir = tempfile.mkdtemp(prefix=f"angle_scale_idx_{cpus}_")
+        t0 = time.monotonic()
+        raw = spark.read.parquet(corpus_dir)
+        docs = with_tokens(assign_doc_ids(raw, num_partitions=cpus * 2)).select(
+            "doc_id", "tokens", "dl"
+        )
+        meta = build_index(spark, docs, out_dir, batch_segments=4096)
+        build_secs.append(time.monotonic() - t0)
+    n_turns = meta.n_docs
+
+    merged, tstats, meta = load_index(spark, out_dir)
+    queries = spark.createDataFrame(
+        bench_queries_pdf(100), schema="query_id string, text string, k int"
+    )
+    query_secs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        wand_topk(spark, merged, tstats, meta, queries).count()
+        query_secs.append(time.monotonic() - t0)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    return {
+        "cpus": cpus,
+        "turns": n_turns,
+        "build_secs": [round(s, 2) for s in build_secs],
+        "query_secs": [round(s, 2) for s in query_secs],
+        "turns_per_sec": round(n_turns / build_secs[-1], 1),
+        "queries_per_sec": round(100 / min(query_secs), 2),
+    }
+
+
+def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
+    """Same job at N and 4N cores in fresh JVMs (sequential, isolated);
+    efficiency = throughput_4N / (4 * throughput_N)."""
     results = {}
     for cpus in levels:
         out = subprocess.run(
-            [sys.executable, __file__, "--json-only"],
-            env={
-                **os.environ,
-                "SPARK_GRAFT_SF_DIR": sf_dir,
-                "SPARK_GRAFT_CPUS": str(cpus),
-            },
+            [sys.executable, __file__, "--scale-leg", str(cpus)],
             capture_output=True,
             text=True,
             timeout=3600,
@@ -138,7 +203,7 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
     return {
         "metric": "scaling_efficiency",
         "unit": "ratio",
-        "sf": _sf_of(sf_dir),
+        "turns": results[lo]["turns"],
         "levels": list(levels),
         "turns_per_sec": {str(c): results[c]["turns_per_sec"] for c in levels},
         "queries_per_sec": {str(c): results[c]["queries_per_sec"] for c in levels},
@@ -150,8 +215,10 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (8, 32)) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        res = run_scaling(DEFAULT_SF_DIR)
-        print(json.dumps(res))
+    if "--scale-leg" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
+        print(json.dumps(run_scale_leg(cpus)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench(DEFAULT_SF_DIR, DEFAULT_CPUS)))

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from angle_spark.operators.ann import brute_force_topk, lsh_topk, recall_at_k
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    rows = emb.filter("vec_id < 3").collect()
+    pdf = pd.DataFrame(
+        {"query_id": [f"q{r.vec_id}" for r in rows], "qvec": [list(r.embedding) for r in rows]}
+    )
+    return spark.createDataFrame(pdf, schema="query_id string, qvec array<float>")
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    E = emb.toPandas().sort_values("vec_id")
+    M = np.stack([np.array(v, dtype=np.float64) for v in E["embedding"]])
+    ids = E["vec_id"].to_numpy()
+    nrm = np.linalg.norm(M, axis=1)
+    for q in queries.collect():
+        qv = np.array(q.qvec, dtype=np.float64)
+        cos = (M @ qv) / (nrm * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        want = list(ids[order])
+        have = list(got[got.query_id == q.query_id].sort_values("rank")["vec_id"])
+        assert have == want, q.query_id
+        # self is rank 1 with cosine ~1
+        assert have[0] == int(q.query_id[1:])
+
+
+def test_lsh_recall(spark, emb, queries):
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, dim=64, k=10)
+    r = recall_at_k(approx, exact, k=10)
+    # 4 bands x 4 bits on 64-dim random-ish vectors: recall is moderate;
+    # the contract is "approximate", gated well above chance (10/500=0.02)
+    assert r >= 0.3, f"recall {r}"
+
+
+def test_lsh_finds_self_and_near_duplicate(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])] + [
+        (i, [float(x) for x in rng.standard_normal(64)]) for i in range(2, 50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in base])], "query_id string, qvec array<float>"
+    )
+    got = lsh_topk(emb, q, dim=64, k=2).toPandas().sort_values("rank")
+    assert list(got["vec_id"]) == [0, 1]
+    assert got["cosine"].iloc[0] == pytest.approx(1.0)
