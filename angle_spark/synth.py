@@ -175,7 +175,7 @@ QUERY_SET: list[tuple[str, str, int]] = [
 ]
 
 
-def bench_queries_pdf(n: int = 100, seed: int = 7) -> pd.DataFrame:
+def bench_queries_pdf(n: int = 400, seed: int = 7) -> pd.DataFrame:
     """Deterministic n-query workload for throughput benchmarks: 1-4 terms
     drawn across the Zipf range (heavy stopwords through ultra-rare)."""
     keys = np.arange(n, dtype=np.uint64) ^ _U64(seed * 0x9E3779B1)

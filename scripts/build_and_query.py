@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the inverted index over a transcripts
+table, then answer a query file — the production shape of the engine.
+
+Cluster usage (the --py-files bundle ships the pure-Python package; no
+JVM extensions to deploy):
+
+    cd /root/repo && zip -qr /tmp/angle_spark.zip angle_spark
+    spark-submit --py-files /tmp/angle_spark.zip \
+        scripts/build_and_query.py \
+        --transcripts s3://bucket/transcripts/ \
+        --index s3://bucket/index/ \
+        --queries queries.json --out results/
+
+Local smoke:
+    python scripts/build_and_query.py --demo
+
+Resume semantics: rerunning the same command after a failure skips the
+segments whose lineage rows are committed (see angle_spark.index.build).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", help="parquet dir of the transcripts table")
+    ap.add_argument("--index", help="index output dir")
+    ap.add_argument("--queries", help="json file: [{query_id, text, k}, ...]")
+    ap.add_argument("--out", help="results parquet dir")
+    ap.add_argument("--segment-docs", type=int, default=None)
+    ap.add_argument("--demo", action="store_true", help="self-contained local demo")
+    args = ap.parse_args()
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.query.wand import wand_topk
+    from angle_spark.session import get_spark
+
+    spark = get_spark(app_name="angle_spark_build_and_query")
+
+    if args.demo:
+        import tempfile
+
+        from angle_spark.synth import queries_df, transcripts_df
+
+        base = tempfile.mkdtemp(prefix="angle_demo_")
+        args.transcripts = f"{base}/transcripts"
+        args.index = f"{base}/index"
+        args.out = f"{base}/results"
+        transcripts_df(spark, 100, seed=42).write.parquet(args.transcripts)
+        queries = queries_df(spark)
+    else:
+        if not (args.transcripts and args.index and args.queries and args.out):
+            ap.error("--transcripts/--index/--queries/--out required (or --demo)")
+        qrows = json.load(open(args.queries))
+        queries = spark.createDataFrame(
+            [(q["query_id"], q["text"], int(q.get("k", 10))) for q in qrows],
+            schema="query_id string, text string, k int",
+        )
+
+    raw = spark.read.parquet(args.transcripts)
+    docs = with_tokens(assign_doc_ids(raw)).select("doc_id", "tokens", "dl")
+    meta = build_index(spark, docs, args.index, segment_docs=args.segment_docs)
+    print(f"indexed {meta.n_docs} turns (avgdl={meta.avgdl:.2f}) -> {args.index}")
+
+    merged, tstats, meta = load_index(spark, args.index)
+    results = wand_topk(spark, merged, tstats, meta, queries)
+    results.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} result rows -> {args.out}")
+    if args.demo:
+        spark.read.parquet(args.out).orderBy("query_id", "rank").show(12)
+
+
+if __name__ == "__main__":
+    main()
