@@ -418,6 +418,86 @@ def q_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- selective filter + agg (predicate pushdown showcase; TPC-H Q6 shape)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- 3-way join + grouped agg + top-k (TPC-H Q3 shape)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    rev = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(28,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --- sessionization: gap-based sessions via lag window + cumulative sum
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+
+
+# --- pivot (wide aggregation)
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .na.fill(0, ["n_f", "n_o", "n_p"])
+    )
+
+
 # --- text quality scoring (training-data pipeline op; SURVEY extras)
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
@@ -462,6 +542,10 @@ QUERIES = {
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "correlation_eval": q_correlation_eval,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q3": q_tpch_q3,
+    "events_sessionize": q_events_sessionize,
+    "orders_pivot": q_orders_pivot,
 }
 
 # shared oracle fragments for the dedup family
@@ -653,6 +737,53 @@ ORACLE_SQL = {
                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
                  AS simhash
         FROM wsum GROUP BY doc_id
+    """,
+    "tpch_q6": """
+        SELECT sum((l_extendedprice::DECIMAL(18,2)
+                    * l_discount::DECIMAL(18,2))::DECIMAL(28,4))::DOUBLE AS revenue,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "tpch_q3": """
+        WITH rev AS (
+          SELECT l_orderkey, o_orderdate,
+                 sum((l_extendedprice::DECIMAL(18,2)
+                      * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE
+                   AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+          GROUP BY l_orderkey, o_orderdate)
+        SELECT rank, l_orderkey, revenue, o_orderdate FROM (
+          SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+          FROM rev) WHERE rank <= 10
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+               round(sum(value), 6) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "orders_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
+        FROM orders GROUP BY o_orderpriority
     """,
     # doc_fingerprints: intentionally no oracle — an ordered fold over
     # tokens is not expressible in DuckDB SQL; driver records rows-only
