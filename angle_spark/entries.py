@@ -61,7 +61,10 @@ def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstats = term_stats(tf, n_docs)
     out = bm25_topk(tf, tstats, _doc_queries_df(spark), n_docs, avgdl)
     return out.select(
-        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -169,7 +172,7 @@ def q_events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.withColumn("rank", F.row_number().over(w))
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("user_id", "rank", "event_id", "value")
     )
@@ -257,7 +260,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.filter(F.col("vec_id") != 0)
         .select("vec_id", cos.alias("cos_raw"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
     )
@@ -462,7 +465,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("rank", "l_orderkey", "revenue", "o_orderdate")
     )
@@ -699,7 +702,7 @@ ORACLE_SQL = {
           WHERE x.doc_id < y.doc_id
         )
         SELECT doc1, doc2,
-               (sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / {float(_NH)})
+               (sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END)::BIGINT / {float(_NH)})
                  AS est_jaccard
         FROM cand
         JOIN sig s1 ON s1.doc_id = doc1
@@ -772,7 +775,7 @@ ORACLE_SQL = {
         ), s AS (
           SELECT user_id, value,
                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
           FROM g)
         SELECT user_id, session_id, count(*)::BIGINT AS n_events,
                round(sum(value), 6) AS session_value

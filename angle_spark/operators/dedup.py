@@ -229,7 +229,7 @@ def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
     )
     w = Window.orderBy(F.desc("cos_raw"), F.asc("id1"), F.asc("id2"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("rank", "id1", "id2", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -53,9 +53,19 @@ def test_query_matches_oracle(spark, con, name):
     assert len(got) > 0 or name in ("dedup_exact_text",), f"{name}: empty result"
     if sql is None:
         return  # rows-only check (non-SQL-expressible op)
-    want = _normalize(con.execute(sql).df())
+    raw_want = con.execute(sql).df()
+    want = _normalize(raw_want)
     assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
     assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    # dtype KINDS must agree pre-normalization (int vs float vs str) — the
+    # driver's schema record is stricter than value equality
+    raw_got = q(spark, SF_DIR).toPandas()
+    for c in sorted(raw_got.columns):
+        kg = raw_got[c].dtype.kind
+        kw = raw_want[c].dtype.kind
+        assert (kg == kw) or {kg, kw} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {kg} != {kw}"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
 
 
