@@ -7,12 +7,14 @@ rank of the row under the total order (conv_id, turn_idx), dense 0..N-1.
 
 Two implementations:
 
-* ``assign_doc_ids`` — scale path. Range-partition by the sort key, sort
-  within partitions, then a two-pass mapInPandas: pass 1 collects only
-  P partition counts (P ints to the driver — never data), pass 2 adds the
-  cumulative offset. No global window, no single-partition bottleneck,
-  no zipWithIndex/RDD. The partitioned frame is persisted between passes
-  so both see identical partition boundaries (range partitioning samples;
+* ``assign_doc_ids`` — scale path, fully JVM-side. Range-partition by
+  the sort key, sort within partitions, then two passes: pass 1 collects
+  only P partition counts (P ints to the driver — never data), pass 2
+  computes doc_id = offset[partition] + local rank, where the local rank
+  is extracted from monotonically_increasing_id()'s low 33 bits. No
+  global window, no single-partition bottleneck, no Arrow roundtrip, no
+  zipWithIndex/RDD. The partitioned frame is persisted between passes so
+  both see identical partition boundaries (range partitioning samples;
   at 100 TB this intermediate would be a checkpoint table instead).
 
 * ``assign_doc_ids_window`` — semantic spec: a global row_number window.
@@ -22,11 +24,7 @@ Two implementations:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
-from pyspark import StorageLevel, TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,7 +42,7 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         # columnar-cache construction by a wide margin
     )
 
-    # pass 1 stays JVM-side: count per physical partition, no Arrow transfer
+    # pass 1: count per physical partition — JVM-side, no Arrow transfer
     counts = {
         r["pid"]: r["count"]
         for r in parted.groupBy(
@@ -56,23 +54,23 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     for pid in range(num_partitions):
         offsets[pid] = acc
         acc += counts.get(pid, 0)
-    b_offsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", doc_id long"
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        base = b_offsets.value[pid]
-        seen = 0
-        for b in batches:
-            b = b.copy()
-            b["doc_id"] = range(base + seen, base + seen + len(b))
-            seen += len(b)
-            yield b
-
-    return parted.mapInPandas(add_ids, schema=out_schema)
+    # pass 2: also JVM-side. monotonically_increasing_id() is documented
+    # as (partition_id << 33) | row_index_within_partition, assigned in
+    # partition row order — on the persisted, sorted-within-partition
+    # frame that row index IS the local rank, so
+    #   doc_id = offset[partition] + (mono_id & (2^33 - 1))
+    # with the offset looked up from a small literal map. No Arrow pass,
+    # no window, no shuffle.
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in range(num_partitions) for x in (pid, offsets[pid])]
+    )
+    mono = F.monotonically_increasing_id()
+    local = mono.bitwiseAND(F.lit((1 << 33) - 1))
+    pid_col = F.shiftright(mono, 33).cast("int")
+    return parted.withColumn(
+        "doc_id", (offset_map[pid_col] + local).cast("long")
+    )
 
 
 def assign_doc_ids_window(df: DataFrame) -> DataFrame:
