@@ -55,7 +55,10 @@ def _doc_queries_values_sql() -> str:
 def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
     # tf feeds three consumers (corpus stats trigger, term stats, scoring) —
-    # persist so tokenize+explode+groupBy runs once
+    # persist so tokenize+explode+groupBy runs once. The cache is scoped to
+    # the returned DataFrame's lifetime: it is LRU-evictable and sized by
+    # the sf-dir corpus; callers running many entries in one long session
+    # can spark.catalog.clearCache() between them.
     tf = term_frequencies(docs).persist()
     n_docs, avgdl = corpus_stats(docs)
     tstats = term_stats(tf, n_docs)
@@ -237,13 +240,19 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(F.round(F.corr("rx", "ry"), 6).alias("spearman"))
 
 
-# --- F4/F5: cosine top-k against a fixed query vector (brute-force ANN)
+# --- F4/F5: cosine top-k against a fixed query vector (brute-force ANN).
+#     Query side: broadcast 1-row cross join (no driver collect, no extra
+#     job); result side: orderBy+limit (TakeOrderedAndProject — per-
+#     partition heaps), never an unpartitioned window.
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.topk import global_topk
+
     emb = _read(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.zip_with(F.col("embedding"), F.col("qv"), lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -254,16 +263,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    qnrm = float(sum(float(x) * float(x) for x in qvec)) ** 0.5
-    cos = dot / (nrm * F.lit(qnrm))
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    return (
-        emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", cos.alias("cos_raw"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+    qnrm = F.sqrt(
+        F.aggregate(F.transform("qv", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
     )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", (dot / (nrm * qnrm)).alias("cos_raw"))
+    )
+    return global_topk(
+        scored, [F.desc("cos_raw"), F.asc("vec_id")], 10
+    ).select("rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
 
 
 # --- SO2: union + distinct
@@ -277,12 +287,17 @@ def q_union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.union(supp).distinct()
 
 
-# --- P2: multi-value sampling, made deterministic (element_at by key hash)
+# --- P2: multi-value sampling, made deterministic (element_at by key hash).
+#     Zero-token docs (empty/punct-only text) yield NULL — the bare modulo
+#     would be a divide-by-zero under Spark 4 ANSI mode.
 def q_multivalue_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").withColumn("tokens", tokens_col("text"))
     idx = (F.col("doc_id") % F.size("tokens")).cast("int") + F.lit(1)
     return docs.select(
-        "doc_id", F.element_at("tokens", idx).alias("sampled_token")
+        "doc_id",
+        F.when(F.size("tokens") > 0, F.element_at("tokens", idx))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("sampled_token"),
     )
 
 
@@ -320,6 +335,8 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
+    # sig feeds both the band-bucket join and the estimate join; the cache
+    # is LRU-evictable (see q_bm25_topk_documents note on cache scope)
     sig = minhash_signatures(shingles(_doc_tokens(spark, sf_dir))).persist()
     return lsh_candidate_pairs(sig)
 
@@ -463,12 +480,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "l_orderkey", "revenue", "o_orderdate")
-    )
+    from angle_spark.operators.topk import global_topk
+
+    return global_topk(
+        rev, [F.desc("revenue"), F.asc("l_orderkey")], 10
+    ).select("rank", "l_orderkey", "revenue", "o_orderdate")
 
 
 # --- sessionization: gap-based sessions via lag window + cumulative sum
@@ -657,7 +673,10 @@ ORACLE_SQL = {
           UNION ALL SELECT s_nationkey FROM supplier)
     """,
     "multivalue_sample": f"""
-        SELECT doc_id, tokens[(doc_id % len(tokens))::INT + 1] AS sampled_token
+        SELECT doc_id,
+               CASE WHEN len(tokens) > 0
+                    THEN tokens[(doc_id % len(tokens))::INT + 1]
+                    ELSE NULL END AS sampled_token
         FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)
     """,
     "tpch_q1": """

@@ -227,9 +227,10 @@ def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", (dot / (F.col("n1") * F.col("n2"))).alias("cos_raw"))
     )
-    w = Window.orderBy(F.desc("cos_raw"), F.asc("id1"), F.asc("id2"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "id1", "id2", F.round("cos_raw", 6).alias("cosine"))
-    )
+    from angle_spark.operators.topk import global_topk
+
+    # top-k via orderBy+limit (TakeOrderedAndProject), not an unpartitioned
+    # window — the N^2 pair stream reduces to per-partition k-row heaps
+    return global_topk(
+        pairs, [F.desc("cos_raw"), F.asc("id1"), F.asc("id2")], k
+    ).select("rank", "id1", "id2", F.round("cos_raw", 6).alias("cosine"))

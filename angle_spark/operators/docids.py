@@ -28,9 +28,22 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Spark versions whose monotonically_increasing_id layout has been probed
+# in this process — the (pid << 33) | local_rank contract is documented
+# behavior but still an implementation detail; validate once per version
+# so a silent layout change in a future Spark fails LOUDLY, not silently.
+_LAYOUT_VALIDATED: set[str] = set()
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add ``doc_id`` = dense rank over (conv_id, turn_idx). Scalable."""
+
+def assign_doc_ids(
+    df: DataFrame, num_partitions: int | None = None, validate: bool | str = "auto"
+) -> DataFrame:
+    """Add ``doc_id`` = dense rank over (conv_id, turn_idx). Scalable.
+
+    validate: "auto" (default) runs a one-job invariant probe — dense ids
+    0..N-1, all distinct — the FIRST time each Spark version is seen in
+    this process; True forces it, False skips (the probe is one agg over
+    the persisted frame, cheap but not free)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -68,9 +81,27 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     mono = F.monotonically_increasing_id()
     local = mono.bitwiseAND(F.lit((1 << 33) - 1))
     pid_col = F.shiftright(mono, 33).cast("int")
-    return parted.withColumn(
+    result = parted.withColumn(
         "doc_id", (offset_map[pid_col] + local).cast("long")
     )
+
+    if validate == "auto":
+        validate = spark.version not in _LAYOUT_VALIDATED
+    if validate:
+        probe = result.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("doc_id").alias("mx"),
+            F.count_distinct("doc_id").alias("nd"),
+        ).first()
+        n = probe["n"]
+        if n and (probe["mx"] != n - 1 or probe["nd"] != n):
+            raise RuntimeError(
+                "monotonically_increasing_id layout drift: doc_ids not dense "
+                f"0..N-1 (n={n}, max={probe['mx']}, distinct={probe['nd']}) — "
+                "Spark changed the (pid << 33) | local_rank contract"
+            )
+        _LAYOUT_VALIDATED.add(spark.version)
+    return result
 
 
 def assign_doc_ids_window(df: DataFrame) -> DataFrame:

@@ -58,6 +58,11 @@ def append_micro_batch(
     n_new = docs.count()
     if n_new == 0:
         return high_water_doc
+    # NOTE: blocks built here encode max_impact with the BUILD-TIME
+    # meta.avgdl, which drifts as the stream appends — the stored
+    # max_impact column is ADVISORY across batch/streamed segments and the
+    # query side (query/wand.py) recomputes bounds from (max_tf, min_dl)
+    # with the current avgdl; never prune on the stored column directly.
     blocks = build_segments(docs, meta.avgdl, meta.segment_docs, meta.block_size)
     (
         blocks.write.mode("append")

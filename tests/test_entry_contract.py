@@ -72,5 +72,5 @@ def test_query_matches_oracle(spark, con, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # the driver's smoke gate requires rows
     assert {"query_id", "rank", "doc_id", "score"} <= set(df.columns)
