@@ -39,6 +39,27 @@ SHARD_SEGMENTS = None  # auto: ~4 shards per core (see wand_topk)
 _OUT_SCHEMA = "query_id string, doc_id long, score double"
 
 
+def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
+    """(term, df) rows for exactly the given terms — never the vocabulary.
+
+    At 100 TB the vocabulary (ids, typos, hashes) is billions of terms; a
+    full ``tstats.toPandas()`` OOMs the driver before the first query
+    runs. The default path filters term_stats to the query-term set IN
+    SPARK (predicate pushed to the parquet scan — the term column is the
+    sort key of the term_stats layout) and collects only the matched rows:
+    |terms ∩ vocab| rows, bounded by the query batch, never by the corpus.
+
+    Passing a pandas DataFrame instead is the explicit OPT-IN fast path
+    for served deployments with a bounded vocabulary that cache term
+    stats driver-side (e.g. bench serving loops); the filter then runs
+    in pandas."""
+    if isinstance(tstats, pd.DataFrame):
+        return tstats[tstats["term"].isin(terms)][["term", "df"]]
+    return (
+        tstats.filter(F.col("term").isin(terms)).select("term", "df").toPandas()
+    )
+
+
 def _topk_arrays(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     if len(doc_ids) > k:
         sel = np.lexsort((doc_ids, -scores))[:k]
@@ -190,28 +211,32 @@ def wand_topk(
     arrays; a final per-query window merges shard-local top-ks.
 
     Query-side prep is pure driver Python — tokenization uses the same
-    shared tokenizer module, df/idf comes from the term-stats table
-    (pass ``tstats`` as a pandas DataFrame to serve many query batches
-    with ZERO per-call Spark jobs; a Spark DataFrame also works and is
-    converted once).
+    shared tokenizer module; df/idf comes from term_stats SEMI-JOINED
+    against the query-term set (only |query terms ∩ vocab| rows ever
+    reach the driver — see query_term_stats; pass ``tstats`` as a pandas
+    DataFrame as an explicit opt-in to serve many query batches from a
+    bounded cached vocabulary with zero per-call Spark jobs).
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     from angle_spark.functions.tokenizer import tokenize_py
 
     qpdf = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
-    ts_pdf = tstats if isinstance(tstats, pd.DataFrame) else tstats.toPandas()
+    tokenized = [
+        (q.query_id, int(q.k), sorted(set(tokenize_py(q.text))))
+        for q in qpdf.itertuples(index=False)
+    ]
+    all_terms = sorted({t for _, _, ts in tokenized for t in ts})
+    ts_pdf = query_term_stats(tstats, all_terms)
     df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
 
     rows = []
-    for q in qpdf.itertuples(index=False):
-        terms = sorted(
-            t for t in set(tokenize_py(q.text)) if t in df_map
-        )
+    for query_id, k, qterms in tokenized:
+        terms = [t for t in qterms if t in df_map]
         if terms:
             rows.append(
                 (
-                    q.query_id,
-                    int(q.k),
+                    query_id,
+                    k,
                     terms,
                     [idf_value(meta.n_docs, int(df_map[t])) for t in terms],
                 )

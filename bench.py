@@ -163,13 +163,16 @@ def run_scale_leg(cpus: int) -> dict:
     merged, tstats, meta = load_index(spark, out_dir)
     merged = merged.persist()
     merged.count()  # a serving deployment reads from a loaded index
-    tstats_pdf = tstats.toPandas()  # term->df lookup cached driver-side
+    # term stats stay DISTRIBUTED: wand_topk semi-joins them against the
+    # query-term set per batch (the scale path — the full vocabulary never
+    # reaches the driver). The cached-pandas opt-in exists for bounded-
+    # vocab serving but is deliberately NOT what the scaling bench times.
     n_queries = 400
     queries = bench_queries_pdf(n_queries)
     query_secs = []
     for _ in range(3):
         t0 = time.monotonic()
-        wand_topk(spark, merged, tstats_pdf, meta, queries).count()
+        wand_topk(spark, merged, tstats, meta, queries).count()
         query_secs.append(time.monotonic() - t0)
     merged.unpersist()
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -117,6 +117,36 @@ def test_wand_matches_oracle(spark, index_dir, oracle):
         assert g == w  # exact float64
 
 
+def test_query_term_stats_collects_only_query_terms(spark, index_dir, oracle):
+    """the driver must receive |query terms ∩ vocab| rows, NEVER the
+    vocabulary (round-1 verdict: full tstats.toPandas() OOMs at scale)."""
+    from angle_spark.functions.tokenizer import tokenize_py
+    from angle_spark.query.wand import query_term_stats
+
+    merged, tstats, meta = load_index(spark, index_dir)
+    qterms = sorted(
+        {t for text in queries_pdf()["text"] for t in set(tokenize_py(text))}
+    )
+    got = query_term_stats(tstats, qterms)
+    expected = {t for t in qterms if t in oracle.df}
+    assert set(got["term"]) == expected
+    assert len(got) == len(expected) < tstats.count()
+
+    # the pandas opt-in path filters to the same rows, and both paths give
+    # identical query results
+    got_pdf = query_term_stats(tstats.toPandas(), qterms)
+    assert sorted(got_pdf["term"]) == sorted(got["term"])
+    a = (
+        wand_topk(spark, merged, tstats, meta, queries_df(spark))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        wand_topk(spark, merged, tstats.toPandas(), meta, queries_df(spark))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_wand_prune_equals_exhaustive(spark, index_dir):
     merged, tstats, meta = load_index(spark, index_dir)
     a = (
