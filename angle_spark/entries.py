@@ -225,19 +225,14 @@ def q_paired_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- W2/F8: Spearman via average-rank window + Pearson corr aggregate
+# --- W2/F8: Spearman over the fact table via DISTRIBUTED average-tie
+#     ranks (operators/ranks.py — range-partition + offset, no global
+#     single-partition rank window; round-1 verdict item 5)
 def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.ranks import spearman
+
     li = _read(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
-    rx = (
-        F.rank().over(Window.orderBy("l_quantity"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("l_quantity")) - 1) / 2.0
-    )
-    ry = (
-        F.rank().over(Window.orderBy("l_extendedprice"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice")) - 1) / 2.0
-    )
-    ranked = li.select(rx.alias("rx"), ry.alias("ry"))
-    return ranked.agg(F.round(F.corr("rx", "ry"), 6).alias("spearman"))
+    return spearman(li, "l_quantity", "l_extendedprice", alias="spearman")
 
 
 # --- F4/F5: cosine top-k against a fixed query vector (brute-force ANN).
@@ -423,15 +418,11 @@ def q_correlation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dot / (nrm1 * nrm2)).alias("cosine"),
         (F.col("l1") == F.col("l2")).cast("double").alias("label"),
     )
-    rx = (
-        F.rank().over(Window.orderBy("cosine"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("cosine")) - 1) / 2.0
-    )
-    ry = (
-        F.rank().over(Window.orderBy("label"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("label")) - 1) / 2.0
-    )
-    ranked = pairs.select("cosine", "label", rx.alias("rx"), ry.alias("ry"))
+    # distributed average-tie ranks (operators/ranks.py): exact half-
+    # integer arithmetic, so values match the oracle's rank window bitwise
+    from angle_spark.operators.ranks import with_avg_rank
+
+    ranked = with_avg_rank(with_avg_rank(pairs, "cosine", "rx"), "label", "ry")
     return ranked.agg(
         F.round(F.corr("cosine", "label"), 6).alias("pearson_cosine"),
         F.round(F.corr("rx", "ry"), 6).alias("spearman_cosine"),

@@ -69,6 +69,12 @@ def pool_max(states: Column, mask: Column) -> Column:
     )
 
 
+def pool_sum(states: Column, mask: Column) -> Column:
+    """elementwise sum over unmasked positions (SURVEY §2.4 A4)."""
+    kept = F.transform(_masked(states, mask), lambda x: x["s"])
+    return _elementwise_sum(kept)
+
+
 def pool_cls_avg(states: Column, mask: Column) -> Column:
     return F.zip_with(
         pool_cls(states, mask), pool_avg(states, mask), lambda a, b: (a + b) / 2.0
@@ -99,6 +105,7 @@ POOLERS = {
     "avg": pool_avg,
     "mean": pool_avg,
     "max": pool_max,
+    "sum": pool_sum,
     "cls_avg": pool_cls_avg,
 }
 

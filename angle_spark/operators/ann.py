@@ -78,15 +78,15 @@ def brute_force_topk(
     )
 
 
-def rhp_signature_col(vec: Column, planes: np.ndarray) -> Column:
+def rhp_signature_col(vec: Column, planes: np.ndarray, band_bits: int = BAND_BITS) -> Column:
     """sign-bit signature of a vector column against fixed hyperplanes,
-    as one integer per band (BAND_BITS bits each)."""
+    as one integer per band (band_bits bits each)."""
     bands = []
-    n_bands = planes.shape[0] // BAND_BITS
+    n_bands = planes.shape[0] // band_bits
     for band in range(n_bands):
         acc = F.lit(0)
-        for j in range(BAND_BITS):
-            p = planes[band * BAND_BITS + j]
+        for j in range(band_bits):
+            p = planes[band * band_bits + j]
             plane_lit = F.array(*[F.lit(float(x)) for x in p])
             bit = (_dot(vec, plane_lit) > 0).cast("int")
             acc = acc * 2 + bit
@@ -100,6 +100,8 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     seed: int = 1234,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """Banded random-hyperplane LSH: candidates = vectors sharing at least
     one band value with the query; exact cosine rescore of candidates.
@@ -107,22 +109,27 @@ def lsh_topk(
     Scale shape: signatures are computed in one pass over the corpus
     (write-once at ingest in a real pipeline), the candidate join is an
     equi-join on (band_idx, band_val) — no cross product, no shuffle of
-    the full corpus per query."""
-    planes = _hyperplanes(dim, seed=seed)
+    the full corpus per query.
+
+    n_planes/band_bits tune the recall/candidate-count tradeoff: more
+    bands (n_planes/band_bits) raise recall; more bits per band shrink
+    buckets. The driver-contract entry uses 16 planes x 2-bit bands (8
+    bands) — recall-gated >= 0.9 vs brute force in tests/test_ann.py."""
+    planes = _hyperplanes(dim, n_planes=n_planes, seed=seed)
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    e_sig = e.withColumn("sig", rhp_signature_col(F.col("v"), planes)).select(
-        "vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val")
-    )
+    e_sig = e.withColumn(
+        "sig", rhp_signature_col(F.col("v"), planes, band_bits)
+    ).select("vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val"))
     q = queries.select(
         "query_id",
         F.transform("qvec", lambda x: x.cast("double")).alias("qv"),
     )
-    q_sig = q.withColumn("sig", rhp_signature_col(F.col("qv"), planes)).select(
-        "query_id", "qv", F.posexplode("sig").alias("band_idx", "band_val")
-    )
+    q_sig = q.withColumn(
+        "sig", rhp_signature_col(F.col("qv"), planes, band_bits)
+    ).select("query_id", "qv", F.posexplode("sig").alias("band_idx", "band_val"))
     cand = (
         e_sig.join(F.broadcast(q_sig), ["band_idx", "band_val"])
         .select("query_id", "qv", "vec_id", "v")

@@ -14,7 +14,7 @@ on average ranks, computed with rank + count windows (SURVEY.md §2.5 W2).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -68,29 +68,20 @@ def paired_similarities(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _avg_rank(col: str) -> Column:
-    """average-tie rank (matches scipy.stats.rankdata 'average')."""
-    return (
-        F.rank().over(Window.orderBy(col))
-        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / 2.0
-    )
-
-
 def correlation_report(sims: DataFrame) -> dict[str, float]:
     """-> {metric_sim: pearson, metric_spearman: spearman} for the four
     similarity columns vs label — the reference's output dict shape.
 
-    The rank windows are unpartitioned (global sort): evaluation sets are
-    benchmark-sized (the reference evaluates STS splits of ~1-10k pairs,
-    evaluation.py:41-50), so this is a deliberate small-data operator —
-    don't point it at a corpus-sized table."""
+    Ranks come from operators/ranks.py (range-partition + offset average-
+    tie ranks): no single-partition window, so this works on corpus-sized
+    tables as well as the reference's STS-sized eval splits
+    (evaluation.py:41-50)."""
+    from angle_spark.operators.ranks import with_avg_rank
+
     metrics = ["cosine", "dot", "neg_manhattan", "neg_euclidean"]
-    ranked = sims.select(
-        "label",
-        *metrics,
-        _avg_rank("label").alias("r_label"),
-        *[_avg_rank(m).alias(f"r_{m}") for m in metrics],
-    )
+    ranked = with_avg_rank(sims.select("label", *metrics), "label", "r_label")
+    for m in metrics:
+        ranked = with_avg_rank(ranked, m, f"r_{m}")
     aggs = []
     for m in metrics:
         aggs.append(F.corr(m, "label").alias(f"pearson_{m}"))

@@ -1,0 +1,95 @@
+"""Distributed average-tie ranks (Spearman building block) — no global
+single-partition window.
+
+The spec rank (scipy.stats.rankdata 'average', the reference's Spearman
+input — reference angle_emb/evaluation.py:60-70) is
+
+    avg_rank(v) = |{x : x < v}| + (ties(v) + 1) / 2
+
+Round 1 computed it with an UNPARTITIONED rank window — a full-table sort
+into one task. The scale shape here generalizes the two-pass
+range-partition trick of operators/docids.py to value ranks:
+
+  1. groupBy(value) -> (value, cnt)               one shuffle, |distinct| rows
+  2. repartitionByRange(value): equal values land in ONE partition, and
+     partitions hold disjoint ascending value ranges
+  3. pass 1: per-partition sum(cnt) -> P ints to the driver -> offsets
+     (the count of rows in all lower-valued partitions)
+  4. pass 2: running sum(cnt) via a window PARTITIONED by the range
+     bucket (parallel — each bucket is one ordinary window partition),
+     so |{x : x < v}| = offset[bucket] + running_cnt - cnt
+
+Arithmetic is integer + a half — exact in float64, so ranks (and any
+correlation built on them) are bit-stable at any partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def avg_rank_table(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
+    """-> (col, avg_rank) distinct-value rank table, scalably.
+
+    Join it back on ``col`` to rank rows (the table is |distinct values|
+    rows — usually broadcastable; Spark/AQE picks the join strategy)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    vals = df.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+    parted = (
+        vals.repartitionByRange(num_partitions, col)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()  # pass 1 and pass 2 must see identical bucket ids
+    )
+    try:
+        counts = {
+            r["_bucket"]: r["rows"]
+            for r in parted.groupBy("_bucket").agg(F.sum("_cnt").alias("rows")).collect()
+        }
+        offsets, acc = {}, 0
+        for b in range(num_partitions):
+            offsets[b] = acc
+            acc += counts.get(b, 0)
+        offset_map = F.create_map(
+            *[F.lit(x) for b in range(num_partitions) for x in (b, offsets[b])]
+        )
+        w = (
+            Window.partitionBy("_bucket")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        less = offset_map[F.col("_bucket")] + F.sum("_cnt").over(w) - F.col("_cnt")
+        out = parted.select(
+            col,
+            (less + (F.col("_cnt") + 1) / 2.0).alias("avg_rank"),
+        )
+        # materialization point is the caller's; the persist backing the
+        # two passes stays until evicted (bounded: |distinct| rows)
+        return out
+    except Exception:
+        parted.unpersist()
+        raise
+
+
+def with_avg_rank(df: DataFrame, col: str, out: str, num_partitions: int | None = None) -> DataFrame:
+    """append ``out`` = average-tie rank of ``col`` via a value join."""
+    ranks = avg_rank_table(df, col, num_partitions).withColumnRenamed("avg_rank", out)
+    return df.join(ranks, col)
+
+
+def spearman(df: DataFrame, col_x: str, col_y: str, alias: str = "spearman") -> DataFrame:
+    """1-row DataFrame: Spearman rank correlation of two columns, built
+    from distributed average-tie ranks (Pearson corr over the ranks)."""
+    ranked = with_avg_rank(with_avg_rank(df, col_x, "_rx"), col_y, "_ry")
+    return ranked.agg(F.round(F.corr("_rx", "_ry"), 6).alias(alias))
+
+
+def avg_rank_window_spec(col: str) -> Column:
+    """single-partition window spec (test cross-check only — NOT scalable)."""
+    return (
+        F.rank().over(Window.orderBy(col))
+        + (F.count(F.lit(1)).over(Window.partitionBy(col)) - 1) / 2.0
+    )

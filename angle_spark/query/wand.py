@@ -13,13 +13,17 @@ Distributed shape (classic shard-and-merge search architecture):
 Inside a shard the whole query batch is evaluated against local blocks:
 decode + (tf, denom) arrays are memoized per block across queries;
 scoring is an O(postings) dense accumulator over the shard's docID span
-(no sort), folding terms in ascending order — bit-identical to the
-Python oracle's float64 fold. Block-max pruning (prune=True) uses the
-per-block bound idf*impact(max_tf, min_dl), which needs NO decode:
-single-term queries walk blocks in descending bound order and stop when
-bound < θ (exact — a strictly-worse block cannot enter the top-k even by
-tie-break). Shadow tests assert prune == exhaustive == declarative ==
-oracle (SURVEY.md §7 step 8).
+(no sort) whose output is bit-identical to the Python oracle's
+ascending-term float64 fold. Pruning (prune=True) uses per-block bounds
+idf*impact(max_tf, min_dl) recomputed with the current avgdl — NO decode
+needed: single-term queries walk blocks in descending bound order and
+stop when bound < θ (exact — a strictly-worse block cannot enter the
+top-k even by tie-break); multi-term queries run MaxScore over the same
+bounds (descending-bound term order, per-block skip when range-max(acc)
++ bound + remaining-bounds < θ, winners re-folded ascending — see
+_score_shard_multi). Shadow tests assert prune == exhaustive ==
+declarative == oracle (SURVEY.md §7 step 8) and that pruning actually
+skips decodes (tests/test_index_build.py).
 """
 
 from __future__ import annotations
@@ -67,6 +71,118 @@ def _topk_arrays(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids, scores
 
 
+def _block_bounds(g: pd.DataFrame, idf: float, avgdl: float) -> np.ndarray:
+    """per-block BM25 upper bounds from (max_tf, min_dl) with the CURRENT
+    avgdl — never from the stored (advisory) max_impact column."""
+    mt = g["max_tf"].to_numpy(dtype=np.float64)
+    md = g["min_dl"].to_numpy(dtype=np.float64)
+    return idf * mt * (K1 + 1.0) / (mt + K1 * (1.0 - B + B * md / avgdl))
+
+
+def _range_max(acc: np.ndarray, firsts: np.ndarray, lasts: np.ndarray) -> np.ndarray:
+    """max(acc[f:l+1]) per disjoint ascending range, one reduceat pass."""
+    idx = np.empty(2 * len(firsts), dtype=np.int64)
+    idx[0::2] = firsts
+    idx[1::2] = lasts + 1
+    if idx[-1] >= len(acc):  # reduceat's final slice runs to the end anyway
+        idx = idx[:-1]
+    return np.maximum.reduceat(acc, idx)[0::2]
+
+
+def _maxscore_multi(
+    present, by_term, decode, term_arrays, acc, base, avgdl, k, term_heat, bounds_cache
+):
+    """MaxScore fold (see _score_shard_multi docstring): descending-bound
+    term order with per-block skipping, then an ascending-term re-fold of
+    the selected top-k so output bits match the exhaustive path.
+
+    Adaptive regime switch via ``term_heat`` (per-task touch counts):
+    block skipping pays when decode dominates — a term's FIRST touch in
+    this task. Once a term is warm its decode is amortized across the
+    query batch by the shared caches, and the cached full-term accumulate
+    is faster than bound-pass + partial concat (measured both ways on the
+    2M-turn index; unconditional skipping regressed the 400-query batch
+    ~25%). theta maintenance (an O(postings) partition per term) is also
+    skipped when no LATER term is cold — a theta nothing will consume is
+    pure overhead. Keeping extra blocks never changes results: skips are
+    an optimization, exactness never depends on them."""
+    ordered = []
+    for term, idf in present:
+        ub_hit = bounds_cache.get(term)
+        if ub_hit is None:
+            ubs = _block_bounds(by_term[term], idf, avgdl)
+            ub_hit = (ubs, float(ubs.max()))
+            bounds_cache[term] = ub_hit
+        ordered.append((ub_hit[1], term, idf, ub_hit[0]))
+    ordered.sort(key=lambda x: (-x[0], x[1]))
+    remaining = sum(t[0] for t in ordered)
+
+    cold = [term_heat.get(term, 0) < 1 for _, term, _, _ in ordered]
+    # does any term AFTER position i still want a theta?
+    later_cold = np.cumsum(cold[::-1])[::-1]
+
+    theta = -np.inf
+    idx_parts: list[np.ndarray] = []
+    kept_arrays: dict[str, tuple] = {}
+    for i, (ubt, term, idf, ubs) in enumerate(ordered):
+        remaining -= ubt  # R: bounds of terms still unfolded after this one
+        g = by_term[term]
+        term_heat[term] = term_heat.get(term, 0) + 1
+        if cold[i] and theta > -np.inf:
+            firsts = g["first_doc"].to_numpy(dtype=np.int64) - base
+            lasts = g["last_doc"].to_numpy(dtype=np.int64) - base
+            keep = _range_max(acc, firsts, lasts) + ubs + remaining >= theta
+        else:
+            keep = np.ones(len(ubs), dtype=bool)
+
+        if keep.all():
+            d, tf, denom = term_arrays(term)  # cached across queries
+        elif not keep.any():
+            continue
+        else:
+            parts = [
+                decode(row)
+                for krow, row in zip(keep, g.itertuples(index=False), strict=False)
+                if krow
+            ]
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            denom = np.concatenate([p[2] for p in parts])
+        kept_arrays[term] = (d, tf, denom)
+        li = d - base
+        acc[li] += idf * tf * (K1 + 1.0) / denom
+        idx_parts.append(li)
+        # theta: ANY lower bound of the true kth-largest keeps skips exact.
+        # kth-largest over just this term's (updated) accumulator cells is
+        # one O(postings) partition — no running union of the touched set.
+        # Only maintained while a later cold term can still consume it.
+        if len(li) >= k and i + 1 < len(ordered) and later_cold[i + 1]:
+            cand = np.partition(acc[li], -k)[-k]
+            if cand > theta:
+                theta = cand
+
+    if not idx_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    hit = np.unique(np.concatenate(idx_parts))
+    doc_ids = hit + base
+    scores = acc[hit].copy()
+    acc[hit] = 0.0
+    doc_ids, scores = _topk_arrays(doc_ids, scores, k)
+
+    # re-fold winners in ascending term order (winners provably had no
+    # skipped block, so kept_arrays hold their full postings)
+    exact = np.zeros(len(doc_ids), dtype=np.float64)
+    for term, idf in present:
+        hit = kept_arrays.get(term)
+        if hit is None:
+            continue
+        d, tf, denom = hit  # doc-ascending (blocks sorted by first_doc)
+        pos = np.searchsorted(d, doc_ids)
+        ok = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == doc_ids)
+        exact[ok] += idf * tf[pos[ok]] * (K1 + 1.0) / denom[pos[ok]]
+    return doc_ids, exact
+
+
 def _score_shard_multi(
     pdf: pd.DataFrame, qt: pd.DataFrame, avgdl: float, prune: bool
 ) -> pd.DataFrame:
@@ -83,13 +199,37 @@ def _score_shard_multi(
     Python oracle.
 
     Block-max WAND (prune=True): per-block upper bound
-    idf * impact(max_tf, min_dl) needs NO decode. Single-term queries
-    walk blocks in descending bound order and stop decoding as soon as
-    bound < theta (current kth score) — strictly-worse blocks can't enter
-    the top-k even via tie-break. Multi-term queries evaluate fully
-    (exactness requires every term's contribution for every candidate)."""
+    idf * impact(max_tf, min_dl) needs NO decode (recomputed with the
+    CURRENT avgdl — the stored max_impact is advisory, see index/spimi.py).
+    Single-term queries walk blocks in descending bound order and stop
+    decoding as soon as bound < theta (current kth score).
+
+    Multi-term queries use MaxScore over the block bounds (Turtle & Flood
+    style, term-at-a-time): terms are folded in DESCENDING per-term bound
+    order (rare/high-idf terms first, so theta rises before the stopword
+    lists arrive); before decoding term t, with R = sum of bounds of the
+    terms still unfolded after t, a block b is skipped iff
+
+        max(acc over b's doc range) + bound(t, b) + R  <  theta
+
+    — any doc in the block, even the currently-best one, would still fall
+    short of the current kth score, so the block can contain neither a new
+    top-k member nor one whose exact score matters (a doc with a skipped
+    posting is provably below theta_final and thus never output, and ties
+    are safe because the skip test is strict). The range max is one
+    np.maximum.reduceat over the accumulator (no decode); decoded blocks
+    stay cached across queries. Final scores of the selected top-k are
+    RE-FOLDED in ascending term order, so output bits match the exhaustive
+    path and the Python oracle exactly. (Caveat, documented: selection
+    order inside the prune path folds descending; two distinct addend sets
+    that are bitwise-equal summed ascending but unequal summed descending
+    could in principle flip a boundary tie — no such pair can arise from
+    equal (tf, dl) profiles, which fold identically in any shared order.)"""
     by_term: dict[str, pd.DataFrame] = {
-        t: g for t, g in pdf.groupby("term", sort=False)
+        # sorted by first_doc: per-term concatenated posting arrays are
+        # then doc-ascending (disjoint block ranges), which the MaxScore
+        # winner re-fold's searchsorted relies on
+        t: g.sort_values("first_doc") for t, g in pdf.groupby("term", sort=False)
     }
     base = int(pdf["first_doc"].min())
     span = int(pdf["last_doc"].max()) - base + 1
@@ -129,6 +269,8 @@ def _score_shard_multi(
         return hit
 
     acc = np.zeros(span, dtype=np.float64)
+    term_heat: dict[str, int] = {}  # per-task touch counts (regime switch)
+    bounds_cache: dict[str, tuple] = {}  # term -> (block bounds, max bound)
 
     out_q, out_d, out_s = [], [], []
     for q in qt.itertuples(index=False):
@@ -164,11 +306,21 @@ def _score_shard_multi(
                     theta = np.partition(np.concatenate(score_parts), -k)[-k]
             doc_ids = np.concatenate(doc_parts)
             scores = np.concatenate(score_parts)
+        elif prune and any(term_heat.get(t, 0) < 1 for t, _ in present):
+            # a cold term exists -> decode still dominates: MaxScore
+            doc_ids, scores = _maxscore_multi(
+                present, by_term, decode, term_arrays, acc, base, avgdl, k,
+                term_heat, bounds_cache,
+            )
         else:
-            # exact multi-term: dense accumulate in ascending term order
+            # exhaustive multi-term (prune=False, or every term warm — the
+            # batch regime, where cached full-term accumulate beats any
+            # bound pass): dense accumulate in ascending term order, output
+            # IS the oracle fold, no rescore needed
             idx_parts = []
             for term, idf in present:
                 d, tf, denom = term_arrays(term)
+                term_heat[term] = term_heat.get(term, 0) + 1
                 li = d - base
                 acc[li] += idf * tf * (K1 + 1.0) / denom
                 idx_parts.append(li)

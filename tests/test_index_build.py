@@ -164,6 +164,45 @@ def test_wand_prune_equals_exhaustive(spark, index_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_multiterm_prune_skips_decodes_and_matches(spark, index_dir, oracle):
+    """MaxScore must (a) return bit-identical frames to the exhaustive
+    fold and (b) actually skip block decodes for a rare+stopword query."""
+    import angle_spark.query.wand as wand_mod
+
+    merged = spark.read.parquet(os.path.join(index_dir, "merged")).toPandas()
+    for col in ("docs_bin", "tfs_bin", "dls_bin"):
+        merged[col] = merged[col].map(bytes)
+    k = 3
+    rare = sorted((df, t) for t, df in oracle.df.items() if df >= k)[0][1]
+    common = max(oracle.df.items(), key=lambda kv: kv[1])[0]
+    terms = sorted([rare, common])
+    qt = pd.DataFrame(
+        [("q1", k, terms, [oracle.idf(t) for t in terms])],
+        columns=["query_id", "k", "terms", "idfs"],
+    )
+
+    calls = {"n": 0}
+    real = wand_mod.decode_doc_deltas
+    wand_mod.decode_doc_deltas = lambda b: (calls.__setitem__("n", calls["n"] + 1), real(b))[1]
+    try:
+        full = wand_mod._score_shard_multi(merged, qt, oracle.avgdl, prune=False)
+        n_full = calls["n"]
+        calls["n"] = 0
+        pruned = wand_mod._score_shard_multi(merged, qt, oracle.avgdl, prune=True)
+        n_pruned = calls["n"]
+    finally:
+        wand_mod.decode_doc_deltas = real
+    pd.testing.assert_frame_equal(
+        full.sort_values("doc_id").reset_index(drop=True),
+        pruned.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert n_pruned < n_full, f"no decode skipped: {n_pruned} vs {n_full}"
+    # sanity: the top hit scores exactly as the oracle says
+    golden = dict(oracle.score_query(" ".join(terms), k))
+    for _, r in pruned.iterrows():
+        assert golden[r["doc_id"]] == r["score"]
+
+
 def test_wand_matches_declarative(spark, index_dir, docs):
     merged, tstats_idx, meta = load_index(spark, index_dir)
     tf = term_frequencies(docs)
