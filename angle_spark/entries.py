@@ -525,6 +525,182 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pooling / vector-math / PCA / ANN driver entries (round-2: every §2
+# operator family gets a green oracle row, VERDICT task 4/6).
+# ---------------------------------------------------------------------------
+
+
+# --- A1-A4, A5(cls_avg), W pooling registry over [L, D] state sequences
+#     (reference angle_emb/utils.py:58-99). States are built
+#     deterministically from the embeddings table: groups of 4 consecutive
+#     vec_ids (sorted), mask drops position group_id % 4 (so masked
+#     position varies per group and 3 of 4 states are kept). Pooled
+#     vectors are exploded to (group_id, pos, value) scalar rows so the
+#     hash compare never depends on array stringification.
+def q_pooling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.pooling import (
+        pool_avg,
+        pool_cls,
+        pool_cls_avg,
+        pool_last,
+        pool_max,
+        pool_sum,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    g = (
+        emb.withColumn("group_id", (F.col("vec_id") / 4).cast("long"))
+        .groupBy("group_id")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("items"))
+        .filter(F.size("items") == 4)
+    )
+    states = F.transform(F.col("items"), lambda s: s["embedding"])
+    mask = F.transform(
+        F.col("items"),
+        lambda s: F.when((s["vec_id"] % 4) == (F.col("group_id") % 4), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    pooled = g.select(
+        "group_id",
+        pool_avg(states, mask).alias("pa"),
+        pool_max(states, mask).alias("pm"),
+        pool_sum(states, mask).alias("psum"),
+        pool_cls(states, mask).alias("pc"),
+        pool_last(states, mask).alias("pl"),
+        pool_cls_avg(states, mask).alias("pca"),
+    )
+    ex = pooled.select(
+        "group_id", "pm", "psum", "pc", "pl", "pca", F.posexplode("pa").alias("pos", "avg_raw")
+    )
+    at = lambda c: F.get(F.col(c), F.col("pos"))  # noqa: E731
+    return ex.select(
+        "group_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("avg_raw", 6).alias("avg_val"),
+        F.round(at("pm"), 6).alias("max_val"),
+        F.round(at("psum"), 6).alias("sum_val"),
+        F.round(at("pc"), 6).alias("cls_val"),
+        F.round(at("pl"), 6).alias("last_val"),
+        F.round(at("pca"), 6).alias("clsavg_val"),
+    )
+
+
+# --- P8/P9: L2-normalize then Matryoshka prefix slice
+#     (reference angle.py:1251-1252, 299-313)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.pooling import embedding_slice, l2_normalize
+
+    emb = _read(spark, sf_dir, "embeddings")
+    sliced = embedding_slice(l2_normalize(F.col("embedding")), 0, 8)
+    return emb.select("vec_id", F.posexplode(sliced).alias("pos", "raw")).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("raw", 6).alias("nval"),
+    )
+
+
+# --- F6 + F4/F5: the reference CorrelationEvaluator's four similarity
+#     kernels via operators/evaluate.paired_similarities
+#     (reference evaluation.py:55-58)
+def q_vector_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.evaluate import paired_similarities
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n_pairs = 250
+    a = emb.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("vec1"),
+        F.col("label").alias("l1"),
+    )
+    b = emb.filter((F.col("vec_id") >= n_pairs) & (F.col("vec_id") < 2 * n_pairs)).select(
+        (F.col("vec_id") - n_pairs).alias("pair_id"),
+        F.col("embedding").alias("vec2"),
+        F.col("label").alias("l2"),
+    )
+    pairs = a.join(b, "pair_id").withColumn(
+        "label", (F.col("l1") == F.col("l2")).cast("double")
+    )
+    sims = paired_similarities(pairs)
+    return sims.select(
+        "pair_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("dot", 6).alias("dot"),
+        F.round("neg_manhattan", 6).alias("neg_manhattan"),
+        F.round("neg_euclidean", 6).alias("neg_euclidean"),
+    )
+
+
+# --- F9/F10/A6: softmax + logsumexp kernels (reference loss.py:40-44)
+def q_softmax_lse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.vector_math import logsumexp, softmax
+
+    emb = _read(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        logsumexp(F.col("embedding")).alias("lse_raw"),
+        F.posexplode(softmax(F.col("embedding"))).alias("pos", "sm_raw"),
+    )
+    return ex.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("sm_raw", 6).alias("softmax_val"),
+        F.round("lse_raw", 6).alias("lse"),
+    )
+
+
+# --- A10: PCA's distributed stage — the D x D population covariance via
+#     mapInPandas gram/sum partials (reference ESE pca_compress,
+#     angle.py:465-478). The eigendecomposition after it is D x D
+#     driver-local linalg (not SQL-expressible), covered by pytest.
+def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.pca import covariance_stats
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cov, _ = covariance_stats(emb)
+    d = cov.shape[0]
+    rows = [(i, j, round(float(cov[i, j]), 6)) for i in range(d) for j in range(d)]
+    return spark.createDataFrame(rows, schema="i long, j long, cov double")
+
+
+# --- ANN: banded random-hyperplane LSH with exact cosine rescore
+#     (operators/ann.py; scale path for the reference's dense retrieval,
+#     README.md:119-128). The oracle replicates the EXACT algorithm —
+#     hyperplanes are baked into the SQL as literals — so the hash check
+#     verifies the LSH itself; recall >= 0.9 vs brute force is gated in
+#     tests/test_ann.py. 24 planes x 2-bit bands: random gaussian vectors
+#     (no planted cluster structure) need many bands for recall, at the
+#     cost of a weak candidate filter at this tiny scale — with real
+#     near-duplicate structure the same config prunes far harder.
+ANN_N_PLANES, ANN_BAND_BITS, ANN_K, ANN_N_QUERIES = 24, 2, 10, 5
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.ann import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= ANN_N_QUERIES)
+    out = lsh_topk(
+        corpus,
+        queries,
+        dim=64,
+        k=ANN_K,
+        n_planes=ANN_N_PLANES,
+        band_bits=ANN_BAND_BITS,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "doc_term_df": q_doc_term_df,
@@ -556,9 +732,16 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "events_sessionize": q_events_sessionize,
     "orders_pivot": q_orders_pivot,
+    "pooling_stats": q_pooling_stats,
+    "vector_norms": q_vector_norms,
+    "vector_distances": q_vector_distances,
+    "softmax_lse": q_softmax_lse,
+    "pca_covariance": q_pca_covariance,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 # shared oracle fragments for the dedup family
+from angle_spark.operators.dedup import duckdb_hash32  # noqa: E402
 from angle_spark.operators.dedup import A as _MH_A  # noqa: E402
 from angle_spark.operators.dedup import B_COEF as _MH_B  # noqa: E402
 from angle_spark.operators.dedup import N_HASHES as _NH  # noqa: E402
@@ -798,8 +981,101 @@ ORACLE_SQL = {
                count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
         FROM orders GROUP BY o_orderpriority
     """,
-    # doc_fingerprints: intentionally no oracle — an ordered fold over
-    # tokens is not expressible in DuckDB SQL; driver records rows-only
+    # doc_fingerprints: the ordered polynomial fold IS expressible in
+    # DuckDB 1.0 — sum-then-mod equals Spark's stepwise-mod fold because
+    # addition distributes over mod, and base^i mod m comes from a
+    # recursive CTE (list_reduce can't carry the (h, p) struct
+    # accumulator). Every intermediate fits int64: (h%m)*(p<m) < 2^62,
+    # sum over dl terms < dl * 2^31.
+    "doc_fingerprints": f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(tokens) AS term,
+                 unnest(range(0, len(tokens))) AS i
+          FROM t
+        ),
+        pows(i, p) AS (
+          SELECT 0, 1::BIGINT
+          UNION ALL
+          SELECT i + 1, (p * 1009) % 2147483647 FROM pows
+          WHERE i + 1 < (SELECT coalesce(max(len(tokens)), 1) FROM t)
+        ),
+        contrib AS (
+          SELECT doc_id,
+                 ((({duckdb_hash32('term')} % 2147483647) * p) % 2147483647) AS c
+          FROM tok JOIN pows USING (i)
+        )
+        SELECT t.doc_id,
+               coalesce(sum(c) % 2147483647, 0)::BIGINT AS fingerprint
+        FROM t LEFT JOIN contrib ON t.doc_id = contrib.doc_id
+        GROUP BY t.doc_id
+    """,
+    "pooling_stats": """
+        WITH e AS (SELECT vec_id, vec_id // 4 AS group_id,
+                          embedding::DOUBLE[] AS v FROM embeddings),
+        g4 AS (SELECT group_id FROM e GROUP BY group_id HAVING count(*) = 4),
+        ex AS (SELECT e.group_id, e.vec_id, unnest(v) AS val,
+                      unnest(range(0, len(v))) AS pos
+               FROM e JOIN g4 USING (group_id)),
+        kept AS (SELECT group_id, pos, list(val ORDER BY vec_id) AS kv
+                 FROM ex WHERE vec_id % 4 <> group_id % 4
+                 GROUP BY group_id, pos),
+        cls AS (SELECT group_id, pos, val AS cv FROM ex WHERE vec_id % 4 = 0)
+        SELECT k.group_id, k.pos::BIGINT AS pos,
+               round((kv[1] + kv[2] + kv[3]) / 3.0, 6) AS avg_val,
+               round(greatest(kv[1], kv[2], kv[3]), 6) AS max_val,
+               round(kv[1] + kv[2] + kv[3], 6) AS sum_val,
+               round(c.cv, 6) AS cls_val,
+               round(kv[3], 6) AS last_val,
+               round((c.cv + (kv[1] + kv[2] + kv[3]) / 3.0) / 2.0, 6) AS clsavg_val
+        FROM kept k JOIN cls c ON k.group_id = c.group_id AND k.pos = c.pos
+    """,
+    "vector_norms": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        SELECT vec_id, unnest(range(0, 8))::BIGINT AS pos,
+               round(unnest(v[1:8]) / nrm, 6) AS nval
+        FROM n
+    """,
+    "vector_distances": """
+        WITH a AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS v1
+                   FROM embeddings WHERE vec_id < 250),
+        b AS (SELECT vec_id - 250 AS pair_id, embedding::DOUBLE[] AS v2
+              FROM embeddings WHERE vec_id >= 250 AND vec_id < 500),
+        p AS (SELECT pair_id, v1, v2 FROM a JOIN b USING (pair_id)),
+        px AS (SELECT pair_id, unnest(v1) AS x, unnest(v2) AS y FROM p),
+        d AS (SELECT pair_id, sum(abs(x - y)) AS manh,
+                     sum((x - y) * (x - y)) AS eu2
+              FROM px GROUP BY pair_id)
+        SELECT p.pair_id,
+               round(list_dot_product(v1, v2)
+                     / (sqrt(list_dot_product(v1, v1))
+                        * sqrt(list_dot_product(v2, v2))), 6) AS cosine,
+               round(list_dot_product(v1, v2), 6) AS dot,
+               round(-manh, 6) AS neg_manhattan,
+               round(-sqrt(eu2), 6) AS neg_euclidean
+        FROM p JOIN d USING (pair_id)
+    """,
+    "softmax_lse": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_aggregate(v, 'max') AS mx FROM e),
+        ex AS (SELECT vec_id, mx, unnest(v) AS val,
+                      unnest(range(0, len(v))) AS pos FROM m),
+        s AS (SELECT vec_id, sum(exp(val - mx)) AS tot
+              FROM ex GROUP BY vec_id)
+        SELECT ex.vec_id, pos::BIGINT AS pos,
+               round(exp(val - mx) / tot, 6) AS softmax_val,
+               round(ln(tot) + mx, 6) AS lse
+        FROM ex JOIN s USING (vec_id)
+    """,
+    "pca_covariance": """
+        WITH ex AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+                           unnest(range(0, len(embedding))) AS i
+                    FROM embeddings)
+        SELECT a.i, b.i AS j, round(covar_pop(a.val, b.val), 6) AS cov
+        FROM ex a JOIN ex b USING (vec_id)
+        GROUP BY a.i, b.i
+    """,
     "doc_langid": None,  # filled below (generated from LANG_PROFILES)
     "token_counts": f"""
         SELECT doc_id,
@@ -884,3 +1160,56 @@ def _langid_oracle_sql() -> str:
 
 
 ORACLE_SQL["doc_langid"] = _langid_oracle_sql()
+
+
+def _ann_oracle_sql() -> str:
+    """replicates the banded RHP-LSH + exact-rescore algorithm in SQL with
+    the hyperplanes baked in as literals (full repr round-trip precision),
+    so the driver hash verifies the LSH itself, not just a brute-force
+    equivalent."""
+    from angle_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes=ANN_N_PLANES, seed=1234)
+    vals = ", ".join(
+        f"({p}, {j}, {float(w)!r})"
+        for p in range(ANN_N_PLANES)
+        for j, w in enumerate(planes[p])
+    )
+    bb = ANN_BAND_BITS
+    band_val = (
+        f"sum(((d > 0)::BIGINT) << ({bb} - 1 - (p % {bb})))::BIGINT"
+    )
+    return f"""
+        WITH planes(p, j, w) AS (VALUES {vals}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corp AS (SELECT vec_id, v FROM e WHERE vec_id >= {ANN_N_QUERIES}),
+        qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}),
+        cx AS (SELECT vec_id, unnest(v) AS val, unnest(range(0, len(v))) AS j FROM corp),
+        cdot AS (SELECT vec_id, p, sum(val * w) AS d
+                 FROM cx JOIN planes USING (j) GROUP BY vec_id, p),
+        cband AS (SELECT vec_id, (p // {bb})::INT AS band_idx, {band_val} AS band_val
+                  FROM cdot GROUP BY vec_id, band_idx),
+        qx AS (SELECT qid, unnest(qv) AS val, unnest(range(0, len(qv))) AS j FROM qs),
+        qdot AS (SELECT qid, p, sum(val * w) AS d
+                 FROM qx JOIN planes USING (j) GROUP BY qid, p),
+        qband AS (SELECT qid, (p // {bb})::INT AS band_idx, {band_val} AS band_val
+                  FROM qdot GROUP BY qid, band_idx),
+        cand AS (SELECT DISTINCT q.qid, c.vec_id
+                 FROM cband c JOIN qband q USING (band_idx, band_val)),
+        scored AS (
+          SELECT cand.qid, cand.vec_id,
+                 list_dot_product(corp.v, qs.qv)
+                 / (sqrt(list_dot_product(corp.v, corp.v))
+                    * sqrt(list_dot_product(qs.qv, qs.qv))) AS cos_raw
+          FROM cand
+          JOIN corp ON corp.vec_id = cand.vec_id
+          JOIN qs ON qs.qid = cand.qid)
+        SELECT query_id, rank, vec_id, round(cos_raw, 6) AS cosine FROM (
+          SELECT 'q' || qid AS query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_raw DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= {ANN_K}
+    """
+
+
+ORACLE_SQL["ann_lsh_topk"] = _ann_oracle_sql()

@@ -47,6 +47,48 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> np.ndarray:
     return total
 
 
+def covariance_stats(emb: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, int]:
+    """-> (D x D population covariance, n): the distributed heavy part of
+    PCA. One mapInPandas pass ships only P (D x D gram + D sum + count)
+    partials to the driver; cov = gram/n - mu mu^T. This is the operator
+    the pca_covariance driver entry oracle-checks against DuckDB's
+    covar_pop (the K x K eigendecomposition that follows is driver-local
+    linalg in any engine)."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            gg = X.T @ X
+            ss = X.sum(axis=0)
+            g = gg if g is None else g + gg
+            s = ss if s is None else s + ss
+            n += len(X)
+        if g is not None:
+            yield pd.DataFrame(
+                {"gram": [g.ravel().tolist()], "sums": [s.tolist()], "n": [n], "d": [g.shape[0]]}
+            )
+
+    rows = emb.select(vec_col).mapInPandas(
+        partial, schema="gram array<double>, sums array<double>, n long, d int"
+    ).collect()
+    if not rows:
+        return np.zeros((0, 0)), 0
+    d = rows[0]["d"]
+    gram = np.zeros((d, d))
+    sums = np.zeros(d)
+    n = 0
+    for r in rows:
+        gram += np.array(r["gram"]).reshape(d, d)
+        sums += np.array(r["sums"])
+        n += r["n"]
+    mu = sums / n
+    return gram / n - np.outer(mu, mu), n
+
+
 def pca_components(gram: np.ndarray, k: int) -> np.ndarray:
     """top-k eigenvectors (D x k), deterministic sign (first nonzero
     element positive) so projections reproduce across runs."""

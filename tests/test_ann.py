@@ -4,6 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from angle_spark.operators.ann import brute_force_topk, lsh_topk, recall_at_k
 
 SF = "/root/testdata/sf0.01"
@@ -63,3 +65,24 @@ def test_lsh_finds_self_and_near_duplicate(spark):
     got = lsh_topk(emb, q, dim=64, k=2).toPandas().sort_values("rank")
     assert list(got["vec_id"]) == [0, 1]
     assert got["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_contract_entry_recall_gate(spark):
+    """the driver-contract ann_lsh_topk config (24 planes x 2-bit bands)
+    must recover >= 0.9 of the exact top-10 on the sf0.01 embeddings —
+    the VERDICT round-2 gate for promoting LSH-ANN to the contract."""
+    from angle_spark.entries import ANN_BAND_BITS, ANN_K, ANN_N_PLANES, ANN_N_QUERIES
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= ANN_N_QUERIES)
+    exact = brute_force_topk(corpus, queries, k=ANN_K)
+    approx = lsh_topk(
+        corpus, queries, dim=64, k=ANN_K,
+        n_planes=ANN_N_PLANES, band_bits=ANN_BAND_BITS,
+    )
+    r = recall_at_k(approx, exact, k=ANN_K)
+    assert r >= 0.9, f"contract-config recall {r}"
