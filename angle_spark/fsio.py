@@ -1,0 +1,69 @@
+"""Small-file IO through the Hadoop FileSystem API.
+
+Index lineage/meta round 1 used local ``open()``/``os.walk`` — correct on
+one machine, broken the moment <out_dir> is ``s3a://…`` or ``hdfs://…``.
+Every existence probe and meta-JSON read/write now goes through the same
+FileSystem abstraction Spark's own writers use, so checkpoint/resume works
+against any Hadoop-supported store (round-1 verdict item 7). Paths without
+a scheme resolve against the default FS (``file:///`` in local mode), so
+tests and local runs are unchanged.
+
+These helpers are for TINY control-plane files (corpus_stats.json) and
+directory probes only — data always moves via spark.read/write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _fs_path(spark, path)
+    fs.mkdirs(p)
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """atomic-enough single-file write (create(overwrite=True)); parents
+    are created by the FileSystem implementation."""
+    fs, p = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+
+
+def has_files_with_suffix(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:
+    """True iff the directory exists and holds >= 1 file ending in suffix
+    (recursive) — the graceful missing-path probe resume relies on."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            return True
+    return False

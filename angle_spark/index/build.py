@@ -31,6 +31,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from angle_spark import fsio
+
 from angle_spark.codec import BLOCK_SIZE
 from angle_spark.index.spimi import DEFAULT_SEGMENT_DOCS, build_segments
 from angle_spark.index.stats import corpus_stats
@@ -59,10 +61,10 @@ def _lineage_dir(out_dir: str) -> str:
 
 
 def committed_segments(spark: SparkSession, out_dir: str) -> set[int]:
+    # existence probed via the Hadoop FS API (works on file://, s3a://,
+    # hdfs:// alike); a missing/empty lineage dir means a fresh build
     path = _lineage_dir(out_dir)
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    ):
+    if not fsio.has_files_with_suffix(spark, path, ".parquet"):
         return set()
     return {
         r["partition_id"]
@@ -104,9 +106,10 @@ def build_index(
         # deployment pins e.g. 8M docs/segment explicitly.
         segment_docs = min(8_000_000, max(4096, n_docs // 128))
     meta = IndexMeta(n_docs, avgdl, segment_docs, block_size)
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
-        json.dump(meta.__dict__, f)
+    fsio.mkdirs(spark, out_dir)
+    fsio.write_text(
+        spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
+    )
 
     n_segments = (n_docs + segment_docs - 1) // segment_docs
     done = committed_segments(spark, out_dir)
@@ -215,7 +218,8 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
     corpus_stats.json. Needed after streamed delta segments land, so BM25
     scores use corpus-true stats rather than build-time ones. Exact:
     avgdl = sum(all tf) / n_docs, both integers until the final division."""
-    meta = IndexMeta(**json.load(open(os.path.join(out_dir, "corpus_stats.json"))))
+    stats_path = os.path.join(out_dir, "corpus_stats.json")
+    meta = IndexMeta(**json.loads(fsio.read_text(spark, stats_path)))
     # every lineage row counts each doc exactly once (batch rows: docs per
     # segment; streamed rows: docs added by that micro-batch) -> plain sum
     lin = spark.read.parquet(_lineage_dir(out_dir))
@@ -224,15 +228,15 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
     total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
     meta.n_docs = n_docs
     meta.avgdl = total_tokens / n_docs if n_docs else 0.0
-    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
-        json.dump(meta.__dict__, f)
+    fsio.write_text(spark, stats_path, json.dumps(meta.__dict__))
     return meta
 
 
 def load_index(spark: SparkSession, out_dir: str):
     """-> (merged blocks DF, term_stats DF, IndexMeta)."""
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
-        meta = IndexMeta(**json.load(f))
+    meta = IndexMeta(
+        **json.loads(fsio.read_text(spark, os.path.join(out_dir, "corpus_stats.json")))
+    )
     merged = spark.read.parquet(os.path.join(out_dir, "merged"))
     tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
     return merged, tstats, meta

@@ -28,9 +28,12 @@ from angle_spark.index.spimi import build_segments
 from angle_spark.index.stats import with_tokens
 
 
-def _load_meta(out_dir: str) -> IndexMeta:
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
-        return IndexMeta(**json.load(f))
+def _load_meta(spark, out_dir: str) -> IndexMeta:
+    from angle_spark import fsio
+
+    return IndexMeta(
+        **json.loads(fsio.read_text(spark, os.path.join(out_dir, "corpus_stats.json")))
+    )
 
 
 def append_micro_batch(
@@ -40,8 +43,8 @@ def append_micro_batch(
     delta segment blocks, append to segments/ + lineage. Returns the new
     high-water mark. Stats (df, avgdl) are refreshed by the next
     merge_index run — standard segment-then-merge search maintenance."""
-    meta = _load_meta(out_dir)
     spark = batch_df.sparkSession
+    meta = _load_meta(spark, out_dir)
     rows = batch_df.select("conv_id", "turn_idx", "text").dropDuplicates(
         ["conv_id", "turn_idx"]
     )

@@ -1,0 +1,34 @@
+"""Hadoop-FS-backed small-file IO: round-trip, probes, and the resume
+contract on a missing/partial directory."""
+
+from __future__ import annotations
+
+from angle_spark import fsio
+
+
+def test_text_roundtrip_and_probes(spark, tmp_path):
+    p = str(tmp_path / "nested" / "meta.json")
+    assert not fsio.exists(spark, p)
+    fsio.write_text(spark, p, '{"a": 1, "unicode": "δ"}')
+    assert fsio.exists(spark, p)
+    assert fsio.read_text(spark, p) == '{"a": 1, "unicode": "δ"}'
+    # overwrite semantics
+    fsio.write_text(spark, p, "x")
+    assert fsio.read_text(spark, p) == "x"
+
+
+def test_has_files_with_suffix(spark, tmp_path):
+    d = str(tmp_path / "lineage")
+    assert not fsio.has_files_with_suffix(spark, d)  # missing dir: graceful
+    fsio.mkdirs(spark, d)
+    assert not fsio.has_files_with_suffix(spark, d)  # empty dir
+    fsio.write_text(spark, d + "/_started", "")
+    assert not fsio.has_files_with_suffix(spark, d)  # non-parquet only
+    fsio.write_text(spark, d + "/sub/part-0.parquet", "stub")
+    assert fsio.has_files_with_suffix(spark, d)  # recursive hit
+
+
+def test_committed_segments_empty_on_fresh_dir(spark, tmp_path):
+    from angle_spark.index.build import committed_segments
+
+    assert committed_segments(spark, str(tmp_path / "nowhere")) == set()
