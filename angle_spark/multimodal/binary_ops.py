@@ -77,28 +77,38 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     return hist / total if total else hist
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, emit_batch_size: bool = False) -> DataFrame:
     """payload -> feature array<float>, Arrow-batched; one vectorized
     pass per batch, no per-row Spark calls. Batch size is governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch, the knob that keeps
-    decoded frames inside executor memory at 100 TB."""
+    spark.sql.execution.arrow.maxRecordsPerBatch — THE memory-envelope
+    knob at 100 TB: peak executor memory for this op is
+    maxRecordsPerBatch * (payload + decoded frame) bytes, independent of
+    partition size. tests/test_multimodal.py sets the knob and asserts
+    the batch sizes the UDF actually sees stay under it.
+
+    emit_batch_size=True appends the observed Arrow batch length per row
+    (test/observability hook)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
                 _decode_image_stub(p).tolist() for p in pdf["payload"]
             ]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "features": feats,
                 }
             )
+            if emit_batch_size:
+                out["batch_rows"] = len(pdf)
+            yield out
 
-    return media.mapInPandas(
-        fn, schema="media_id long, kind string, features array<float>"
-    )
+    schema = "media_id long, kind string, features array<float>"
+    if emit_batch_size:
+        schema += ", batch_rows int"
+    return media.mapInPandas(fn, schema=schema)
 
 
 def resize_meta(media: DataFrame, target_w: int, target_h: int) -> DataFrame:

@@ -53,3 +53,22 @@ def test_frame_sample_plan(spark, media):
         assert plan[0] == 0
         assert all(p < r["meta"]["n_frames"] for p in plan)
         assert all(b - a == 30 for a, b in zip(plan, plan[1:]))
+
+
+def test_arrow_max_records_per_batch_envelope(spark):
+    """spark.sql.execution.arrow.maxRecordsPerBatch is the decode path's
+    memory envelope: with the knob set to 64, no Arrow batch seen by the
+    UDF may exceed 64 rows — peak executor memory for decode is then
+    bounded by 64 * (payload + frame) bytes regardless of partition size
+    (round-1 verdict item 10)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        media = synth_media_df(spark, 1000).repartition(2)  # 500 rows/partition
+        out = decode_features(media, emit_batch_size=True).toPandas()
+        assert len(out) == 1000
+        assert out["batch_rows"].max() <= 64
+        # multiple batches per partition proves the envelope actually split
+        assert (out["batch_rows"] == 64).any()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
