@@ -95,8 +95,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_topk_documents",
         "doc_term_df",
         "tpch_q1",
+        "tpch_q3",
         "events_topk_per_user",
         "cosine_topk",
+        "spearman_qty_price",
+        "ann_lsh_topk",
         "dedup_exact_text",
     ):
         t0 = time.monotonic()
@@ -145,6 +148,30 @@ def run_scale_leg(cpus: int) -> dict:
             "overwrite"
         ).parquet(corpus_dir)
 
+    # per-stage probe: SPIMI segment encode ONLY (tokenized docs are
+    # pre-materialized, untimed) — pure executor compute, no writes, no
+    # driver collects. Isolates worker scaling from the shared-vCPU cap
+    # and from the (serial) merge/commit stages.
+    from pyspark import StorageLevel
+
+    from angle_spark.index.spimi import build_segments
+    from angle_spark.index.stats import corpus_stats
+
+    raw = spark.read.parquet(corpus_dir)
+    docs0 = (
+        with_tokens(assign_doc_ids(raw, num_partitions=cpus * 2))
+        .select("doc_id", "tokens", "dl")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    n_docs0, avgdl0 = corpus_stats(docs0)
+    seg_docs0 = min(8_000_000, max(4096, n_docs0 // 128))
+    spimi_secs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        build_segments(docs0, avgdl0, seg_docs0).count()
+        spimi_secs.append(time.monotonic() - t0)
+    docs0.unpersist()
+
     build_secs = []
     out_dir = None
     for attempt in range(2):
@@ -181,11 +208,13 @@ def run_scale_leg(cpus: int) -> dict:
         "cpus": cpus,
         "turns": n_turns,
         "build_secs": [round(s, 2) for s in build_secs],
+        "spimi_secs": [round(s, 2) for s in spimi_secs],
         "query_secs": [round(s, 2) for s in query_secs],
         "n_queries": n_queries,
         # best-of-N: the VM shows up-to-3x slow windows (see BENCH.md);
         # best run reflects capability at each parallelism level
         "turns_per_sec": round(n_turns / min(build_secs), 1),
+        "spimi_turns_per_sec": round(n_turns / min(spimi_secs), 1),
         "queries_per_sec": round(n_queries / min(query_secs), 2),
     }
 
@@ -209,15 +238,22 @@ def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
     eff_query = results[hi]["queries_per_sec"] / (
         ratio * results[lo]["queries_per_sec"]
     )
+    eff_spimi = results[hi]["spimi_turns_per_sec"] / (
+        ratio * results[lo]["spimi_turns_per_sec"]
+    )
     return {
         "metric": "scaling_efficiency",
         "unit": "ratio",
         "turns": results[lo]["turns"],
         "levels": list(levels),
         "turns_per_sec": {str(c): results[c]["turns_per_sec"] for c in levels},
+        "spimi_turns_per_sec": {
+            str(c): results[c]["spimi_turns_per_sec"] for c in levels
+        },
         "queries_per_sec": {str(c): results[c]["queries_per_sec"] for c in levels},
         "value": round(eff_index, 3),
         "efficiency_indexing": round(eff_index, 3),
+        "efficiency_spimi": round(eff_spimi, 3),
         "efficiency_query": round(eff_query, 3),
         "raw": {str(c): results[c] for c in levels},
     }
