@@ -701,6 +701,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F11/F12: the reference's loss kernels — angle-difference (complex
+#     division, reference loss.py:62-81), MSE (angle.py:374-382) and KL
+#     over softmax distributions (loss.py:8-20) — per embedding pair.
+def q_loss_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.vector_math import (
+        angle_pairwise,
+        kl_divergence,
+        mse,
+        softmax,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n_pairs = 250
+    a = emb.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pair_id"), F.col("embedding").alias("v1")
+    )
+    b = emb.filter((F.col("vec_id") >= n_pairs) & (F.col("vec_id") < 2 * n_pairs)).select(
+        (F.col("vec_id") - n_pairs).alias("pair_id"), F.col("embedding").alias("v2")
+    )
+    pairs = a.join(b, "pair_id")
+    return pairs.select(
+        "pair_id",
+        F.round(angle_pairwise(F.col("v1"), F.col("v2")), 6).alias("angle_dist"),
+        F.round(mse(F.col("v1"), F.col("v2")), 6).alias("mse"),
+        F.round(
+            kl_divergence(softmax(F.col("v1")), softmax(F.col("v2"))), 6
+        ).alias("kl_softmax"),
+    )
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "doc_term_df": q_doc_term_df,
@@ -738,6 +768,7 @@ QUERIES = {
     "softmax_lse": q_softmax_lse,
     "pca_covariance": q_pca_covariance,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "loss_kernels": q_loss_kernels,
 }
 
 # shared oracle fragments for the dedup family
@@ -1075,6 +1106,41 @@ ORACLE_SQL = {
         SELECT a.i, b.i AS j, round(covar_pop(a.val, b.val), 6) AS cov
         FROM ex a JOIN ex b USING (vec_id)
         GROUP BY a.i, b.i
+    """,
+    "loss_kernels": """
+        WITH a AS (SELECT vec_id AS pair_id, embedding::DOUBLE[] AS v1
+                   FROM embeddings WHERE vec_id < 250),
+        b AS (SELECT vec_id - 250 AS pair_id, embedding::DOUBLE[] AS v2
+              FROM embeddings WHERE vec_id >= 250 AND vec_id < 500),
+        p AS (SELECT pair_id, v1, v2 FROM a JOIN b USING (pair_id)),
+        -- angle kernel: vectors as interleaved complex [re | im] halves
+        parts AS (SELECT pair_id,
+                         unnest(v1[1:32]) AS re1, unnest(v1[33:64]) AS im1,
+                         unnest(v2[1:32]) AS re2, unnest(v2[33:64]) AS im2
+                  FROM p),
+        ang AS (SELECT pair_id,
+                       sum(sqrt(
+                         ((re1*re2 + im1*im2)/(re2*re2 + im2*im2))
+                           * ((re1*re2 + im1*im2)/(re2*re2 + im2*im2))
+                         + ((im1*re2 - re1*im2)/(re2*re2 + im2*im2))
+                           * ((im1*re2 - re1*im2)/(re2*re2 + im2*im2))
+                       )) AS angle_dist
+                FROM parts GROUP BY pair_id),
+        px AS (SELECT pair_id, unnest(v1) AS x, unnest(v2) AS y FROM p),
+        msev AS (SELECT pair_id, sum((x - y)*(x - y)) / 64 AS mse
+                 FROM px GROUP BY pair_id),
+        mx AS (SELECT pair_id, list_aggregate(v1, 'max') AS m1,
+                      list_aggregate(v2, 'max') AS m2 FROM p),
+        tot AS (SELECT px.pair_id, sum(exp(x - m1)) AS t1, sum(exp(y - m2)) AS t2
+                FROM px JOIN mx USING (pair_id) GROUP BY px.pair_id),
+        klv AS (SELECT px.pair_id,
+                       sum((exp(x - m1)/t1)
+                           * (ln(exp(x - m1)/t1) - ln(exp(y - m2)/t2))) AS kl
+                FROM px JOIN mx USING (pair_id) JOIN tot USING (pair_id)
+                GROUP BY px.pair_id)
+        SELECT ang.pair_id, round(angle_dist, 6) AS angle_dist,
+               round(mse, 6) AS mse, round(kl, 6) AS kl_softmax
+        FROM ang JOIN msev USING (pair_id) JOIN klv USING (pair_id)
     """,
     "doc_langid": None,  # filled below (generated from LANG_PROFILES)
     "token_counts": f"""

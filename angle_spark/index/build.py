@@ -54,21 +54,52 @@ class IndexMeta:
     segment_docs: int
     block_size: int
     n_buckets: int = N_BUCKETS
+    sink_format: str = "parquet"
+
+
+def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by=None) -> None:
+    """format-pluggable sink seam. "parquet" is the sandbox default; any
+    Spark DataSourceV2 format (e.g. "iceberg" with a catalog jar on the
+    classpath) goes through the generic format().save() path — the layout
+    contract (columns, partitioning, commit-then-lineage ordering) is
+    format-independent. The sandbox ships no Iceberg jar, so that path is
+    smoke-tested only for graceful failure (tests/test_fsio.py)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if fmt == "parquet":
+        w.parquet(path)
+    else:
+        w.format(fmt).save(path)
+
+
+def _read_table(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    return spark.read.format(fmt).load(path)
 
 
 def _lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
 
-def committed_segments(spark: SparkSession, out_dir: str) -> set[int]:
+def committed_segments(
+    spark: SparkSession, out_dir: str, sink_format: str = "parquet"
+) -> set[int]:
     # existence probed via the Hadoop FS API (works on file://, s3a://,
     # hdfs:// alike); a missing/empty lineage dir means a fresh build
     path = _lineage_dir(out_dir)
-    if not fsio.has_files_with_suffix(spark, path, ".parquet"):
+    if sink_format == "parquet":
+        if not fsio.has_files_with_suffix(spark, path, ".parquet"):
+            return set()
+    elif not fsio.exists(spark, path):
         return set()
     return {
         r["partition_id"]
-        for r in spark.read.parquet(path).select("partition_id").distinct().collect()
+        for r in _read_table(spark, path, sink_format)
+        .select("partition_id")
+        .distinct()
+        .collect()
     }
 
 
@@ -80,6 +111,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     batch_segments: int = 64,
     fail_after_batches: int | None = None,
+    sink_format: str = "parquet",
 ) -> IndexMeta:
     """docs(doc_id, tokens, dl) -> on-disk index; resumable.
 
@@ -105,14 +137,14 @@ def build_index(
         # not grow with the cluster). ~128 segments locally; a cluster
         # deployment pins e.g. 8M docs/segment explicitly.
         segment_docs = min(8_000_000, max(4096, n_docs // 128))
-    meta = IndexMeta(n_docs, avgdl, segment_docs, block_size)
+    meta = IndexMeta(n_docs, avgdl, segment_docs, block_size, sink_format=sink_format)
     fsio.mkdirs(spark, out_dir)
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )
 
     n_segments = (n_docs + segment_docs - 1) // segment_docs
-    done = committed_segments(spark, out_dir)
+    done = committed_segments(spark, out_dir, sink_format)
     todo = [s for s in range(n_segments) if s not in done]
 
     # per-segment doc counts: one job up front (segment count is bounded)
@@ -134,12 +166,14 @@ def build_index(
         lo_ids = F.col("doc_id") / F.lit(segment_docs)
         batch_docs = docs.filter(lo_ids.cast("long").isin(batch))
         blocks = build_segments(batch_docs, avgdl, segment_docs, block_size).persist()
-        (
-            blocks.repartition(F.col("segment_id"))
-            .sortWithinPartitions("term", "block_in_seg")
-            .write.mode("overwrite")
-            .partitionBy("segment_id")
-            .parquet(seg_dir)
+        _write(
+            blocks.repartition(F.col("segment_id")).sortWithinPartitions(
+                "term", "block_in_seg"
+            ),
+            seg_dir,
+            sink_format,
+            "overwrite",
+            partition_by=["segment_id"],
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
 
@@ -158,19 +192,15 @@ def build_index(
             [(s, seg_counts.get(s, 0)) for s in batch],
             schema="segment_id long, doc_count long",
         )
-        (
-            lin.join(doc_counts, "segment_id", "right")
-            .select(
-                F.col("segment_id").alias("partition_id"),
-                F.col("doc_count"),
-                F.coalesce("term_count", F.lit(0)).alias("term_count"),
-                F.coalesce("bytes", F.lit(0)).alias("bytes"),
-                F.lit(wall_ms).alias("wall_ms"),
-                F.current_timestamp().alias("commit_ts"),
-            )
-            .write.mode("append")
-            .parquet(_lineage_dir(out_dir))
+        lineage_rows = lin.join(doc_counts, "segment_id", "right").select(
+            F.col("segment_id").alias("partition_id"),
+            F.col("doc_count"),
+            F.coalesce("term_count", F.lit(0)).alias("term_count"),
+            F.coalesce("bytes", F.lit(0)).alias("bytes"),
+            F.lit(wall_ms).alias("wall_ms"),
+            F.current_timestamp().alias("commit_ts"),
         )
+        _write(lineage_rows, _lineage_dir(out_dir), sink_format, "append")
         blocks.unpersist()
         batches += 1
         if fail_after_batches is not None and batches >= fail_after_batches:
@@ -194,21 +224,23 @@ def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
     spreads a stopword's posting list across several partitions instead of
     hot-spotting one task (skew-aware salting by block position).
     """
-    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
-    (
+    fmt = meta.sink_format
+    seg = _read_table(spark, os.path.join(out_dir, "segments"), fmt)
+    _write(
         seg.repartitionByRange("term", "segment_id", "block_in_seg")
-        .sortWithinPartitions("term", "segment_id", "block_in_seg")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "merged"))
+        .sortWithinPartitions("term", "segment_id", "block_in_seg"),
+        os.path.join(out_dir, "merged"),
+        fmt,
+        "overwrite",
     )
-    merged = spark.read.parquet(os.path.join(out_dir, "merged"))
+    merged = _read_table(spark, os.path.join(out_dir, "merged"), fmt)
     # (term, doc) is unique across blocks, so df = total postings per term;
     # column pruning means this scan touches only (term, n_postings)
-    (
-        merged.groupBy("term")
-        .agg(F.sum("n_postings").alias("df"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "term_stats"))
+    _write(
+        merged.groupBy("term").agg(F.sum("n_postings").alias("df")),
+        os.path.join(out_dir, "term_stats"),
+        fmt,
+        "overwrite",
     )
 
 
@@ -222,9 +254,9 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
     meta = IndexMeta(**json.loads(fsio.read_text(spark, stats_path)))
     # every lineage row counts each doc exactly once (batch rows: docs per
     # segment; streamed rows: docs added by that micro-batch) -> plain sum
-    lin = spark.read.parquet(_lineage_dir(out_dir))
+    lin = _read_table(spark, _lineage_dir(out_dir), meta.sink_format)
     n_docs = int(lin.agg(F.sum("doc_count")).collect()[0][0])
-    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    seg = _read_table(spark, os.path.join(out_dir, "segments"), meta.sink_format)
     total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
     meta.n_docs = n_docs
     meta.avgdl = total_tokens / n_docs if n_docs else 0.0
@@ -237,6 +269,6 @@ def load_index(spark: SparkSession, out_dir: str):
     meta = IndexMeta(
         **json.loads(fsio.read_text(spark, os.path.join(out_dir, "corpus_stats.json")))
     )
-    merged = spark.read.parquet(os.path.join(out_dir, "merged"))
-    tstats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    merged = _read_table(spark, os.path.join(out_dir, "merged"), meta.sink_format)
+    tstats = _read_table(spark, os.path.join(out_dir, "term_stats"), meta.sink_format)
     return merged, tstats, meta

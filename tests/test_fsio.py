@@ -32,3 +32,19 @@ def test_committed_segments_empty_on_fresh_dir(spark, tmp_path):
     from angle_spark.index.build import committed_segments
 
     assert committed_segments(spark, str(tmp_path / "nowhere")) == set()
+
+
+def test_sink_format_seam(spark, tmp_path):
+    """the index sink is format-pluggable: the generic format().save()
+    path works for any available DataSource (exercised with the built-in
+    json source), and an unavailable format (no Iceberg jar in this
+    sandbox) fails loudly with the data-source name, not silently."""
+    import pytest
+
+    from angle_spark.index.build import _read_table, _write
+
+    df = spark.range(5).selectExpr("id AS x")
+    _write(df, str(tmp_path / "t"), "json", "overwrite")
+    assert _read_table(spark, str(tmp_path / "t"), "json").count() == 5
+    with pytest.raises(Exception, match="(?i)iceberg|data.?source|failed to find"):
+        _write(df, str(tmp_path / "t2"), "iceberg", "overwrite")
