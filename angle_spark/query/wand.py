@@ -20,10 +20,12 @@ needed: single-term queries walk blocks in descending bound order and
 stop when bound < θ (exact — a strictly-worse block cannot enter the
 top-k even by tie-break); multi-term queries run MaxScore over the same
 bounds (descending-bound term order, per-block skip when range-max(acc)
-+ bound + remaining-bounds < θ, winners re-folded ascending — see
-_score_shard_multi). Shadow tests assert prune == exhaustive ==
-declarative == oracle (SURVEY.md §7 step 8) and that pruning actually
-skips decodes (tests/test_index_build.py).
++ bound + remaining-bounds < θ; selection/output from an ascending
+re-fold of all candidates — see _score_shard_multi). Shadow tests assert
+prune == exhaustive == declarative == oracle (SURVEY.md §7 step 8),
+pruning actually skips decodes (tests/test_index_build.py), and a
+property-based fuzz guards bitwise prune/exhaustive identity
+(tests/test_wand_property.py).
 """
 
 from __future__ import annotations
@@ -39,6 +41,14 @@ from angle_spark.index.build import IndexMeta
 from angle_spark.index.stats import idf_value
 
 SHARD_SEGMENTS = None  # auto: ~4 shards per core (see wand_topk)
+
+# MaxScore engages only for query batches at most this large. Measured on
+# the 2M-turn index (BENCH.md): single-query calls win 1.1-1.3x from
+# decode skipping; at 8 queries/batch the shared decode cache already
+# amortizes everything MaxScore would skip (parity); at 400 the bound
+# passes are pure overhead (~25%). Larger batches take the cached
+# exhaustive fold for every term.
+MAXSCORE_MAX_BATCH = 4
 
 _OUT_SCHEMA = "query_id string, doc_id long, score double"
 
@@ -90,11 +100,12 @@ def _range_max(acc: np.ndarray, firsts: np.ndarray, lasts: np.ndarray) -> np.nda
 
 
 def _maxscore_multi(
-    present, by_term, decode, term_arrays, acc, base, avgdl, k, term_heat, bounds_cache
+    present, by_term, decode, term_arrays, acc, acc2, base, avgdl, k, term_heat, bounds_cache
 ):
     """MaxScore fold (see _score_shard_multi docstring): descending-bound
-    term order with per-block skipping, then an ascending-term re-fold of
-    the selected top-k so output bits match the exhaustive path.
+    term order with per-block skipping for DISCOVERY, then an ascending-
+    term re-fold of all candidates for selection + output, bit-matching
+    the exhaustive path.
 
     Adaptive regime switch via ``term_heat`` (per-task touch counts):
     block skipping pays when decode dominates — a term's FIRST touch in
@@ -123,6 +134,7 @@ def _maxscore_multi(
 
     theta = -np.inf
     idx_parts: list[np.ndarray] = []
+    acc_parts: list[np.ndarray] = []
     kept_arrays: dict[str, tuple] = {}
     for i, (ubt, term, idf, ubs) in enumerate(ordered):
         remaining -= ubt  # R: bounds of terms still unfolded after this one
@@ -148,39 +160,53 @@ def _maxscore_multi(
             d = np.concatenate([p[0] for p in parts])
             tf = np.concatenate([p[1] for p in parts])
             denom = np.concatenate([p[2] for p in parts])
-        kept_arrays[term] = (d, tf, denom)
         li = d - base
-        acc[li] += idf * tf * (K1 + 1.0) / denom
+        kept_arrays[term] = (li, tf, denom)
         idx_parts.append(li)
-        # theta: ANY lower bound of the true kth-largest keeps skips exact.
-        # kth-largest over just this term's (updated) accumulator cells is
-        # one O(postings) partition — no running union of the touched set.
-        # Only maintained while a later cold term can still consume it.
-        if len(li) >= k and i + 1 < len(ordered) and later_cold[i + 1]:
-            cand = np.partition(acc[li], -k)[-k]
-            if cand > theta:
-                theta = cand
+        # the discovery accumulator exists ONLY to serve later cold terms'
+        # skip decisions (range-max) and theta. Once no cold term remains,
+        # folding into it is pure overhead — trailing terms (typically the
+        # warm stopwords) contribute via phase 2 alone, so they are folded
+        # once, not twice. Invariant: every term BEFORE a cold term does
+        # accumulate (later_cold is true there), so skip decisions always
+        # see the full prior mass.
+        if i + 1 < len(ordered) and later_cold[i + 1]:
+            acc[li] += idf * tf * (K1 + 1.0) / denom
+            acc_parts.append(li)
+            # theta: ANY lower bound of the true kth-largest keeps skips
+            # exact; kth-largest over this term's updated cells is one
+            # O(postings) partition — no running union of the touched set.
+            if len(li) >= k:
+                cand = np.partition(acc[li], -k)[-k]
+                if cand > theta:
+                    theta = cand
 
     if not idx_parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    hit = np.unique(np.concatenate(idx_parts))
-    doc_ids = hit + base
-    scores = acc[hit].copy()
-    acc[hit] = 0.0
-    doc_ids, scores = _topk_arrays(doc_ids, scores, k)
+    cand = np.unique(np.concatenate(idx_parts))
+    if acc_parts:  # reset only cells the discovery fold actually wrote
+        acc[np.concatenate(acc_parts)] = 0.0
 
-    # re-fold winners in ascending term order (winners provably had no
-    # skipped block, so kept_arrays hold their full postings)
-    exact = np.zeros(len(doc_ids), dtype=np.float64)
+    # phase 2: re-fold EVERY candidate in ascending term order into a
+    # second dense accumulator — selection and output both use these
+    # values, so they are bit-identical to the exhaustive path (and the
+    # oracle) for fully-kept docs, and the tie-break at the kth boundary
+    # can never be perturbed by the discovery fold's different summation
+    # order. Docs missing a skipped block under-accumulate here, but they
+    # sit at least one whole skipped BM25 contribution below theta_final
+    # (>= idf_min * impact_min, many orders of magnitude above float64
+    # fold noise), so they can neither displace nor tie a winner. Cost =
+    # exactly the exhaustive fold over the KEPT postings (dense scatter-
+    # add, no decode, no sort, no searchsorted).
     for term, idf in present:
         hit = kept_arrays.get(term)
         if hit is None:
             continue
-        d, tf, denom = hit  # doc-ascending (blocks sorted by first_doc)
-        pos = np.searchsorted(d, doc_ids)
-        ok = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == doc_ids)
-        exact[ok] += idf * tf[pos[ok]] * (K1 + 1.0) / denom[pos[ok]]
-    return doc_ids, exact
+        li, tf, denom = hit
+        acc2[li] += idf * tf * (K1 + 1.0) / denom
+    scores = acc2[cand].copy()
+    acc2[cand] = 0.0  # written cells == candidate union
+    return _topk_arrays(cand + base, scores, k)
 
 
 def _score_shard_multi(
@@ -218,13 +244,16 @@ def _score_shard_multi(
     posting is provably below theta_final and thus never output, and ties
     are safe because the skip test is strict). The range max is one
     np.maximum.reduceat over the accumulator (no decode); decoded blocks
-    stay cached across queries. Final scores of the selected top-k are
-    RE-FOLDED in ascending term order, so output bits match the exhaustive
-    path and the Python oracle exactly. (Caveat, documented: selection
-    order inside the prune path folds descending; two distinct addend sets
-    that are bitwise-equal summed ascending but unequal summed descending
-    could in principle flip a boundary tie — no such pair can arise from
-    equal (tf, dl) profiles, which fold identically in any shared order.)"""
+    stay cached across queries.
+
+    The descending-order accumulator drives SKIP DECISIONS ONLY. Both
+    selection and output come from a second, ascending-term fold over all
+    candidates (_maxscore_multi phase 2), so every fully-kept doc carries
+    bits identical to the exhaustive path and the Python oracle — found
+    the hard way: ranking on the discovery fold flipped a k-boundary tie
+    between two docs whose scores differ by less than the fold-order ULP
+    noise (caught by tests/test_wand_property.py, kept as a regression
+    case)."""
     by_term: dict[str, pd.DataFrame] = {
         # sorted by first_doc: per-term concatenated posting arrays are
         # then doc-ascending (disjoint block ranges), which the MaxScore
@@ -269,8 +298,11 @@ def _score_shard_multi(
         return hit
 
     acc = np.zeros(span, dtype=np.float64)
+    acc2 = np.zeros(span, dtype=np.float64)  # MaxScore phase-2 (ascending) fold
     term_heat: dict[str, int] = {}  # per-task touch counts (regime switch)
     bounds_cache: dict[str, tuple] = {}  # term -> (block bounds, max bound)
+
+    small_batch = len(qt) <= MAXSCORE_MAX_BATCH
 
     out_q, out_d, out_s = [], [], []
     for q in qt.itertuples(index=False):
@@ -280,9 +312,19 @@ def _score_shard_multi(
         if not present:
             continue
 
-        if prune and len(present) == 1:
-            # block-max WAND walk: descending bound, stop when bound < theta
+        if (
+            prune
+            and len(present) == 1
+            and small_batch
+            and term_heat.get(present[0][0], 0) < 1
+        ):
+            # cold term, small batch: block-max WAND walk — descending
+            # bound order, stop when bound < theta (decode-dominated
+            # regime; warm/large-batch single-term queries fall through to
+            # the cached vectorized fold below, same adaptive rule as the
+            # multi-term path)
             term, idf = present[0]
+            term_heat[term] = term_heat.get(term, 0) + 1
             g = by_term[term]
             mt = g["max_tf"].to_numpy(dtype=np.float64)
             md = g["min_dl"].to_numpy(dtype=np.float64)
@@ -306,11 +348,15 @@ def _score_shard_multi(
                     theta = np.partition(np.concatenate(score_parts), -k)[-k]
             doc_ids = np.concatenate(doc_parts)
             scores = np.concatenate(score_parts)
-        elif prune and any(term_heat.get(t, 0) < 1 for t, _ in present):
-            # a cold term exists -> decode still dominates: MaxScore
+        elif (
+            prune
+            and small_batch
+            and any(term_heat.get(t, 0) < 1 for t, _ in present)
+        ):
+            # small batch AND a cold term -> decode dominates: MaxScore
             doc_ids, scores = _maxscore_multi(
-                present, by_term, decode, term_arrays, acc, base, avgdl, k,
-                term_heat, bounds_cache,
+                present, by_term, decode, term_arrays, acc, acc2, base, avgdl,
+                k, term_heat, bounds_cache,
             )
         else:
             # exhaustive multi-term (prune=False, or every term warm — the
