@@ -110,6 +110,37 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- THE ENGINE CORE under the driver oracle: SPIMI segment build ->
+#     delta+varint block codec -> merge -> MaxScore/WAND top-k
+#     (index/spimi.py, codec.py, index/build.py, query/wand.py). Same
+#     oracle as bm25_topk_documents — rank identity of the COMPRESSED
+#     path vs declarative SQL BM25 is exactly the engine's core claim
+#     (the reference's golden gate runs its REAL inference path,
+#     reference tests/test_eval.py:4-20; so does this entry).
+def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.query.wand import wand_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    # fresh dir per call: the returned DataFrame reads the index lazily, so
+    # the dir must outlive this function (driver collects later); small
+    # segment/block sizes force real multi-segment merge + multi-block
+    # pruning even at sf0.01 (500 docs -> 4 segments, stopword terms span
+    # many 16-doc blocks)
+    out_dir = tempfile.mkdtemp(prefix="bm25_wand_entry_")
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark), prune=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- A9: document frequency per term (exact, grouped agg)
 def q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
@@ -348,6 +379,21 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_doc_tokens(spark, sf_dir))
 
 
+# --- bucketed SimHash near-pairs (pigeonhole bit-chunk equi-join + exact
+#     bit_count rescore; operators/dedup.py). The oracle is the
+#     ALGORITHM-INDEPENDENT exhaustive Hamming join — stronger than
+#     replicating the bucketing: it proves the candidate superset loses
+#     no pair.
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sh = simhash(_doc_tokens(spark, sf_dir))
+    return simhash_near_pairs(sh, max_hamming=SIMHASH_MAX_HAMMING)
+
+
 def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.operators.dedup import embedding_topk_pairs
 
@@ -375,8 +421,8 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rolling-hash document fingerprint (order-sensitive; not SQL-
-#     expressible in DuckDB without a fold -> rows-only driver check)
+# --- rolling-hash document fingerprint (order-sensitive polynomial fold;
+#     oracle-checked via a recursive-CTE modpow — see ORACLE_SQL entry)
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.functions.text_stats import rolling_fingerprint
 
@@ -733,6 +779,7 @@ def q_loss_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
+    "bm25_wand_index": q_bm25_wand_index,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -753,6 +800,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_topk_pairs": q_embedding_topk_pairs,
     "doc_langid": q_doc_langid,
     "token_counts": q_token_counts,
@@ -795,6 +843,9 @@ toks AS (
 
 ORACLE_SQL = {
     "bm25_topk_documents": _bm25_oracle_sql(),
+    # the compressed path must be rank- AND score-identical to the same
+    # SQL BM25 the declarative path is checked against
+    "bm25_wand_index": _bm25_oracle_sql(),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (
@@ -964,6 +1015,32 @@ ORACLE_SQL = {
                sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
                  AS simhash
         FROM wsum GROUP BY doc_id
+    """,
+    # algorithm-independent oracle: exhaustive pairwise Hamming (fine at
+    # sf scale in DuckDB) — the Spark side must find EXACTLY these pairs
+    # through its pigeonhole chunk buckets
+    "simhash_near_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+        ), ht AS (
+          SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf
+        ), bits AS (SELECT unnest(range(0, 32)) AS bit),
+        wsum AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+          FROM ht CROSS JOIN bits GROUP BY doc_id, bit
+        ), sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                   AS simhash
+          FROM wsum GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "tpch_q6": """
         SELECT sum((l_extendedprice::DECIMAL(18,2)

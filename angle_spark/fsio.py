@@ -35,14 +35,21 @@ def mkdirs(spark: SparkSession, path: str) -> None:
 
 
 def write_text(spark: SparkSession, path: str, content: str) -> None:
-    """atomic-enough single-file write (create(overwrite=True)); parents
-    are created by the FileSystem implementation."""
+    """crash-safe single-file write: write to a sibling temp path, then
+    rename over the target (atomic on HDFS/file://; best-effort elsewhere).
+    A crash mid-write can no longer leave a truncated corpus_stats.json
+    that breaks load_index/resume — the old file survives until the
+    rename. Parents are created by the FileSystem implementation."""
     fs, p = _fs_path(spark, path)
-    out = fs.create(p, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + "._tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def read_text(spark: SparkSession, path: str) -> str:
@@ -54,6 +61,19 @@ def read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         stream.close()
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """FileSystem rename (atomic on HDFS/file://; best-effort on object
+    stores). Used for swap-style directory replacement (merge_index's
+    term_stats update) and crash-safe meta writes."""
+    fs, p = _fs_path(spark, src)
+    return bool(fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.delete(p, recursive))
 
 
 def has_files_with_suffix(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:

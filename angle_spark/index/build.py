@@ -55,6 +55,12 @@ class IndexMeta:
     block_size: int
     n_buckets: int = N_BUCKETS
     sink_format: str = "parquet"
+    # doc-count watermark of the last merge: every block whose first_doc is
+    # >= merged_docs is a committed-but-unmerged delta (streamed appends
+    # assign docIDs above the high-water mark, so one integer cleanly
+    # splits merged/ content from delta blocks). 0 = legacy meta written
+    # before this field existed -> treat merged/ as covering everything.
+    merged_docs: int = 0
 
 
 def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by=None) -> None:
@@ -94,13 +100,19 @@ def committed_segments(
             return set()
     elif not fsio.exists(spark, path):
         return set()
-    return {
-        r["partition_id"]
-        for r in _read_table(spark, path, sink_format)
-        .select("partition_id")
-        .distinct()
-        .collect()
-    }
+    try:
+        return {
+            r["partition_id"]
+            for r in _read_table(spark, path, sink_format)
+            .select("partition_id")
+            .distinct()
+            .collect()
+        }
+    except Exception:
+        # a dir that exists but holds no committed data (crash before the
+        # first commit, stray _temporary dirs) must mean "fresh build",
+        # not a broken resume — generic formats have no suffix probe
+        return set()
 
 
 def build_index(
@@ -211,7 +223,9 @@ def build_index(
     return meta
 
 
-def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
+def merge_index(
+    spark: SparkSession, out_dir: str, meta: IndexMeta, incremental: bool = False
+) -> None:
     """Segments -> final queryable layout + global term stats.
 
     Segments hold disjoint ascending docID ranges, so the globally sorted
@@ -223,24 +237,85 @@ def merge_index(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
     dirs, and no small-file explosion), while the range key's block suffix
     spreads a stopword's posting list across several partitions instead of
     hot-spotting one task (skew-aware salting by block position).
+
+    incremental=True merges ONLY blocks newer than the meta.merged_docs
+    watermark — an O(delta) append, never an O(index) rewrite: new blocks
+    are range-laid-out among themselves and appended as new files next to
+    the untouched old ones (their term ranges overlap older files', so
+    per-file row-group pruning stays exact, just slightly coarser), and
+    term_stats is rebuilt as old ∪ delta — O(vocab + delta), no postings
+    scan. A periodic full merge (incremental=False) is the compaction
+    that restores the tight single-range layout. Requires a watermark
+    (merged_docs > 0), i.e. one prior full merge — build_index always
+    provides that.
     """
     fmt = meta.sink_format
+    merged_path = os.path.join(out_dir, "merged")
+    tstats_path = os.path.join(out_dir, "term_stats")
     seg = _read_table(spark, os.path.join(out_dir, "segments"), fmt)
-    _write(
-        seg.repartitionByRange("term", "segment_id", "block_in_seg")
-        .sortWithinPartitions("term", "segment_id", "block_in_seg"),
-        os.path.join(out_dir, "merged"),
-        fmt,
-        "overwrite",
-    )
-    merged = _read_table(spark, os.path.join(out_dir, "merged"), fmt)
-    # (term, doc) is unique across blocks, so df = total postings per term;
-    # column pruning means this scan touches only (term, n_postings)
-    _write(
-        merged.groupBy("term").agg(F.sum("n_postings").alias("df")),
-        os.path.join(out_dir, "term_stats"),
-        fmt,
-        "overwrite",
+
+    if incremental and meta.merged_docs > 0:
+        # delta = blocks past the watermark; segment_id lower bound lets
+        # the scan prune whole partition dirs before the row-group filter
+        first_seg = meta.merged_docs // meta.segment_docs
+        delta = seg.filter(
+            (F.col("segment_id") >= F.lit(first_seg))
+            & (F.col("first_doc") >= F.lit(meta.merged_docs))
+        )
+        hi = delta.agg(F.max("last_doc")).collect()[0][0]
+        if hi is None:
+            return  # nothing new since the last merge
+        _write(
+            delta.repartitionByRange("term", "segment_id", "block_in_seg")
+            .sortWithinPartitions("term", "segment_id", "block_in_seg"),
+            merged_path,
+            fmt,
+            "append",
+        )
+        # term_stats := old ∪ delta, re-aggregated. Written to a temp dir
+        # then swapped via rename (can't overwrite a path being read);
+        # a crash mid-swap leaves term_stats_old/_tmp to recover from.
+        delta_df = (
+            _read_table(spark, merged_path, fmt)
+            .filter(F.col("first_doc") >= F.lit(meta.merged_docs))
+            .groupBy("term")
+            .agg(F.sum("n_postings").alias("df"))
+        )
+        combined = (
+            _read_table(spark, tstats_path, fmt)
+            .unionByName(delta_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        _write(combined, tstats_path + "_tmp", fmt, "overwrite")
+        fsio.rename(spark, tstats_path, tstats_path + "_old")
+        fsio.rename(spark, tstats_path + "_tmp", tstats_path)
+        fsio.delete(spark, tstats_path + "_old")
+        meta.merged_docs = int(hi) + 1
+    else:
+        _write(
+            seg.repartitionByRange("term", "segment_id", "block_in_seg")
+            .sortWithinPartitions("term", "segment_id", "block_in_seg"),
+            merged_path,
+            fmt,
+            "overwrite",
+        )
+        merged = _read_table(spark, merged_path, fmt)
+        # (term, doc) is unique across blocks, so df = total postings per
+        # term; column pruning means this scan touches only
+        # (term, n_postings, last_doc)
+        agg = merged.agg(
+            F.max("last_doc").alias("hi"),
+        ).collect()[0]
+        _write(
+            merged.groupBy("term").agg(F.sum("n_postings").alias("df")),
+            tstats_path,
+            fmt,
+            "overwrite",
+        )
+        meta.merged_docs = int(agg["hi"]) + 1 if agg["hi"] is not None else 0
+    fsio.write_text(
+        spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )
 
 
@@ -265,10 +340,39 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
 
 
 def load_index(spark: SparkSession, out_dir: str):
-    """-> (merged blocks DF, term_stats DF, IndexMeta)."""
+    """-> (blocks DF, term_stats DF, IndexMeta).
+
+    Committed-but-unmerged delta segments (streamed appends past the
+    merged_docs watermark) are UNIONED in lazily — queries see them with
+    NO merge_index call and no merged/ rewrite (the union is a plan node;
+    term/first_doc predicates push into both sides). The orphan guard
+    ``first_doc < n_docs`` excludes blocks whose micro-batch crashed
+    before its lineage commit: docIDs are dense and assigned in commit
+    order, so committed blocks are exactly those below the lineage doc
+    sum (callers get fresh n_docs/avgdl from refresh_corpus_stats — which
+    BM25 scoring needs anyway).
+    merged_docs == 0 means legacy meta (pre-watermark) -> merged/ is
+    assumed complete, exactly the old behavior."""
     meta = IndexMeta(
         **json.loads(fsio.read_text(spark, os.path.join(out_dir, "corpus_stats.json")))
     )
     merged = _read_table(spark, os.path.join(out_dir, "merged"), meta.sink_format)
     tstats = _read_table(spark, os.path.join(out_dir, "term_stats"), meta.sink_format)
+    if 0 < meta.merged_docs < meta.n_docs:
+        first_seg = meta.merged_docs // meta.segment_docs
+        delta = _read_table(
+            spark, os.path.join(out_dir, "segments"), meta.sink_format
+        ).filter(
+            (F.col("segment_id") >= F.lit(first_seg))
+            & (F.col("first_doc") >= F.lit(meta.merged_docs))
+            & (F.col("first_doc") < F.lit(meta.n_docs))
+        )
+        merged = merged.unionByName(delta.select(*merged.columns))
+        tstats = (
+            tstats.unionByName(
+                delta.groupBy("term").agg(F.sum("n_postings").alias("df"))
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
     return merged, tstats, meta

@@ -113,8 +113,10 @@ def lsh_topk(
 
     n_planes/band_bits tune the recall/candidate-count tradeoff: more
     bands (n_planes/band_bits) raise recall; more bits per band shrink
-    buckets. The driver-contract entry uses 16 planes x 2-bit bands (8
-    bands) — recall-gated >= 0.9 vs brute force in tests/test_ann.py."""
+    buckets. The driver-contract entry uses 24 planes x 2-bit bands (12
+    bands) — random gaussian sf embeddings (no planted near-dup
+    structure) need that many bands to clear the recall >= 0.9 gate in
+    tests/test_ann.py (a 16x4 config measured recall 0.26 there)."""
     planes = _hyperplanes(dim, n_planes=n_planes, seed=seed)
     e = emb.select(
         "vec_id",

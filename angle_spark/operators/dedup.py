@@ -16,7 +16,9 @@ Operators:
   lsh_candidate_pairs  banded LSH -> candidate pairs + estimated Jaccard
   ngram_jaccard_pairs  exact Jaccard over shingle sets (self-join)
   simhash              tf-weighted bitwise fingerprint (32-bit)
-  simhash_near_pairs   pairs within a Hamming radius
+  simhash_near_pairs   pairs within a Hamming radius (pigeonhole bit-chunk
+                       buckets + exact rescore; cross-join shadow kept
+                       test-only as simhash_near_pairs_exhaustive)
   embedding_topk_pairs brute-force cosine top-k pairs (near-dup by vector)
 """
 
@@ -188,10 +190,60 @@ def simhash(docs_tokens: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """pairs of docs within Hamming radius (self-join; at scale this would
-    bucket on bit-chunks first — provided for completeness, the LSH path
-    is the scale path)."""
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """pairs of docs within Hamming radius — BUCKETED, no cross product.
+
+    Pigeonhole: split the SIMHASH_BITS fingerprint into
+    ``max_hamming + 1`` contiguous bit-chunks; two fingerprints within
+    Hamming distance r <= max_hamming differ in at most r chunks, so they
+    agree EXACTLY on at least one chunk. Candidates = equi-join on
+    (chunk_idx, chunk_val) — same shuffle-once shape as the MinHash band
+    join — then an exact bit_count rescore keeps true near-pairs. The
+    candidate set is a provable superset, so results are identical to the
+    exhaustive cross join (shadow-asserted in tests/test_text_stats.py).
+
+    Scale: per-chunk buckets have 2^(bits/(r+1)) values (8 bits here at
+    r=3); a degenerate bucket (mass duplication) squares, which is the
+    expected cost of true duplicates — same disclosure as
+    lsh_candidate_pairs."""
+    n_chunks = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_chunks)  # ceil
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("simhash", i * width)
+                .bitwiseAND(F.lit((1 << min(width, SIMHASH_BITS - i * width)) - 1))
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"), "ci", "cv"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several chunks
+    )
+
+
+def simhash_near_pairs_exhaustive(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """cross-join shadow of simhash_near_pairs — O(N^2), test-only: the
+    bucketed path must equal this on any corpus."""
     a = sh.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("h1"))
     b = sh.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("h2"))
     return (

@@ -256,8 +256,8 @@ def _score_shard_multi(
     case)."""
     by_term: dict[str, pd.DataFrame] = {
         # sorted by first_doc: per-term concatenated posting arrays are
-        # then doc-ascending (disjoint block ranges), which the MaxScore
-        # winner re-fold's searchsorted relies on
+        # then doc-ascending (disjoint block ranges), keeping every fold
+        # over them a forward pass in docID order
         t: g.sort_values("first_doc") for t, g in pdf.groupby("term", sort=False)
     }
     base = int(pdf["first_doc"].min())

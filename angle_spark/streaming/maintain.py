@@ -43,6 +43,9 @@ def append_micro_batch(
     delta segment blocks, append to segments/ + lineage. Returns the new
     high-water mark. Stats (df, avgdl) are refreshed by the next
     merge_index run — standard segment-then-merge search maintenance."""
+    import time
+
+    t0 = time.monotonic()
     spark = batch_df.sparkSession
     meta = _load_meta(spark, out_dir)
     rows = batch_df.select("conv_id", "turn_idx", "text").dropDuplicates(
@@ -91,6 +94,7 @@ def append_micro_batch(
             + F.octet_length("dls_bin")
         ).alias("bytes"),
     )
+    wall_ms = int((time.monotonic() - t0) * 1000)
     (
         lin.join(seg_docs, "segment_id")
         .select(
@@ -98,7 +102,7 @@ def append_micro_batch(
             F.col("doc_count"),
             F.col("term_count"),
             F.col("bytes"),
-            F.lit(-1).cast("long").alias("wall_ms"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
             F.current_timestamp().alias("commit_ts"),
         )
         .write.mode("append")

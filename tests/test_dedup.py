@@ -1,0 +1,72 @@
+"""Dedup-operator shape + equivalence tests.
+
+The bucketed simhash_near_pairs (pigeonhole chunk equi-join, round-3
+VERDICT task 3) must (a) plan WITHOUT a cartesian product and (b) return
+exactly the exhaustive cross join's pairs on a real corpus.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from angle_spark.index.stats import with_tokens
+from angle_spark.operators.dedup import (
+    simhash,
+    simhash_near_pairs,
+    simhash_near_pairs_exhaustive,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _docs_tokens(spark):
+    return (
+        with_tokens(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        .select("doc_id", "tokens")
+    )
+
+
+def test_bucketed_equals_exhaustive(spark):
+    sh = simhash(_docs_tokens(spark)).persist()
+    try:
+        for r in (0, 3, 6):
+            got = sorted(map(tuple, simhash_near_pairs(sh, max_hamming=r).collect()))
+            want = sorted(
+                map(tuple, simhash_near_pairs_exhaustive(sh, max_hamming=r).collect())
+            )
+            assert got == want, f"max_hamming={r}: bucketed != exhaustive"
+        assert len(got) > 0  # r=6 must actually find pairs on this corpus
+    finally:
+        sh.unpersist()
+
+
+def test_bucketed_plan_has_no_cartesian(spark):
+    sh = simhash(_docs_tokens(spark))
+    plan = _plan(simhash_near_pairs(sh, max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shadow IS the cartesian baseline
+    shadow = _plan(simhash_near_pairs_exhaustive(sh, max_hamming=3))
+    assert "CartesianProduct" in shadow or "BroadcastNestedLoopJoin" in shadow
+
+
+def test_near_pairs_sane(spark):
+    """near-pairs at a tight radius are a tiny fraction of all pairs on a
+    mostly-distinct corpus (the whole point of bucketing), and hamming is
+    within the radius with doc1 < doc2."""
+    docs = _docs_tokens(spark)
+    n = docs.count()
+    sh = simhash(docs)
+    rows = simhash_near_pairs(sh, max_hamming=3).collect()
+    assert 0 < len(rows) < (n * (n - 1) // 2) * 0.25
+    assert all(r["doc1"] < r["doc2"] and r["hamming"] <= 3 for r in rows)

@@ -1,15 +1,24 @@
 """Streaming index maintenance: batch-build a prefix of the corpus, stream
-the remainder via Structured Streaming, refresh stats + merge — the final
-index must answer the reference query set identically to the one-shot
-batch build (and the oracle)."""
+the remainder via Structured Streaming.
+
+Round-3 contract (VERDICT r2 task 2): streamed delta segments are
+queryable with NO merge_index call — load_index lazily unions merged/
+with committed-but-unmerged blocks past the merged_docs watermark — and
+merge_index(incremental=True) folds them in as an O(delta) append that
+never rewrites existing merged/ files. Both paths must answer the
+reference query set identically to the one-shot batch build (and the
+Python oracle)."""
 
 from __future__ import annotations
 
 import os
 
-import pytest
-
-from angle_spark.index.build import build_index, load_index, merge_index, refresh_corpus_stats
+from angle_spark.index.build import (
+    build_index,
+    load_index,
+    merge_index,
+    refresh_corpus_stats,
+)
 from angle_spark.index.stats import with_tokens
 from angle_spark.operators.docids import assign_doc_ids
 from angle_spark.oracle import Bm25Oracle
@@ -27,7 +36,21 @@ N_ALL = 40
 N_BATCH = 30  # convs indexed in batch; the rest arrive as a stream
 
 
-def test_streamed_index_matches_oracle(spark, tmp_path):
+def _snapshot(d: str) -> dict[str, tuple[int, int]]:
+    """data files under d -> (size, mtime_ns); _SUCCESS markers excluded
+    (an append job rewrites the marker, not the data)."""
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, d)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _build_then_stream(spark, tmp_path) -> tuple[str, int]:
+    """batch-index the first N_BATCH convs, stream the rest; -> (out, hw)."""
     out = str(tmp_path / "idx")
     ckpt = str(tmp_path / "ckpt")
     stream_in = str(tmp_path / "incoming")
@@ -40,37 +63,88 @@ def test_streamed_index_matches_oracle(spark, tmp_path):
     meta = build_index(spark, docs, out, segment_docs=256, block_size=32)
     hw = meta.n_docs
 
-    # stage the remaining conversations as files for the stream source
     tail = transcripts_df(spark, N_ALL, seed=42).filter(
         f"conv_id >= 'conv_{N_BATCH:08d}'"
     )
     tail.write.mode("overwrite").parquet(stream_in)
 
-    stream = (
-        spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(stream_in)
-    )
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(stream_in)
     q = maintain_stream(stream, out, hw, ckpt, trigger_seconds=1)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+    return out, hw
 
-    meta2 = refresh_corpus_stats(spark, out)
-    assert meta2.n_docs > hw
-    merge_index(spark, out, meta2)
 
-    merged, tstats, meta3 = load_index(spark, out)
+def _assert_matches_oracle(spark, out: str) -> None:
+    merged, tstats, meta = load_index(spark, out)
     got = (
-        wand_topk(spark, merged, tstats, meta3, queries_df(spark))
+        wand_topk(spark, merged, tstats, meta, queries_df(spark))
         .toPandas()
         .sort_values(["query_id", "rank"])
     )
     oracle = Bm25Oracle(transcripts_pdf(N_ALL, seed=42))
     golden = oracle.golden(queries_pdf())
-    assert meta2.n_docs == oracle.n_docs
-    assert meta2.avgdl == oracle.avgdl
+    assert meta.n_docs == oracle.n_docs
+    assert meta.avgdl == oracle.avgdl
     assert list(zip(got["query_id"], got["rank"], got["doc_id"])) == list(
         zip(golden["query_id"], golden["rank"], golden["doc_id"])
     )
     for g, w in zip(got["score"], golden["score"]):
         assert g == w
+
+
+def test_streamed_deltas_queryable_without_merge(spark, tmp_path):
+    out, hw = _build_then_stream(spark, tmp_path)
+    merged_before = _snapshot(os.path.join(out, "merged"))
+    tstats_before = _snapshot(os.path.join(out, "term_stats"))
+
+    meta2 = refresh_corpus_stats(spark, out)
+    assert meta2.n_docs > hw
+    assert meta2.merged_docs == hw  # watermark = last (batch-build) merge
+
+    # NO merge_index call: load_index unions the committed delta blocks in
+    _assert_matches_oracle(spark, out)
+
+    # refresh cost is O(delta): every merged/ + term_stats byte untouched
+    assert _snapshot(os.path.join(out, "merged")) == merged_before
+    assert _snapshot(os.path.join(out, "term_stats")) == tstats_before
+
+
+def test_incremental_merge_is_o_delta(spark, tmp_path):
+    out, hw = _build_then_stream(spark, tmp_path)
+    before = _snapshot(os.path.join(out, "merged"))
+
+    meta2 = refresh_corpus_stats(spark, out)
+    merge_index(spark, out, meta2, incremental=True)
+
+    after = _snapshot(os.path.join(out, "merged"))
+    # old layout files byte-identical; delta blocks appended as new files
+    assert set(before) <= set(after)
+    for p in before:
+        assert after[p] == before[p], f"incremental merge rewrote {p}"
+    assert len(after) > len(before)
+
+    merged, tstats, meta3 = load_index(spark, out)
+    assert meta3.merged_docs == meta3.n_docs  # watermark advanced: no delta
+    _assert_matches_oracle(spark, out)
+
+    # incremental term_stats == what a full compaction merge produces
+    inc = sorted(map(tuple, tstats.collect()))
+    merge_index(spark, out, meta3, incremental=False)
+    _, full_tstats, _ = load_index(spark, out)
+    assert sorted(map(tuple, full_tstats.collect())) == inc
+    _assert_matches_oracle(spark, out)  # post-compaction answers unchanged
+
+
+def test_incremental_merge_noop_when_no_delta(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    docs = with_tokens(assign_doc_ids(transcripts_df(spark, 10, seed=7))).select(
+        "doc_id", "tokens", "dl"
+    )
+    build_index(spark, docs, out, segment_docs=64, block_size=16)
+    before = _snapshot(os.path.join(out, "merged"))
+    meta = refresh_corpus_stats(spark, out)
+    merge_index(spark, out, meta, incremental=True)
+    assert _snapshot(os.path.join(out, "merged")) == before

@@ -92,7 +92,9 @@ def test_maxscore_bitwise_equals_exhaustive_and_brute(data, n_docs, k):
     p = pruned.sort_values("doc_id").reset_index(drop=True)
     if not f.equals(p):  # dump the raw case for standalone debugging
         import json
+        import os
 
+        os.makedirs("/tmp/vrf", exist_ok=True)
         json.dump(
             {"docs": docs, "terms": terms, "k": k},
             open("/tmp/vrf/hypo_fail.json", "w"),
