@@ -55,11 +55,11 @@ def _doc_queries_values_sql() -> str:
 def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
     # tf feeds three consumers (corpus stats trigger, term stats, scoring) —
-    # persist so tokenize+explode+groupBy runs once. The cache is scoped to
-    # the returned DataFrame's lifetime: it is LRU-evictable and sized by
-    # the sf-dir corpus; callers running many entries in one long session
-    # can spark.catalog.clearCache() between them.
-    tf = term_frequencies(docs).persist()
+    # eagerly localCheckpoint so tokenize+explode+groupBy runs exactly once
+    # and the blocks are ContextCleaner-freed when the DataFrame is GC'd:
+    # repeated entry invocations in one long session leak nothing (a bare
+    # persist() accumulated catalog-cached tables; round-2 ADVICE item 4)
+    tf = term_frequencies(docs).localCheckpoint()
     n_docs, avgdl = corpus_stats(docs)
     tstats = term_stats(tf, n_docs)
     out = bm25_topk(tf, tstats, _doc_queries_df(spark), n_docs, avgdl)
@@ -361,9 +361,10 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
-    # sig feeds both the band-bucket join and the estimate join; the cache
-    # is LRU-evictable (see q_bm25_topk_documents note on cache scope)
-    sig = minhash_signatures(shingles(_doc_tokens(spark, sf_dir))).persist()
+    # sig feeds both the band-bucket join and the estimate join; eager
+    # localCheckpoint = compute once, blocks GC-freed with the DataFrame
+    # (see q_bm25_topk_documents note)
+    sig = minhash_signatures(shingles(_doc_tokens(spark, sf_dir))).localCheckpoint()
     return lsh_candidate_pairs(sig)
 
 

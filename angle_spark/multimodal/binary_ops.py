@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side architecture is real and tested — schema, Arrow batch shape,
-partition sizing, UDF signatures; only the codec leaf (actual JPEG/WAV
-decode) is stubbed, because the container ships no image/audio libraries.
-A real deployment swaps ``_decode_image_stub`` for PIL/torchvision inside
-the same mapInPandas; nothing else changes.
+partition sizing, UDF signatures. The image codec leaf is REAL for PNG
+(pure stdlib zlib decode + numpy unfilter, angle_spark/multimodal/png.py —
+no PIL required); non-PNG payloads (JPEG/WAV would need external
+libraries the container doesn't ship) fall back to the disclosed
+deterministic histogram stub. A real deployment swaps the fallback for
+PIL/torchvision inside the same mapInPandas; nothing else changes.
 
 Schema convention:
     media(media_id long, kind string, payload binary,
@@ -67,14 +69,41 @@ def synth_media_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB — the container has no image codec. Deterministic fake:
-    feature = normalized byte histogram folded to FEATURE_DIM. A real
-    deployment replaces this body with PIL.Image.open + a model forward;
-    the signature (bytes -> float32[FEATURE_DIM]) is the contract."""
+    """FALLBACK stub for non-PNG payloads (no JPEG/WAV codec in the
+    container). Deterministic fake: feature = normalized byte histogram
+    folded to FEATURE_DIM. A real deployment replaces this body with
+    PIL.Image.open + a model forward; the signature
+    (bytes -> float32[FEATURE_DIM]) is the contract."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
     total = hist.sum()
     return hist / total if total else hist
+
+
+def png_features(pixels: np.ndarray) -> np.ndarray:
+    """decoded pixels -> FEATURE_DIM features: a normalized intensity
+    histogram over the channel-mean image (FEATURE_DIM equal-width bins
+    of [0, 256)) — real pixel statistics, deterministic, model-free."""
+    gray = pixels.astype(np.float32).mean(axis=2)
+    bins = np.minimum(
+        (gray * (FEATURE_DIM / 256.0)).astype(np.int64), FEATURE_DIM - 1
+    )
+    hist = np.bincount(bins.ravel(), minlength=FEATURE_DIM).astype(np.float32)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """REAL path for PNG (stdlib zlib + numpy unfilter); histogram stub
+    otherwise. Both return float32[FEATURE_DIM]."""
+    from angle_spark.multimodal.png import decode_png, is_png
+
+    if is_png(payload):
+        try:
+            return png_features(decode_png(payload))
+        except ValueError:
+            pass  # unsupported PNG variant -> disclosed fallback
+    return _decode_image_stub(payload)
 
 
 def decode_features(media: DataFrame, emit_batch_size: bool = False) -> DataFrame:
@@ -92,7 +121,7 @@ def decode_features(media: DataFrame, emit_batch_size: bool = False) -> DataFram
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_image_stub(p).tolist() for p in pdf["payload"]
+                _decode_image(p).tolist() for p in pdf["payload"]
             ]
             out = pd.DataFrame(
                 {

