@@ -10,7 +10,8 @@ Layout under <out_dir>/:
     corpus_stats.json                     n_docs, avgdl, config
     segments/segment_id=K/*.parquet      encoded block rows, one dir per segment
     lineage/*.parquet                     (partition_id, doc_count, term_count,
-                                           bytes, wall_ms, commit_ts) per segment
+                                           bytes, wall_ms, commit_ts,
+                                           token_count) per segment commit
     merged/bucket=B/*.parquet             final term-bucketed, salt-spread layout
     term_stats/*.parquet                  (term, df, cf)
 
@@ -39,7 +40,7 @@ from angle_spark.index.stats import corpus_stats
 
 LINEAGE_SCHEMA = (
     "partition_id long, doc_count long, term_count long, bytes long, "
-    "wall_ms long, commit_ts timestamp"
+    "wall_ms long, commit_ts timestamp, token_count long"
 )
 
 # kept in IndexMeta for layout versioning; the merged layout is range-
@@ -199,6 +200,7 @@ def build_index(
                 + F.octet_length("tfs_bin")
                 + F.octet_length("dls_bin")
             ).alias("bytes"),
+            F.sum("sum_tf").alias("token_count"),
         )
         doc_counts = spark.createDataFrame(
             [(s, seg_counts.get(s, 0)) for s in batch],
@@ -211,6 +213,7 @@ def build_index(
             F.coalesce("bytes", F.lit(0)).alias("bytes"),
             F.lit(wall_ms).alias("wall_ms"),
             F.current_timestamp().alias("commit_ts"),
+            F.coalesce("token_count", F.lit(0)).alias("token_count"),
         )
         _write(lineage_rows, _lineage_dir(out_dir), sink_format, "append")
         blocks.unpersist()
@@ -320,19 +323,38 @@ def merge_index(
 
 
 def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
-    """Recompute (n_docs, avgdl) from the index itself — lineage carries
-    doc counts, blocks carry sum_tf (total tokens) — and rewrite
+    """Recompute (n_docs, avgdl) from LINEAGE ONLY — every commit row
+    carries (doc_count, token_count), so a streamed refresh is
+    O(#lineage rows), never a scan over the index blocks — and rewrite
     corpus_stats.json. Needed after streamed delta segments land, so BM25
     scores use corpus-true stats rather than build-time ones. Exact:
-    avgdl = sum(all tf) / n_docs, both integers until the final division."""
+    avgdl = sum(all tf) / n_docs, both integers until the final division.
+    Legacy lineage written before token_count existed falls back to the
+    (column-pruned) segments sum_tf scan once; any refresh after a new
+    commit uses the fast path."""
     stats_path = os.path.join(out_dir, "corpus_stats.json")
     meta = IndexMeta(**json.loads(fsio.read_text(spark, stats_path)))
-    # every lineage row counts each doc exactly once (batch rows: docs per
-    # segment; streamed rows: docs added by that micro-batch) -> plain sum
+    # every lineage row counts each doc/token exactly once (batch rows:
+    # per segment; streamed rows: per micro-batch) -> plain sums
     lin = _read_table(spark, _lineage_dir(out_dir), meta.sink_format)
-    n_docs = int(lin.agg(F.sum("doc_count")).collect()[0][0])
-    seg = _read_table(spark, os.path.join(out_dir, "segments"), meta.sink_format)
-    total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+    row = lin.agg(
+        F.sum("doc_count").alias("docs"),
+        *(
+            [
+                F.sum("token_count").alias("tokens"),
+                F.count(F.when(F.col("token_count").isNull(), 1)).alias("nulls"),
+            ]
+            if "token_count" in lin.columns
+            else []
+        ),
+    ).collect()[0]
+    n_docs = int(row["docs"])
+    if "token_count" in lin.columns and row["nulls"] == 0 and row["tokens"] is not None:
+        total_tokens = int(row["tokens"])
+    else:  # legacy / mixed-era lineage: any row missing token_count
+        # forces the (column-pruned) block scan — never a silent undercount
+        seg = _read_table(spark, os.path.join(out_dir, "segments"), meta.sink_format)
+        total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
     meta.n_docs = n_docs
     meta.avgdl = total_tokens / n_docs if n_docs else 0.0
     fsio.write_text(spark, stats_path, json.dumps(meta.__dict__))

@@ -93,6 +93,7 @@ def append_micro_batch(
             + F.octet_length("tfs_bin")
             + F.octet_length("dls_bin")
         ).alias("bytes"),
+        F.sum("sum_tf").alias("token_count"),
     )
     wall_ms = int((time.monotonic() - t0) * 1000)
     (
@@ -104,6 +105,7 @@ def append_micro_batch(
             F.col("bytes"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),
             F.current_timestamp().alias("commit_ts"),
+            F.col("token_count"),
         )
         .write.mode("append")
         .parquet(os.path.join(out_dir, "lineage"))

@@ -138,6 +138,57 @@ def test_incremental_merge_is_o_delta(spark, tmp_path):
     _assert_matches_oracle(spark, out)  # post-compaction answers unchanged
 
 
+def test_multi_append_visibility_without_merge(spark, tmp_path):
+    """three direct micro-batch appends (no streaming machinery, no
+    merge at any point): the delta union must expose every committed
+    batch, and scores must use refreshed corpus stats."""
+    from angle_spark.streaming.maintain import append_micro_batch
+
+    out = str(tmp_path / "idx")
+    splits = [20, 28, 34, N_ALL]
+    batch = transcripts_df(spark, splits[0], seed=42)
+    docs = with_tokens(assign_doc_ids(batch)).select("doc_id", "tokens", "dl")
+    hw = build_index(spark, docs, out, segment_docs=256, block_size=32).n_docs
+
+    full = transcripts_df(spark, N_ALL, seed=42)
+    for i, (lo, hi) in enumerate(zip(splits, splits[1:])):
+        part = full.filter(
+            (full.conv_id >= f"conv_{lo:08d}") & (full.conv_id < f"conv_{hi:08d}")
+        )
+        hw = append_micro_batch(part, i, out, hw)
+
+    refresh_corpus_stats(spark, out)
+    _assert_matches_oracle(spark, out)
+
+
+def test_refresh_is_lineage_only_with_legacy_fallback(spark, tmp_path):
+    """refresh_corpus_stats sums (doc_count, token_count) from lineage —
+    O(commits), no block scan. A legacy lineage (token_count missing)
+    must fall back to the block scan, never silently undercount."""
+    out = str(tmp_path / "idx")
+    docs = with_tokens(assign_doc_ids(transcripts_df(spark, 12, seed=3))).select(
+        "doc_id", "tokens", "dl"
+    )
+    meta = build_index(spark, docs, out, segment_docs=64, block_size=16)
+    m1 = refresh_corpus_stats(spark, out)
+    assert (m1.n_docs, m1.avgdl) == (meta.n_docs, meta.avgdl)
+
+    # rewrite lineage WITHOUT token_count (what a round-2 index has)
+    lin_dir = os.path.join(out, "lineage")
+    legacy = spark.read.parquet(lin_dir).drop("token_count").collect()
+    legacy_df = spark.createDataFrame(
+        legacy,
+        schema="partition_id long, doc_count long, term_count long, "
+        "bytes long, wall_ms long, commit_ts timestamp",
+    )
+    import shutil
+
+    shutil.rmtree(lin_dir)
+    legacy_df.write.parquet(lin_dir)
+    m2 = refresh_corpus_stats(spark, out)
+    assert (m2.n_docs, m2.avgdl) == (meta.n_docs, meta.avgdl)
+
+
 def test_incremental_merge_noop_when_no_delta(spark, tmp_path):
     out = str(tmp_path / "idx")
     docs = with_tokens(assign_doc_ids(transcripts_df(spark, 10, seed=7))).select(
