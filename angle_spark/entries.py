@@ -748,6 +748,34 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN, inverted-file path: IVF-flat (operators/ann.py::ivf_topk) —
+#     the second classic ANN scale shape next to LSH. The oracle
+#     replicates the EXACT algorithm (deterministic smallest-vec_id coarse
+#     quantizer, same reduced-L2 assignment, same probe set, same
+#     rescore), so the hash verifies the IVF itself. Recall vs brute
+#     force is gated in tests/test_ann.py (random gaussian embeddings are
+#     IVF's worst case — no cluster structure; 0.70 at cells=16/nprobe=8).
+IVF_N_CELLS, IVF_NPROBE = 16, 8
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= ANN_N_QUERIES)
+    out = ivf_topk(corpus, queries, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE, k=ANN_K)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 # --- F11/F12: the reference's loss kernels — angle-difference (complex
 #     division, reference loss.py:62-81), MSE (angle.py:374-382) and KL
 #     over softmax distributions (loss.py:8-20) — per embedding pair.
@@ -817,6 +845,7 @@ QUERIES = {
     "softmax_lse": q_softmax_lse,
     "pca_covariance": q_pca_covariance,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "loss_kernels": q_loss_kernels,
 }
 
@@ -1357,3 +1386,55 @@ def _ann_oracle_sql() -> str:
 
 
 ORACLE_SQL["ann_lsh_topk"] = _ann_oracle_sql()
+
+
+def _ivf_oracle_sql() -> str:
+    """replicates ivf_topk exactly: smallest-vec_id coarse quantizer,
+    reduced-squared-L2 nearest-cell assignment (c.c - 2 v.c — the v.v
+    term is per-row constant), nprobe nearest cells per query, exact
+    cosine rescore of probed cells only. list_dot_product folds the
+    arrays in order, matching Spark's aggregate/zip_with fold."""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        corp AS (SELECT vec_id, v FROM e WHERE vec_id >= {ANN_N_QUERIES}),
+        qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}),
+        cents AS (
+          SELECT vec_id AS cell, v AS cv, list_dot_product(v, v) AS cc
+          FROM corp ORDER BY vec_id LIMIT {IVF_N_CELLS}
+        ),
+        assign AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT c.vec_id, c.v, t.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY t.cc - 2 * list_dot_product(c.v, t.cv), t.cell
+                   ) AS rn
+            FROM corp c CROSS JOIN cents t
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT qid, qv, cell FROM (
+            SELECT q.qid, q.qv, t.cell,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY t.cc - 2 * list_dot_product(q.qv, t.cv), t.cell
+                   ) AS rn
+            FROM qs q CROSS JOIN cents t
+          ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+          SELECT p.qid, a.vec_id,
+                 list_dot_product(a.v, p.qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(p.qv, p.qv))) AS cos_raw
+          FROM assign a JOIN probes p USING (cell)
+        )
+        SELECT query_id, rank, vec_id, round(cos_raw, 6) AS cosine FROM (
+          SELECT 'q' || qid AS query_id, vec_id, cos_raw,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_raw DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= {ANN_K}
+    """
+
+
+ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()

@@ -17,6 +17,13 @@ Local smoke:
 
 Resume semantics: rerunning the same command after a failure skips the
 segments whose lineage rows are committed (see angle_spark.index.build).
+
+Maintenance: --append adds new transcripts to an EXISTING index as a
+delta micro-batch (no rebuild; queries see it immediately through the
+load_index delta union), --compact folds committed deltas into the
+merged layout as an O(delta) incremental merge. Appended conversations
+must sort after the already-indexed ones under (conv_id, turn_idx) —
+the same stable-order contract the streaming path has.
 """
 
 from __future__ import annotations
@@ -37,15 +44,61 @@ def main() -> None:
     ap.add_argument("--out", help="results parquet dir")
     ap.add_argument("--segment-docs", type=int, default=None)
     ap.add_argument("--demo", action="store_true", help="self-contained local demo")
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="add --transcripts to an existing --index as a delta batch",
+    )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="incremental-merge committed deltas into the layout",
+    )
     args = ap.parse_args()
 
-    from angle_spark.index.build import build_index, load_index
+    from angle_spark.index.build import (
+        build_index,
+        load_index,
+        merge_index,
+        refresh_corpus_stats,
+    )
     from angle_spark.index.stats import with_tokens
     from angle_spark.operators.docids import assign_doc_ids
     from angle_spark.query.wand import wand_topk
     from angle_spark.session import get_spark
 
     spark = get_spark(app_name="angle_spark_build_and_query")
+
+    if args.append or args.compact:
+        if not args.index:
+            ap.error("--index required")
+        if args.append:
+            if not args.transcripts:
+                ap.error("--append requires --transcripts")
+            from angle_spark.streaming.maintain import append_micro_batch
+
+            meta = refresh_corpus_stats(spark, args.index)
+            hw = append_micro_batch(
+                spark.read.parquet(args.transcripts), 0, args.index, meta.n_docs
+            )
+            print(f"appended {hw - meta.n_docs} turns (delta, no merge)")
+        meta = refresh_corpus_stats(spark, args.index)
+        if args.compact:
+            merge_index(spark, args.index, meta, incremental=True)
+            print(f"compacted deltas; merged_docs={meta.merged_docs}")
+        print(f"index now {meta.n_docs} turns (avgdl={meta.avgdl:.2f})")
+        if args.queries and args.out:
+            qrows = json.load(open(args.queries))
+            queries = spark.createDataFrame(
+                [(q["query_id"], q["text"], int(q.get("k", 10))) for q in qrows],
+                schema="query_id string, text string, k int",
+            )
+            merged, tstats, meta = load_index(spark, args.index)
+            wand_topk(spark, merged, tstats, meta, queries).write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            print(f"wrote results -> {args.out}")
+        return
 
     if args.demo:
         import tempfile

