@@ -401,6 +401,26 @@ def q_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_topk_pairs(_read(spark, sf_dir, "embeddings"), k=20)
 
 
+# --- embedding near-dup pairs, SCALE path: banded RHP-LSH self-join +
+#     exact cosine rescore (operators/dedup.py::embedding_near_pairs_lsh).
+#     Complements the disclosed O(N^2) embedding_topk_pairs baseline. The
+#     oracle replicates the LSH (hyperplanes as literals), so the hash
+#     verifies the bucketing itself.
+EMB_PAIRS_THRESHOLD = 0.4
+
+
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import embedding_near_pairs_lsh
+
+    out = embedding_near_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=EMB_PAIRS_THRESHOLD,
+        n_planes=ANN_N_PLANES,
+        band_bits=ANN_BAND_BITS,
+    )
+    return out.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+
+
 # --- language-ID heuristic (training-data pipeline op)
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.functions.text_stats import lang_id
@@ -831,6 +851,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_topk_pairs": q_embedding_topk_pairs,
+    "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
     "doc_langid": q_doc_langid,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1438,3 +1459,43 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLE_SQL["ann_ivf_topk"] = _ivf_oracle_sql()
+
+
+def _embedding_pairs_oracle_sql() -> str:
+    """replicates embedding_near_pairs_lsh: same hyperplane literals as
+    the ANN oracle, band signatures self-joined, exact cosine >= t."""
+    from angle_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes=ANN_N_PLANES, seed=1234)
+    vals = ", ".join(
+        f"({p}, {j}, {float(w)!r})"
+        for p in range(ANN_N_PLANES)
+        for j, w in enumerate(planes[p])
+    )
+    bb = ANN_BAND_BITS
+    band_val = f"sum(((d > 0)::BIGINT) << ({bb} - 1 - (p % {bb})))::BIGINT"
+    return f"""
+        WITH planes(p, j, w) AS (VALUES {vals}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (SELECT vec_id, unnest(v) AS val, unnest(range(0, len(v))) AS j FROM e),
+        dots AS (SELECT vec_id, p, sum(val * w) AS d
+                 FROM ex JOIN planes USING (j) GROUP BY vec_id, p),
+        bands AS (SELECT vec_id, (p // {bb})::INT AS band_idx, {band_val} AS band_val
+                  FROM dots GROUP BY vec_id, band_idx),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                 FROM bands a JOIN bands b USING (band_idx, band_val)
+                 WHERE a.vec_id < b.vec_id),
+        scored AS (
+          SELECT id1, id2,
+                 list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))) AS cos_raw
+          FROM cand
+          JOIN e x ON x.vec_id = id1
+          JOIN e y ON y.vec_id = id2)
+        SELECT id1, id2, round(cos_raw, 6) AS cosine
+        FROM scored WHERE cos_raw >= {EMB_PAIRS_THRESHOLD}
+    """
+
+
+ORACLE_SQL["embedding_near_pairs_lsh"] = _embedding_pairs_oracle_sql()

@@ -19,7 +19,10 @@ Operators:
   simhash_near_pairs   pairs within a Hamming radius (pigeonhole bit-chunk
                        buckets + exact rescore; cross-join shadow kept
                        test-only as simhash_near_pairs_exhaustive)
-  embedding_topk_pairs brute-force cosine top-k pairs (near-dup by vector)
+  embedding_topk_pairs brute-force cosine top-k pairs (near-dup by vector;
+                       disclosed O(N^2) exact baseline)
+  embedding_near_pairs_lsh  banded RHP-LSH self-join + exact rescore —
+                       the scale path for vector near-dup pairs
 """
 
 from __future__ import annotations
@@ -255,6 +258,53 @@ def simhash_near_pairs_exhaustive(sh: DataFrame, max_hamming: int = 3) -> DataFr
             F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 24,
+    band_bits: int = 2,
+    seed: int = 1234,
+) -> DataFrame:
+    """embedding near-duplicate PAIRS via banded RHP-LSH self-join — the
+    scale path for vector dedup (the exact complement of
+    ``embedding_topk_pairs``, which stays the disclosed O(N^2) baseline).
+
+    Shape: one signature pass over the corpus, self-equi-join on
+    (band_idx, band_val) — pairs meet only in shared sign-buckets, never
+    an all-pairs product — then exact cosine rescore >= threshold.
+    Approximate: a pair missing every shared band is not produced
+    (recall rises with the number of bands; with real near-duplicate
+    structure, high-cosine pairs share sign bits w.h.p.).
+
+    -> (id1, id2, cosine)."""
+    from angle_spark.operators.ann import _dot, _hyperplanes, _norm, rhp_signature_col
+
+    planes = _hyperplanes(64, n_planes=n_planes, seed=seed)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("sig", rhp_signature_col(F.col("v"), planes, band_bits))
+    keyed = v.select(
+        "vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), "band_idx", "band_val"
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return (
+        cand.select("id1", "id2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -60,6 +60,44 @@ def test_bucketed_plan_has_no_cartesian(spark):
     assert "CartesianProduct" in shadow or "BroadcastNestedLoopJoin" in shadow
 
 
+def test_embedding_near_pairs_lsh_subset_and_recall(spark):
+    """LSH pairs = subset of the exact >=threshold pairs (rescore is
+    exact, so no false positives); 12 two-bit bands keep recall high
+    even at cosine 0.4 (per-band match ~0.4 -> miss prob 0.6^12)."""
+    from pyspark.sql import functions as F
+
+    from angle_spark.operators.dedup import embedding_near_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t = 0.4
+    got = {
+        (r["id1"], r["id2"])
+        for r in embedding_near_pairs_lsh(
+            emb, threshold=t, n_planes=24, band_bits=2
+        ).collect()
+    }
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = v.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n1 = F.sqrt(F.aggregate(F.transform("v1", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    n2 = F.sqrt(F.aggregate(F.transform("v2", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    exact = {
+        (r["id1"], r["id2"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", (dot / (n1 * n2)).alias("c"))
+        .filter(F.col("c") >= t)
+        .collect()
+    }
+    assert got <= exact  # exact rescore -> no false positives
+    assert exact and len(got) / len(exact) >= 0.9
+
+
 def test_near_pairs_sane(spark):
     """near-pairs at a tight radius are a tiny fraction of all pairs on a
     mostly-distinct corpus (the whole point of bucketing), and hamming is
