@@ -23,12 +23,15 @@ if _REPO_DIR not in sys.path:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-k retrieval over sf0.001 documents — tokenize ->
-    tf/df/avgdl stats -> broadcast query-term join -> deterministic score
-    fold -> per-query top-k window (SURVEY.md §7 step 4)."""
-    from angle_spark.entries import q_bm25_topk_documents
+    """Flagship: the COMPLETE compressed-index engine cycle over sf0.001
+    documents — SPIMI per-partition posting lists -> delta+varint block
+    codec -> range-partitioned merge -> block-max/MaxScore-pruned BM25
+    top-k (SURVEY.md §7 steps 4-8). Same path as the `bm25_wand_index`
+    oracle entry; the declarative BM25 stays separately oracle-checked
+    as `bm25_topk_documents`."""
+    from angle_spark.entries import q_bm25_wand_index
 
-    return q_bm25_topk_documents(spark, "/root/testdata/sf0.001")
+    return q_bm25_wand_index(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
