@@ -71,11 +71,21 @@ def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(docs_where: str = "", candidate_where: str = "") -> str:
+    """ANSI-SQL BM25 over the documents table; rank identity with this is
+    the engine's core claim, for every index path (declarative,
+    compressed+pruned, delete-masked, purged).
+
+    docs_where: filters the corpus itself — stats AND candidates see only
+    the surviving docs (the purged-index semantic: scores as if the
+    deleted docs were never indexed).
+    candidate_where: filters only the ranked candidates — stats stay
+    full-corpus (the pre-purge tombstone-mask semantic: Lucene deletes
+    before a merge)."""
     toks = duckdb_tokens_sql("text")
     return f"""
 WITH docs AS (
-  SELECT doc_id, {toks} AS tokens FROM documents
+  SELECT doc_id, {toks} AS tokens FROM documents {docs_where}
 ), dl AS (
   SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
 ), tf AS (
@@ -99,6 +109,7 @@ WITH docs AS (
   JOIN dft ON dft.term = qt.term
   JOIN dl  ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {candidate_where}
   GROUP BY qt.query_id, qt.k, tf.doc_id
 ), ranked AS (
   SELECT query_id, k, doc_id, raw,
@@ -131,6 +142,79 @@ def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many 16-doc blocks)
     out_dir = tempfile.mkdtemp(prefix="bm25_wand_entry_")
     build_index(spark, docs, out_dir, segment_docs=128, block_size=16)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark), prune=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _build_doc_index_with_deletes(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared setup for the deletion entries: a fresh compressed index over
+    the documents table with every doc_id % 7 == 0 tombstoned (a fixed,
+    oracle-replicable ~14% of the corpus)."""
+    import tempfile
+
+    from angle_spark.index.build import build_index
+    from angle_spark.index.deletes import delete_docs
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    out_dir = tempfile.mkdtemp(prefix=prefix)
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16)
+    delete_docs(
+        spark,
+        out_dir,
+        _read(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 7 == 0),
+    )
+    return out_dir
+
+
+# --- §2.9-adjacent index MAINTENANCE, pre-compaction: tombstoned docs are
+#     excluded from results at decode time inside each shard task while
+#     corpus stats stay full-corpus (Lucene delete semantics before a
+#     merge — index/deletes.py). The oracle keeps the stats CTEs over ALL
+#     docs and filters only the ranked candidates.
+def q_bm25_delete_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.index.deletes import load_deletes
+    from angle_spark.query.wand import wand_topk
+
+    out_dir = _build_doc_index_with_deletes(spark, sf_dir, "bm25_delmask_entry_")
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark),
+        prune=True,
+        deletes=load_deletes(spark, out_dir),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# --- the compaction: purge_deletes physically rewrites affected posting
+#     blocks (cogrouped per segment, atomic dir swap), full-merges, and
+#     switches stats to live values — the index must now score EXACTLY as
+#     if the deleted docs were never indexed, which is what the oracle
+#     asserts by filtering the corpus CTE itself (stats recomputed live).
+def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.index.deletes import purge_deletes
+    from angle_spark.query.wand import wand_topk
+
+    out_dir = _build_doc_index_with_deletes(spark, sf_dir, "bm25_purge_entry_")
+    purge_deletes(spark, out_dir)
     merged, tstats, meta = load_index(spark, out_dir)
     out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark), prune=True)
     return out.select(
@@ -829,6 +913,8 @@ def q_loss_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
+    "bm25_delete_mask": q_bm25_delete_mask,
+    "bm25_purged_index": q_bm25_purged_index,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -897,6 +983,8 @@ ORACLE_SQL = {
     # the compressed path must be rank- AND score-identical to the same
     # SQL BM25 the declarative path is checked against
     "bm25_wand_index": _bm25_oracle_sql(),
+    "bm25_delete_mask": _bm25_oracle_sql(candidate_where="WHERE tf.doc_id % 7 <> 0"),
+    "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (

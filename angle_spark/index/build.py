@@ -62,6 +62,17 @@ class IndexMeta:
     # splits merged/ content from delta blocks). 0 = legacy meta written
     # before this field existed -> treat merged/ as covering everything.
     merged_docs: int = 0
+    # cumulative purge counters (index/deletes.py). n_docs stays the
+    # docID-space bound (dense-assignment watermark, orphan guard);
+    # SCORING uses live_docs = n_docs - purged_docs, and stored avgdl is
+    # the live average once a purge has run. Both 0 on never-purged
+    # indexes, where live == total and nothing changes.
+    purged_docs: int = 0
+    purged_tokens: int = 0
+
+    @property
+    def live_docs(self) -> int:
+        return self.n_docs - self.purged_docs
 
 
 def _write(df: DataFrame, path: str, fmt: str, mode: str, partition_by=None) -> None:
@@ -350,13 +361,18 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
     ).collect()[0]
     n_docs = int(row["docs"])
     if "token_count" in lin.columns and row["nulls"] == 0 and row["tokens"] is not None:
-        total_tokens = int(row["tokens"])
+        # lineage totals include since-purged docs; the cumulative purge
+        # counters (index/deletes.py) subtract them back out exactly
+        live_tokens = int(row["tokens"]) - meta.purged_tokens
     else:  # legacy / mixed-era lineage: any row missing token_count
-        # forces the (column-pruned) block scan — never a silent undercount
+        # forces the (column-pruned) block scan — never a silent
+        # undercount. Purged postings are already absent from blocks, so
+        # the counters must NOT be subtracted on this path.
         seg = _read_table(spark, os.path.join(out_dir, "segments"), meta.sink_format)
-        total_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+        live_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
     meta.n_docs = n_docs
-    meta.avgdl = total_tokens / n_docs if n_docs else 0.0
+    live_docs = n_docs - meta.purged_docs
+    meta.avgdl = live_tokens / live_docs if live_docs else 0.0
     fsio.write_text(spark, stats_path, json.dumps(meta.__dict__))
     return meta
 

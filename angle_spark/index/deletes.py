@@ -1,0 +1,253 @@
+"""Document deletion: tombstones, query-time masking, physical purge.
+
+Classic log-structured-index delete semantics (the same contract Lucene
+documents for `deleteDocuments` + merge):
+
+- ``delete_docs`` appends docID tombstones under ``<out_dir>/deletes/``.
+  Nothing in the index is rewritten — a delete is O(tombstones).
+- Queries exclude deleted docs IMMEDIATELY: ``wand_topk(...,
+  deletes=load_deletes(...))`` masks tombstoned postings at block-decode
+  time inside each shard task, so block-max/MaxScore pruning stays exact
+  (every bound remains a valid upper bound for the surviving postings,
+  and theta is only ever raised by live docs). Corpus statistics
+  (n_docs, avgdl, df) intentionally remain those of the full corpus
+  until a purge — deleted docs still influence scores of live docs,
+  exactly as in Lucene before a merge.
+- ``purge_deletes`` is the compaction: it decode-filter-re-encodes every
+  affected posting block (blocks without tombstoned docs pass through
+  byte-identical, no re-encode), rewrites ``segments/`` via an atomic
+  dir swap, full-merges, and updates the corpus stats to LIVE values —
+  after a purge the index scores as if the deleted docs were never
+  indexed. docIDs are NOT reassigned (the docID space keeps holes), so
+  purge composes with streamed appends: the dense-assignment watermark
+  ``meta.n_docs`` is unchanged and new docs continue above it.
+
+Stats bookkeeping: ``meta.purged_docs`` / ``meta.purged_tokens`` are
+cumulative counters; live scoring stats are
+``n_docs - purged_docs`` and ``(lineage token sum - purged_tokens) /
+(n_docs - purged_docs)``, which keeps ``refresh_corpus_stats`` an
+O(lineage) operation with no postings scan. Token accounting is exact:
+every posting of a deleted doc is removed exactly once, so the drop in
+``sum(sum_tf)`` across blocks equals the deleted docs' total token
+count. Caller contract: tombstoned ids must be LIVE docIDs (deleting an
+id twice across purges, or an id that was never indexed, skews only the
+advisory live-doc counter — postings-level behavior stays correct).
+
+Scale shape: tombstones are never broadcast. The query side cogroups
+them with posting blocks on the shard key; the purge cogroups them on
+segment_id — each task sees only its own docID range's tombstones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from angle_spark import fsio
+from angle_spark.codec import (
+    B,
+    K1,
+    decode_doc_deltas,
+    decode_tfs,
+    decode_varints,
+    encode_doc_deltas,
+    encode_tfs,
+    encode_varints,
+)
+from angle_spark.index.build import IndexMeta, _read_table, _write
+from angle_spark.index.spimi import SEGMENT_SCHEMA
+
+DELETES_SCHEMA = "doc_id long"
+
+
+def _deletes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "deletes")
+
+
+def _load_meta(spark: SparkSession, out_dir: str) -> IndexMeta:
+    return IndexMeta(
+        **json.loads(fsio.read_text(spark, os.path.join(out_dir, "corpus_stats.json")))
+    )
+
+
+def delete_docs(spark: SparkSession, out_dir: str, doc_ids: DataFrame) -> int:
+    """Append tombstones for the given docIDs; returns how many were
+    recorded. Ids outside [0, n_docs) are dropped (nothing to delete
+    there — the docID space is dense below the watermark), and the batch
+    is deduplicated. O(tombstones); the index itself is untouched."""
+    meta = _load_meta(spark, out_dir)
+    dels = (
+        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(meta.n_docs)))
+        .distinct()
+    )
+    _write(dels, _deletes_dir(out_dir), meta.sink_format, "append")
+    return _load_deletes_df(spark, out_dir, meta).count()
+
+
+def _load_deletes_df(
+    spark: SparkSession, out_dir: str, meta: IndexMeta
+) -> DataFrame | None:
+    path = _deletes_dir(out_dir)
+    if meta.sink_format == "parquet":
+        if not fsio.has_files_with_suffix(spark, path, ".parquet"):
+            return None
+    elif not fsio.exists(spark, path):
+        return None
+    try:
+        return _read_table(spark, path, meta.sink_format).select("doc_id").distinct()
+    except Exception:
+        return None  # dir exists but holds no committed tombstones
+
+
+def load_deletes(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Current tombstone set as a (doc_id) DataFrame, or None when the
+    index has no pending deletes. Pass the result straight to
+    ``wand_topk(..., deletes=...)``."""
+    return _load_deletes_df(spark, out_dir, _load_meta(spark, out_dir))
+
+
+def mask_postings(
+    doc_ids: np.ndarray, deleted_sorted: np.ndarray
+) -> np.ndarray | None:
+    """Boolean keep-mask for a decoded posting array against a SORTED
+    tombstone array, or None when nothing in the block is deleted (the
+    caller's fast path: reuse the original arrays/bytes untouched)."""
+    if deleted_sorted.size == 0 or doc_ids.size == 0:
+        return None
+    # both sides sorted -> branchless membership via searchsorted
+    idx = np.searchsorted(deleted_sorted, doc_ids)
+    idx[idx == deleted_sorted.size] = 0
+    hit = deleted_sorted[idx] == doc_ids
+    if not hit.any():
+        return None
+    return ~hit
+
+
+def _purge_block_rows(pdf: pd.DataFrame, deleted: np.ndarray, avgdl: float) -> pd.DataFrame:
+    """One segment's block rows minus tombstoned postings. Blocks with no
+    tombstoned doc pass through unchanged (byte-identical); emptied
+    blocks are dropped; the rest re-encode with recomputed stats."""
+    if len(pdf) == 0 or deleted.size == 0:
+        return pdf
+    keep_rows = []
+    for i in range(len(pdf)):
+        row = pdf.iloc[i]
+        # cheap range reject before any decode
+        lo = np.searchsorted(deleted, row["first_doc"])
+        if lo == deleted.size or deleted[lo] > row["last_doc"]:
+            keep_rows.append(row)
+            continue
+        d = decode_doc_deltas(row["docs_bin"])
+        keep = mask_postings(d, deleted)
+        if keep is None:
+            keep_rows.append(row)
+            continue
+        if not keep.any():
+            continue  # block fully deleted
+        d = d[keep]
+        tf = decode_tfs(row["tfs_bin"])[keep]
+        dl = decode_varints(row["dls_bin"]).astype(np.int64)[keep]
+        tff = tf.astype(np.float64)
+        imp = tff * (K1 + 1.0) / (
+            tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
+        )
+        new = row.copy()
+        new["first_doc"] = int(d[0])
+        new["last_doc"] = int(d[-1])
+        new["n_postings"] = np.int32(len(d))
+        new["max_tf"] = np.int32(tf.max())
+        new["min_dl"] = np.int64(dl.min())
+        new["sum_tf"] = np.int64(tf.sum())
+        new["max_impact"] = float(imp.max())
+        new["docs_bin"] = encode_doc_deltas(d)
+        new["tfs_bin"] = encode_tfs(tf)
+        new["dls_bin"] = encode_varints(dl.astype(np.uint64))
+        keep_rows.append(new)
+    if not keep_rows:
+        return pdf.iloc[0:0]
+    return pd.DataFrame(keep_rows).reset_index(drop=True)
+
+
+def purge_deletes(spark: SparkSession, out_dir: str) -> IndexMeta:
+    """Physically remove tombstoned postings and switch corpus stats to
+    live values (see module docstring). No-op when there are no pending
+    tombstones. Returns the refreshed IndexMeta."""
+    from angle_spark.index.build import merge_index
+
+    meta = _load_meta(spark, out_dir)
+    dels = _load_deletes_df(spark, out_dir, meta)
+    if dels is None:
+        return meta
+    n_del = dels.count()
+    if n_del == 0:
+        return meta
+
+    seg_dir = os.path.join(out_dir, "segments")
+    seg = _read_table(spark, seg_dir, meta.sink_format)
+    old_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
+
+    # tombstones meet blocks only in their own segment — cogrouped on
+    # segment_id, never broadcast (the tombstone set is unbounded between
+    # compactions at 10^12 docs; each task sees only its docID range's)
+    dels_seg = dels.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long")
+    )
+    avgdl = meta.avgdl
+
+    def fn(key, blocks: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return blocks
+        deleted = np.sort(tomb["doc_id"].to_numpy(dtype=np.int64))
+        return _purge_block_rows(blocks, deleted, avgdl)
+
+    purged = (
+        seg.groupby("segment_id")
+        .cogroup(dels_seg.groupby("segment_id"))
+        .applyInPandas(fn, schema=SEGMENT_SCHEMA)
+    )
+    tmp_dir = seg_dir + "_tmp"
+    _write(
+        purged.repartition(F.col("segment_id")).sortWithinPartitions(
+            "term", "block_in_seg"
+        ),
+        tmp_dir,
+        meta.sink_format,
+        "overwrite",
+        partition_by=["segment_id"],
+    )
+    new_tokens = int(
+        _read_table(spark, tmp_dir, meta.sink_format)
+        .agg(F.sum("sum_tf"))
+        .collect()[0][0]
+        or 0
+    )
+    # atomic-ish dir swap (rename is atomic on HDFS/file); a crash between
+    # the two renames leaves segments_old/ to recover from
+    fsio.rename(spark, seg_dir, seg_dir + "_old")
+    fsio.rename(spark, tmp_dir, seg_dir)
+    fsio.delete(spark, seg_dir + "_old")
+
+    meta.purged_docs += n_del
+    meta.purged_tokens += old_tokens - new_tokens
+    live_docs = meta.n_docs - meta.purged_docs
+    meta.avgdl = new_tokens / live_docs if live_docs else 0.0
+    # rebuild merged/ + term_stats from the purged segments (df must drop
+    # with the postings); full merge = the compaction that also restores
+    # the tight range layout
+    merge_index(spark, out_dir, meta, incremental=False)
+    # everything on disk is merged now; silence the delta-union path that
+    # merge_index's hi+1 watermark would otherwise leave open when the
+    # tail docs were purged
+    meta.merged_docs = meta.n_docs
+    fsio.write_text(
+        spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
+    )
+    fsio.delete(spark, _deletes_dir(out_dir))
+    return meta

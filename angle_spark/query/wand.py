@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from angle_spark.codec import B, K1, decode_doc_deltas, decode_tfs, decode_varints
 from angle_spark.index.build import IndexMeta
+from angle_spark.index.deletes import mask_postings
 from angle_spark.index.stats import idf_value
 
 SHARD_SEGMENTS = None  # auto: ~4 shards per core (see wand_topk)
@@ -210,7 +211,11 @@ def _maxscore_multi(
 
 
 def _score_shard_multi(
-    pdf: pd.DataFrame, qt: pd.DataFrame, avgdl: float, prune: bool
+    pdf: pd.DataFrame,
+    qt: pd.DataFrame,
+    avgdl: float,
+    prune: bool,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -275,6 +280,15 @@ def _score_shard_multi(
             d = decode_doc_deltas(row.docs_bin)
             tf = decode_tfs(row.tfs_bin).astype(np.float64)
             dl = decode_varints(row.dls_bin).astype(np.float64)
+            if deleted is not None:
+                # tombstone masking at DECODE time keeps pruning exact:
+                # block bounds stay valid upper bounds for the surviving
+                # postings, and theta only ever rises on live docs — a
+                # post-scoring filter would instead let deleted docs
+                # inflate theta and prune away live top-k members
+                keep = mask_postings(d, deleted)
+                if keep is not None:
+                    d, tf, dl = d[keep], tf[keep], dl[keep]
             denom = tf + K1 * (1.0 - B + B * dl / avgdl)
             hit = (d, tf, denom)
             decoded[key] = hit
@@ -400,6 +414,7 @@ def wand_topk(
     queries: DataFrame,
     prune: bool = True,
     shard_segments: int | None = SHARD_SEGMENTS,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -426,6 +441,13 @@ def wand_topk(
     batch, driver tokenization via tokenize_py, zero extra Spark jobs);
     both paths produce identical frames. Same opt-in contract as
     ``tstats``-as-pandas for cached vocabularies.
+
+    ``deletes`` (from index.deletes.load_deletes) masks tombstoned docs:
+    they never appear in results, while corpus stats stay full-corpus
+    until a purge (Lucene delete semantics — see index/deletes.py).
+    Tombstones are cogrouped with the blocks on the shard key, never
+    broadcast, so the tombstone set may grow with the corpus; inside a
+    task they mask at decode time, which keeps pruning exact.
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     if isinstance(queries, pd.DataFrame):
@@ -461,7 +483,9 @@ def wand_topk(
                     query_id,
                     k,
                     terms,
-                    [idf_value(meta.n_docs, int(df_map[t])) for t in terms],
+                    # live_docs == n_docs until a purge; after one, idf
+                    # reflects the post-compaction corpus (deletes.py)
+                    [idf_value(meta.live_docs, int(df_map[t])) for t in terms],
                 )
             )
     if not rows:
@@ -481,10 +505,33 @@ def wand_topk(
     )
     avgdl = meta.avgdl
 
-    def fn(key, pdf):
-        return _score_shard_multi(pdf, b_qt.value, avgdl, prune)
+    if deletes is None:
 
-    local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
+        def fn(key, pdf):
+            return _score_shard_multi(pdf, b_qt.value, avgdl, prune)
+
+        local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
+    else:
+        # a doc's shard is a pure function of its docID (segment_id =
+        # doc_id // segment_docs), so tombstones shuffle straight to the
+        # one task whose blocks can contain them
+        docs_per_shard = meta.segment_docs * shard_segments
+        dels = deletes.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") / F.lit(docs_per_shard)).cast("long").alias("shard"),
+        )
+
+        def fn2(key, pdf, tomb):
+            if len(pdf) == 0:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+            deleted = np.sort(np.unique(tomb["doc_id"].to_numpy(dtype=np.int64)))
+            return _score_shard_multi(pdf, b_qt.value, avgdl, prune, deleted)
+
+        local = (
+            cand.groupby("shard")
+            .cogroup(dels.groupby("shard"))
+            .applyInPandas(fn2, schema=_OUT_SCHEMA)
+        )
     kdf = spark.createDataFrame(
         [(qid, k) for qid, k, _ in tokenized], schema="query_id string, k int"
     )

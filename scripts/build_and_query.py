@@ -24,6 +24,10 @@ load_index delta union), --compact folds committed deltas into the
 merged layout as an O(delta) incremental merge. Appended conversations
 must sort after the already-indexed ones under (conv_id, turn_idx) —
 the same stable-order contract the streaming path has.
+--delete tombstones docIDs (O(tombstones); queries run here exclude
+them immediately with full-corpus stats, Lucene-style), --purge is the
+compaction that physically removes their postings and switches the
+stats to live values (index/deletes.py).
 """
 
 from __future__ import annotations
@@ -54,6 +58,18 @@ def main() -> None:
         action="store_true",
         help="incremental-merge committed deltas into the layout",
     )
+    ap.add_argument(
+        "--delete",
+        metavar="IDS_JSON",
+        help="tombstone docIDs from a json list; queries exclude them "
+        "immediately, stats stay full-corpus until --purge",
+    )
+    ap.add_argument(
+        "--purge",
+        action="store_true",
+        help="physically remove tombstoned postings (compaction) and "
+        "switch corpus stats to live values",
+    )
     args = ap.parse_args()
 
     from angle_spark.index.build import (
@@ -69,7 +85,7 @@ def main() -> None:
 
     spark = get_spark(app_name="angle_spark_build_and_query")
 
-    if args.append or args.compact:
+    if args.append or args.compact or args.delete or args.purge:
         if not args.index:
             ap.error("--index required")
         if args.append:
@@ -82,21 +98,46 @@ def main() -> None:
                 spark.read.parquet(args.transcripts), 0, args.index, meta.n_docs
             )
             print(f"appended {hw - meta.n_docs} turns (delta, no merge)")
+        if args.delete:
+            from angle_spark.index.deletes import delete_docs
+
+            ids = json.load(open(args.delete))
+            pending = delete_docs(
+                spark,
+                args.index,
+                spark.createDataFrame([(int(i),) for i in ids], schema="doc_id long"),
+            )
+            print(f"tombstoned; {pending} docIDs pending purge")
+        if args.purge:
+            from angle_spark.index.deletes import purge_deletes
+
+            meta = purge_deletes(spark, args.index)
+            print(
+                f"purged; live_docs={meta.live_docs} "
+                f"(cumulative purged={meta.purged_docs})"
+            )
         meta = refresh_corpus_stats(spark, args.index)
         if args.compact:
             merge_index(spark, args.index, meta, incremental=True)
             print(f"compacted deltas; merged_docs={meta.merged_docs}")
-        print(f"index now {meta.n_docs} turns (avgdl={meta.avgdl:.2f})")
+        print(f"index now {meta.live_docs} live turns (avgdl={meta.avgdl:.2f})")
         if args.queries and args.out:
+            from angle_spark.index.deletes import load_deletes
+
             qrows = json.load(open(args.queries))
             queries = spark.createDataFrame(
                 [(q["query_id"], q["text"], int(q.get("k", 10))) for q in qrows],
                 schema="query_id string, text string, k int",
             )
             merged, tstats, meta = load_index(spark, args.index)
-            wand_topk(spark, merged, tstats, meta, queries).write.mode(
-                "overwrite"
-            ).parquet(args.out)
+            wand_topk(
+                spark,
+                merged,
+                tstats,
+                meta,
+                queries,
+                deletes=load_deletes(spark, args.index),
+            ).write.mode("overwrite").parquet(args.out)
             print(f"wrote results -> {args.out}")
         return
 
