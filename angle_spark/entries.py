@@ -36,18 +36,38 @@ DOC_QUERY_SET: list[tuple[str, str, int]] = [
 ]
 
 
+# Conjunctive (AND) rendition: k exceeds the corpus so the FULL
+# intersection is returned — the per-query result sizes (21/22/15/229/
+# 20/0/...) differ from the disjunctive top-k and from each other, so a
+# mode mix-up cannot pass the oracle. c06 has an out-of-vocabulary token
+# (matches nothing); c07 repeats a token (distinct-token semantics).
+CONJ_QUERY_SET: list[tuple[str, str, int]] = [
+    ("c01", "dup join", 1000),
+    ("c02", "dup hash scan", 1000),
+    ("c03", "scan filter merge sort", 15),
+    ("c04", "customer order line the", 1000),
+    ("c05", "spark dup", 1000),
+    ("c06", "zzzz scan", 10),
+    ("c07", "group group batch", 1000),
+]
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _doc_queries_df(spark: SparkSession) -> DataFrame:
+def _doc_queries_df(
+    spark: SparkSession, query_set: list[tuple[str, str, int]] = DOC_QUERY_SET
+) -> DataFrame:
     return spark.createDataFrame(
-        DOC_QUERY_SET, schema="query_id string, text string, k int"
+        query_set, schema="query_id string, text string, k int"
     )
 
 
-def _doc_queries_values_sql() -> str:
-    rows = ", ".join(f"('{q}', '{t}', {k})" for q, t, k in DOC_QUERY_SET)
+def _doc_queries_values_sql(
+    query_set: list[tuple[str, str, int]] = DOC_QUERY_SET,
+) -> str:
+    rows = ", ".join(f"('{q}', '{t}', {k})" for q, t, k in query_set)
     return f"(VALUES {rows}) AS q(query_id, text, k)"
 
 
@@ -71,18 +91,31 @@ def q_bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle_sql(docs_where: str = "", candidate_where: str = "") -> str:
+def _bm25_oracle_sql(
+    docs_where: str = "",
+    candidate_where: str = "",
+    conjunctive: bool = False,
+    query_set: list[tuple[str, str, int]] = DOC_QUERY_SET,
+) -> str:
     """ANSI-SQL BM25 over the documents table; rank identity with this is
     the engine's core claim, for every index path (declarative,
-    compressed+pruned, delete-masked, purged).
+    compressed+pruned, delete-masked, purged, conjunctive).
 
     docs_where: filters the corpus itself — stats AND candidates see only
     the surviving docs (the purged-index semantic: scores as if the
     deleted docs were never indexed).
     candidate_where: filters only the ranked candidates — stats stay
     full-corpus (the pre-purge tombstone-mask semantic: Lucene deletes
-    before a merge)."""
+    before a merge).
+    conjunctive: AND semantics — only docs matching every distinct query
+    token are ranked (tokens absent from the corpus match nothing)."""
     toks = duckdb_tokens_sql("text")
+    conj_filter = (
+        "JOIN (SELECT query_id, count(*) AS nt FROM qterms GROUP BY query_id) qn"
+        " USING (query_id) WHERE matched = qn.nt"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toks} AS tokens FROM documents {docs_where}
@@ -98,12 +131,13 @@ WITH docs AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), qterms AS (
   SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
-  FROM {_doc_queries_values_sql()}
+  FROM {_doc_queries_values_sql(query_set)}
 ), scored AS (
   SELECT qt.query_id, qt.k, tf.doc_id,
          sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
               * tf.tf * 2.2
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw,
+         count(DISTINCT qt.term) AS matched
   FROM qterms qt
   JOIN tf  ON tf.term = qt.term
   JOIN dft ON dft.term = qt.term
@@ -114,7 +148,7 @@ WITH docs AS (
 ), ranked AS (
   SELECT query_id, k, doc_id, raw,
          row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
-  FROM scored
+  FROM scored {conj_filter}
 )
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
 FROM ranked WHERE rnk <= k
@@ -217,6 +251,39 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     purge_deletes(spark, out_dir)
     merged, tstats, meta = load_index(spark, out_dir)
     out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark), prune=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# --- conjunctive (AND) retrieval over the compressed index: only docs
+#     matching EVERY distinct query token are ranked (BM25-scored; the
+#     shard-local matched-term counter is globally exact because a doc's
+#     postings for all terms live in its own segment — query/wand.py
+#     mode="and"). Oracle: same SQL BM25 with a matched == |query terms|
+#     filter before ranking.
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.query.wand import wand_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    out_dir = tempfile.mkdtemp(prefix="bm25_conj_entry_")
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, CONJ_QUERY_SET),
+        prune=True,
+        mode="and",
+    )
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -915,6 +982,7 @@ QUERIES = {
     "bm25_wand_index": q_bm25_wand_index,
     "bm25_delete_mask": q_bm25_delete_mask,
     "bm25_purged_index": q_bm25_purged_index,
+    "bm25_conjunctive": q_bm25_conjunctive,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -985,6 +1053,7 @@ ORACLE_SQL = {
     "bm25_wand_index": _bm25_oracle_sql(),
     "bm25_delete_mask": _bm25_oracle_sql(candidate_where="WHERE tf.doc_id % 7 <> 0"),
     "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
+    "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (

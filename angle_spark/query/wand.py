@@ -216,6 +216,7 @@ def _score_shard_multi(
     avgdl: float,
     prune: bool,
     deleted: np.ndarray | None = None,
+    conjunctive: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -313,6 +314,7 @@ def _score_shard_multi(
 
     acc = np.zeros(span, dtype=np.float64)
     acc2 = np.zeros(span, dtype=np.float64)  # MaxScore phase-2 (ascending) fold
+    cnt = np.zeros(span, dtype=np.int32) if conjunctive else None
     term_heat: dict[str, int] = {}  # per-task touch counts (regime switch)
     bounds_cache: dict[str, tuple] = {}  # term -> (block bounds, max bound)
 
@@ -326,7 +328,34 @@ def _score_shard_multi(
         if not present:
             continue
 
-        if (
+        if conjunctive:
+            # AND semantics: a doc qualifies iff ALL nq distinct query
+            # tokens hit it. The intersection is shard-LOCAL and still
+            # globally exact: a doc's postings for every term live in its
+            # own segment, so all evidence about one doc meets in one
+            # task. A shard missing any of the query's vocab terms can't
+            # produce a qualifying doc — skip it outright. The fold is
+            # the same ascending-term exhaustive accumulate (bit-identity
+            # with the oracle) plus a matched-term counter; no block
+            # pruning — the intersection itself is the selective step.
+            nq = int(q.nq)
+            if len(present) < nq:
+                continue
+            idx_parts = []
+            for term, idf in present:
+                d, tf, denom = term_arrays(term)
+                term_heat[term] = term_heat.get(term, 0) + 1
+                li = d - base
+                acc[li] += idf * tf * (K1 + 1.0) / denom
+                cnt[li] += 1  # (term, doc) unique -> one bump per term
+                idx_parts.append(li)
+            hit = np.unique(np.concatenate(idx_parts))
+            full = hit[cnt[hit] == nq]
+            doc_ids = full + base
+            scores = acc[full].copy()
+            acc[hit] = 0.0
+            cnt[hit] = 0
+        elif (
             prune
             and len(present) == 1
             and small_batch
@@ -415,8 +444,19 @@ def wand_topk(
     prune: bool = True,
     shard_segments: int | None = SHARD_SEGMENTS,
     deletes: DataFrame | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    mode="or" (default) is standard disjunctive BM25 top-k; mode="and"
+    keeps only docs matching ALL distinct query tokens (conjunctive
+    retrieval), still BM25-scored and rank-identical to the SQL oracle.
+    The intersection is computed shard-locally with a matched-term
+    counter — exact, because a doc's postings for every term live in its
+    own segment — and a query with an out-of-vocabulary token matches
+    nothing by definition. Conjunctive queries skip block pruning: the
+    intersection itself is the selective step, and MaxScore skips would
+    drop the very term-counts the conjunction needs.
 
     Shape: candidate blocks (term IN all query terms — pushed down to the
     parquet scan) are shuffled ONCE by shard; each shard task scores the
@@ -450,6 +490,8 @@ def wand_topk(
     task they mask at decode time, which keeps pruning exact.
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if isinstance(queries, pd.DataFrame):
         from angle_spark.functions.tokenizer import tokenize_py
 
@@ -474,9 +516,12 @@ def wand_topk(
     ts_pdf = query_term_stats(tstats, all_terms)
     df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
 
+    conjunctive = mode == "and"
     rows = []
     for query_id, k, qterms in tokenized:
         terms = [t for t in qterms if t in df_map]
+        if conjunctive and len(terms) < len(qterms):
+            continue  # AND with an out-of-vocabulary token matches nothing
         if terms:
             rows.append(
                 (
@@ -486,11 +531,12 @@ def wand_topk(
                     # live_docs == n_docs until a purge; after one, idf
                     # reflects the post-compaction corpus (deletes.py)
                     [idf_value(meta.live_docs, int(df_map[t])) for t in terms],
+                    len(qterms),
                 )
             )
     if not rows:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
-    grouped = pd.DataFrame(rows, columns=["query_id", "k", "terms", "idfs"])
+    grouped = pd.DataFrame(rows, columns=["query_id", "k", "terms", "idfs", "nq"])
     b_qt = spark.sparkContext.broadcast(grouped)
 
     if shard_segments is None:
@@ -508,7 +554,9 @@ def wand_topk(
     if deletes is None:
 
         def fn(key, pdf):
-            return _score_shard_multi(pdf, b_qt.value, avgdl, prune)
+            return _score_shard_multi(
+                pdf, b_qt.value, avgdl, prune, conjunctive=conjunctive
+            )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
     else:
@@ -525,7 +573,9 @@ def wand_topk(
             if len(pdf) == 0:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             deleted = np.sort(np.unique(tomb["doc_id"].to_numpy(dtype=np.int64)))
-            return _score_shard_multi(pdf, b_qt.value, avgdl, prune, deleted)
+            return _score_shard_multi(
+                pdf, b_qt.value, avgdl, prune, deleted, conjunctive=conjunctive
+            )
 
         local = (
             cand.groupby("shard")
