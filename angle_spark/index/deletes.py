@@ -175,72 +175,141 @@ def _purge_block_rows(pdf: pd.DataFrame, deleted: np.ndarray, avgdl: float) -> p
     return pd.DataFrame(keep_rows).reset_index(drop=True)
 
 
+def _recover_purge_swap(spark: SparkSession, seg_dir: str) -> None:
+    """Finish or roll back a crashed segments/ swap so segments/ is always
+    readable on entry. Swap order is rename(seg -> old), rename(tmp ->
+    seg), delete(old); each rename is atomic on HDFS/file, so the only
+    bad states are 'seg missing' (complete from tmp, else roll back from
+    old) and 'old leftover' (delete)."""
+    if not fsio.exists(spark, seg_dir):
+        if fsio.exists(spark, seg_dir + "_tmp"):
+            fsio.rename(spark, seg_dir + "_tmp", seg_dir)  # complete the swap
+        elif fsio.exists(spark, seg_dir + "_old"):
+            fsio.rename(spark, seg_dir + "_old", seg_dir)  # roll back
+        else:
+            raise RuntimeError(f"{seg_dir} missing with no recovery dir")
+    if fsio.exists(spark, seg_dir + "_old"):
+        fsio.delete(spark, seg_dir + "_old")
+
+
 def purge_deletes(spark: SparkSession, out_dir: str) -> IndexMeta:
     """Physically remove tombstoned postings and switch corpus stats to
     live values (see module docstring). No-op when there are no pending
-    tombstones. Returns the refreshed IndexMeta."""
+    tombstones. Returns the refreshed IndexMeta.
+
+    Cost model: this is a COMPACTION — two index-sized passes (segment
+    rewrite + full merge), the same class as the periodic full
+    merge_index a maintained index runs anyway; batch deletes so purges
+    piggyback on that cadence, exactly as Lucene purges deletes during
+    segment merges. Per-block decode is pruned (a block whose docID range
+    holds no tombstone passes through byte-identical via a searchsorted
+    range check), so scattered vs clustered deletes change only the
+    re-encode volume, not the scan.
+
+    Crash-safe and idempotent: the doc/token accounting is journaled
+    BEFORE the swap (a killed run can't recompute it afterwards — the
+    postings it removed are gone), the journal applies at most once (it
+    records the purged_docs watermark it was created at), and a recovery
+    preamble completes or rolls back a half-finished segments/ swap.
+    Rerunning purge_deletes after a kill at ANY point converges to the
+    same final state (tests/test_deletes.py kill-matrix)."""
     from angle_spark.index.build import merge_index
 
+    seg_dir = os.path.join(out_dir, "segments")
+    _recover_purge_swap(spark, seg_dir)
     meta = _load_meta(spark, out_dir)
     dels = _load_deletes_df(spark, out_dir, meta)
-    if dels is None:
-        return meta
-    n_del = dels.count()
-    if n_del == 0:
+    journal_path = os.path.join(out_dir, "purge_journal.json")
+    has_journal = fsio.exists(spark, journal_path)
+    if dels is None and not has_journal:
         return meta
 
-    seg_dir = os.path.join(out_dir, "segments")
-    seg = _read_table(spark, seg_dir, meta.sink_format)
-    old_tokens = int(seg.agg(F.sum("sum_tf")).collect()[0][0] or 0)
-
-    # tombstones meet blocks only in their own segment — cogrouped on
-    # segment_id, never broadcast (the tombstone set is unbounded between
-    # compactions at 10^12 docs; each task sees only its docID range's)
-    dels_seg = dels.withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long")
-    )
     avgdl = meta.avgdl
 
-    def fn(key, blocks: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
-        if len(blocks) == 0:
-            return blocks
-        deleted = np.sort(tomb["doc_id"].to_numpy(dtype=np.int64))
-        return _purge_block_rows(blocks, deleted, avgdl)
+    def _build_tmp() -> None:
+        # tombstones meet blocks only in their own segment — cogrouped on
+        # segment_id, never broadcast (the tombstone set is unbounded
+        # between compactions at 10^12 docs; each task sees only its own
+        # docID range's)
+        seg = _read_table(spark, seg_dir, meta.sink_format)
+        dels_seg = dels.withColumn(
+            "segment_id", (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long")
+        )
 
-    purged = (
-        seg.groupby("segment_id")
-        .cogroup(dels_seg.groupby("segment_id"))
-        .applyInPandas(fn, schema=SEGMENT_SCHEMA)
-    )
-    tmp_dir = seg_dir + "_tmp"
-    _write(
-        purged.repartition(F.col("segment_id")).sortWithinPartitions(
-            "term", "block_in_seg"
-        ),
-        tmp_dir,
-        meta.sink_format,
-        "overwrite",
-        partition_by=["segment_id"],
-    )
-    new_tokens = int(
-        _read_table(spark, tmp_dir, meta.sink_format)
-        .agg(F.sum("sum_tf"))
-        .collect()[0][0]
-        or 0
-    )
-    # atomic-ish dir swap (rename is atomic on HDFS/file); a crash between
-    # the two renames leaves segments_old/ to recover from
-    fsio.rename(spark, seg_dir, seg_dir + "_old")
-    fsio.rename(spark, tmp_dir, seg_dir)
-    fsio.delete(spark, seg_dir + "_old")
+        def fn(key, blocks: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+            if len(blocks) == 0:
+                return blocks
+            deleted = np.sort(tomb["doc_id"].to_numpy(dtype=np.int64))
+            return _purge_block_rows(blocks, deleted, avgdl)
 
-    meta.purged_docs += n_del
-    meta.purged_tokens += old_tokens - new_tokens
+        purged = (
+            seg.groupby("segment_id")
+            .cogroup(dels_seg.groupby("segment_id"))
+            .applyInPandas(fn, schema=SEGMENT_SCHEMA)
+        )
+        _write(
+            purged.repartition(F.col("segment_id")).sortWithinPartitions(
+                "term", "block_in_seg"
+            ),
+            seg_dir + "_tmp",
+            meta.sink_format,
+            "overwrite",
+            partition_by=["segment_id"],
+        )
+
+    def _tokens(path: str) -> int:
+        return int(
+            _read_table(spark, path, meta.sink_format)
+            .agg(F.sum("sum_tf"))
+            .collect()[0][0]
+            or 0
+        )
+
+    if has_journal:
+        j = json.loads(fsio.read_text(spark, journal_path))
+        if j["base_purged_docs"] == meta.purged_docs and dels is not None:
+            # resumed mid-purge with the tombstones not yet consumed:
+            # redo the rewrite (idempotent — already-purged blocks pass
+            # through unchanged). Counters come from the journal, never
+            # recounted. A journal whose base is BEHIND meta.purged_docs
+            # means its counters are already applied (crash in the final
+            # merge/cleanup phase) — fall through and finish idempotently.
+            _build_tmp()
+    else:
+        if dels is None:
+            return meta
+        n_del = dels.count()
+        if n_del == 0:
+            return meta
+        old_tokens = _tokens(seg_dir)
+        _build_tmp()
+        j = {
+            "n_del": n_del,
+            "removed_tokens": old_tokens - _tokens(seg_dir + "_tmp"),
+            "base_purged_docs": meta.purged_docs,
+        }
+        fsio.write_text(spark, journal_path, json.dumps(j))  # atomic
+
+    if fsio.exists(spark, seg_dir + "_tmp"):
+        fsio.rename(spark, seg_dir, seg_dir + "_old")
+        fsio.rename(spark, seg_dir + "_tmp", seg_dir)
+        fsio.delete(spark, seg_dir + "_old")
+    # consume the tombstones the moment the swap is durable: everything
+    # they said is now captured by (purged segments + journal), and a
+    # resume must not mistake them for a fresh batch
+    fsio.delete(spark, _deletes_dir(out_dir))
+
+    if j["base_purged_docs"] == meta.purged_docs:  # apply at most once
+        meta.purged_docs += j["n_del"]
+        meta.purged_tokens += j["removed_tokens"]
     live_docs = meta.n_docs - meta.purged_docs
-    meta.avgdl = new_tokens / live_docs if live_docs else 0.0
+    live_tokens = _tokens(seg_dir)
+    meta.avgdl = live_tokens / live_docs if live_docs else 0.0
     # rebuild merged/ + term_stats from the purged segments (df must drop
     # with the postings); full merge = the compaction that also restores
-    # the tight range layout
+    # the tight range layout. NOTE merge_index persists meta itself, so
+    # from here on the on-disk purged_docs is advanced — which is exactly
+    # why the journal applies by base watermark, not by existence.
     merge_index(spark, out_dir, meta, incremental=False)
     # everything on disk is merged now; silence the delta-union path that
     # merge_index's hi+1 watermark would otherwise leave open when the
@@ -249,5 +318,5 @@ def purge_deletes(spark: SparkSession, out_dir: str) -> IndexMeta:
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )
-    fsio.delete(spark, _deletes_dir(out_dir))
+    fsio.delete(spark, journal_path)
     return meta

@@ -84,7 +84,39 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         res = wand_topk(spark, merged, tstats, meta, queries_df(spark))
         n_hits = res.count()
         timings["wand_queries"] = time.monotonic() - t0
+
+        # --- leg 2b: conjunctive (AND) batch over the same loaded index ---
+        t0 = time.monotonic()
+        wand_topk(spark, merged, tstats, meta, queries_df(spark), mode="and").count()
+        timings["wand_and_queries"] = time.monotonic() - t0
+
+        # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
+        #     tombstone 1% of docs, run the masked batch, then time the
+        #     physical purge (compaction: decode-filter-reencode + full
+        #     merge) and a post-purge batch on the live-stats index
+        from angle_spark.index.deletes import delete_docs, load_deletes, purge_deletes
+
+        t0 = time.monotonic()
+        delete_docs(
+            spark, out_dir, spark.range(0, n_turns, 100).selectExpr("id as doc_id")
+        )
+        wand_topk(
+            spark,
+            merged,
+            tstats,
+            meta,
+            queries_df(spark),
+            deletes=load_deletes(spark, out_dir),
+        ).count()
+        timings["delete_mask_queries"] = time.monotonic() - t0
         merged.unpersist()
+        t0 = time.monotonic()
+        purge_deletes(spark, out_dir)
+        timings["purge_deletes"] = time.monotonic() - t0
+        merged2, tstats2, meta2 = load_index(spark, out_dir)
+        t0 = time.monotonic()
+        wand_topk(spark, merged2, tstats2, meta2, queries_df(spark)).count()
+        timings["wand_after_purge"] = time.monotonic() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -175,6 +175,86 @@ def test_purged_query_matches_never_indexed_oracle(spark, purged_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
 
 
+def _meta_tuple(spark, out_dir):
+    from angle_spark.index.build import load_index
+
+    _, _, m = load_index(spark, out_dir)
+    return (m.n_docs, m.purged_docs, m.purged_tokens, m.avgdl, m.merged_docs)
+
+
+def _query_frame(spark, out_dir):
+    from angle_spark.index.build import load_index
+
+    merged, tstats, meta = load_index(spark, out_dir)
+    return _frame(wand_topk(spark, merged, tstats, meta, queries_df(spark)))
+
+
+@pytest.mark.parametrize("kill_at", ["first_rename", "second_rename", "merge", "cleanup"])
+def test_purge_kill_matrix(spark, docs, tmp_path_factory, kill_at, monkeypatch):
+    """purge_deletes killed at any point, then rerun, converges to the
+    same state as an uninterrupted purge: same counters/stats, same query
+    results, no recovery debris, no double-applied journal."""
+    import shutil
+
+    import angle_spark.index.build as build_mod
+    import angle_spark.index.deletes as del_mod
+
+    base = _build(spark, docs, tmp_path_factory, f"kill_{kill_at}")
+    delete_docs(spark, base, docs.select("doc_id").filter(f"doc_id % {DEL_MOD} = 0"))
+    clean = str(tmp_path_factory.mktemp(f"clean_{kill_at}") / "idx")
+    shutil.copytree(base, clean)
+    purge_deletes(spark, clean)
+    want_meta = _meta_tuple(spark, clean)
+    want_q = _query_frame(spark, clean)
+
+    boom = RuntimeError("injected kill")
+    real_rename, real_delete = del_mod.fsio.rename, del_mod.fsio.delete
+    real_merge = build_mod.merge_index
+    calls = {"n": 0}
+    if kill_at in ("first_rename", "second_rename"):
+        limit = 0 if kill_at == "first_rename" else 1
+
+        def rename(spark_, src, dst):
+            if "segments" in src and calls["n"] == limit:
+                raise boom
+            if "segments" in src:
+                calls["n"] += 1
+            return real_rename(spark_, src, dst)
+
+        monkeypatch.setattr(del_mod.fsio, "rename", rename)
+    elif kill_at == "merge":
+
+        def merge(*a, **kw):
+            raise boom
+
+        monkeypatch.setattr(build_mod, "merge_index", merge)
+    else:  # cleanup: kill the final journal delete
+
+        def delete(spark_, path):
+            if path.endswith("purge_journal.json"):
+                raise boom
+            return real_delete(spark_, path)
+
+        monkeypatch.setattr(del_mod.fsio, "delete", delete)
+
+    with pytest.raises(RuntimeError, match="injected kill"):
+        purge_deletes(spark, base)
+    monkeypatch.setattr(del_mod.fsio, "rename", real_rename)
+    monkeypatch.setattr(del_mod.fsio, "delete", real_delete)
+    monkeypatch.setattr(build_mod, "merge_index", real_merge)
+
+    purge_deletes(spark, base)  # resume
+    assert _meta_tuple(spark, base) == want_meta
+    pd.testing.assert_frame_equal(
+        _query_frame(spark, base), want_q, check_dtype=False, atol=0, rtol=0
+    )
+    for debris in ("segments_tmp", "segments_old", "purge_journal.json", "deletes"):
+        assert not os.path.exists(os.path.join(base, debris)), debris
+    # a third run is a no-op on an already-purged index
+    m = purge_deletes(spark, base)
+    assert (m.n_docs, m.purged_docs, m.purged_tokens, m.avgdl, m.merged_docs) == want_meta
+
+
 def test_refresh_stats_preserves_live_values(spark, purged_dir):
     """refresh_corpus_stats stays O(lineage): lineage totals include the
     purged docs, and the cumulative counters subtract them back exactly."""
