@@ -1,0 +1,112 @@
+"""Long-lived serving session over a built index.
+
+``wand_topk`` is stateless: every call re-reads merged/ and term_stats.
+That is right for one-shot batch jobs, wrong for a serving deployment
+answering many query batches against the same index generation. Searcher
+holds exactly the state a search shard holds open (the reference's
+analog is the loaded model the inference loop reuses across encode()
+calls, reference angle_emb/angle.py:1206-1260):
+
+- the merged-blocks DataFrame, persisted once (DISK_ONLY by default:
+  executor-local bytes, cheap re-read, no executor-memory pressure from
+  binary block columns);
+- IndexMeta with corpus-true stats (refresh_corpus_stats on open, so
+  streamed deltas committed before open score with live avgdl/n_docs);
+- the pending tombstone set;
+- optionally (``cache_vocab=True``) the whole term_stats as a
+  driver-side pandas frame — the bounded-vocabulary serving opt-in that
+  skips the per-batch semi-join job entirely. Off by default: at
+  10^12-turn scale the vocabulary does not fit on the driver, and the
+  default path's In(term) pushdown collects only |query terms| rows.
+
+``refresh()`` re-opens against the current on-disk generation (new
+streamed deltas, new tombstones, a finished purge) without losing the
+session; ``close()`` releases the persisted blocks. Results are
+IDENTICAL to stateless ``wand_topk`` calls — this class only moves
+where the reads happen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from angle_spark.index.build import load_index, refresh_corpus_stats
+from angle_spark.index.deletes import load_deletes
+from angle_spark.query.wand import wand_topk
+
+
+class Searcher:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        cache_vocab: bool = False,
+        storage_level: StorageLevel = StorageLevel.DISK_ONLY,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.cache_vocab = cache_vocab
+        self.storage_level = storage_level
+        self._merged: DataFrame | None = None
+        self.refresh()
+
+    def refresh(self) -> "Searcher":
+        """(Re)open the current index generation: refreshed corpus stats,
+        current deltas unioned in, current tombstones. Any previously
+        persisted generation is released first."""
+        if self._merged is not None:
+            self._merged.unpersist()
+        refresh_corpus_stats(self.spark, self.out_dir)
+        merged, tstats, meta = load_index(self.spark, self.out_dir)
+        self._merged = merged.persist(self.storage_level)
+        self._merged.count()  # materialize now: serving wants cold cost at open
+        self.meta = meta
+        self.deletes = load_deletes(self.spark, self.out_dir)
+        if self.cache_vocab:
+            self._tstats = tstats.toPandas()  # bounded-vocab opt-in ONLY
+        else:
+            self._tstats = tstats
+        return self
+
+    def refresh_deletes(self) -> "Searcher":
+        """Cheap per-batch tombstone pickup: new deletes invalidate
+        neither the persisted blocks nor the stats (pre-purge stats stay
+        full-corpus by contract), so a serving loop that must see deletes
+        immediately re-reads only the tombstone table — not the index.
+        Use full refresh() for new segments or a finished purge."""
+        self.deletes = load_deletes(self.spark, self.out_dir)
+        return self
+
+    def search(
+        self,
+        queries,
+        prune: bool = True,
+        mode: str = "or",
+    ) -> DataFrame:
+        """queries: Spark or pandas DataFrame (query_id, text, k) — the
+        same contract as wand_topk, which this delegates to with the
+        session's cached state."""
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        return wand_topk(
+            self.spark,
+            self._merged,
+            self._tstats,
+            self.meta,
+            queries,
+            prune=prune,
+            mode=mode,
+            deletes=self.deletes,
+        )
+
+    def close(self) -> None:
+        if self._merged is not None:
+            self._merged.unpersist()
+            self._merged = None
+
+    def __enter__(self) -> "Searcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

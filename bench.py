@@ -43,10 +43,9 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
-    from angle_spark.index.build import build_index, load_index
+    from angle_spark.index.build import build_index
     from angle_spark.index.stats import with_tokens
     from angle_spark.operators.docids import assign_doc_ids
-    from angle_spark.query.wand import wand_topk
     from angle_spark.session import get_spark
     from angle_spark.synth import queries_df, transcripts_df
 
@@ -76,47 +75,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         timings["index_build"] = time.monotonic() - t0
         n_turns = meta.n_docs
 
-        # --- leg 2: BM25 query throughput over the compressed index ---
-        merged, tstats, meta = load_index(spark, out_dir)
-        merged = merged.persist()
-        merged.count()  # warm: a real deployment serves from a loaded index
+        # --- leg 2: BM25 query throughput through the serving API (the
+        #     Searcher opens the index once — persisted blocks, live
+        #     stats — exactly what a deployment holds between batches)
+        from angle_spark.query.searcher import Searcher
+
+        searcher = Searcher(spark, out_dir)
         t0 = time.monotonic()
-        res = wand_topk(spark, merged, tstats, meta, queries_df(spark))
-        n_hits = res.count()
+        n_hits = searcher.search(queries_df(spark)).count()
         timings["wand_queries"] = time.monotonic() - t0
 
-        # --- leg 2b: conjunctive (AND) batch over the same loaded index ---
+        # --- leg 2b: conjunctive (AND) batch over the same session ---
         t0 = time.monotonic()
-        wand_topk(spark, merged, tstats, meta, queries_df(spark), mode="and").count()
+        searcher.search(queries_df(spark), mode="and").count()
         timings["wand_and_queries"] = time.monotonic() - t0
 
         # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
-        #     tombstone 1% of docs, run the masked batch, then time the
-        #     physical purge (compaction: decode-filter-reencode + full
-        #     merge) and a post-purge batch on the live-stats index
-        from angle_spark.index.deletes import delete_docs, load_deletes, purge_deletes
+        #     tombstone 1% of docs + cheap tombstone pickup + masked batch
+        #     (the block cache stays valid), then the physical purge
+        #     (compaction: decode-filter-reencode + full merge) and a
+        #     post-purge batch on the live-stats index
+        from angle_spark.index.deletes import delete_docs, purge_deletes
 
         t0 = time.monotonic()
         delete_docs(
             spark, out_dir, spark.range(0, n_turns, 100).selectExpr("id as doc_id")
         )
-        wand_topk(
-            spark,
-            merged,
-            tstats,
-            meta,
-            queries_df(spark),
-            deletes=load_deletes(spark, out_dir),
-        ).count()
+        searcher.refresh_deletes().search(queries_df(spark)).count()
         timings["delete_mask_queries"] = time.monotonic() - t0
-        merged.unpersist()
+        searcher.close()
         t0 = time.monotonic()
         purge_deletes(spark, out_dir)
         timings["purge_deletes"] = time.monotonic() - t0
-        merged2, tstats2, meta2 = load_index(spark, out_dir)
-        t0 = time.monotonic()
-        wand_topk(spark, merged2, tstats2, meta2, queries_df(spark)).count()
-        timings["wand_after_purge"] = time.monotonic() - t0
+        with Searcher(spark, out_dir) as s2:
+            t0 = time.monotonic()
+            s2.search(queries_df(spark)).count()
+            timings["wand_after_purge"] = time.monotonic() - t0
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
