@@ -94,6 +94,22 @@ def decode_tfs(buf: bytes) -> np.ndarray:
     return decode_varints(buf).astype(np.int64) + 1
 
 
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """pos_bin + the block's tf array (group lengths) -> (flat positions,
+    group boundaries). flat[bounds[i]:bounds[i+1]] are posting i's token
+    positions, ascending (deltas restart absolute at each posting)."""
+    deltas = decode_varints(buf).astype(np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(t)))
+    cs = np.cumsum(deltas)
+    # undo the cross-group carry: subtract the cumsum just before each
+    # group start (group 0 needs none — its first delta is absolute)
+    offsets = np.zeros(len(t), dtype=np.int64)
+    if len(t) > 1:
+        offsets[1:] = cs[bounds[1:-1] - 1]
+    return cs - np.repeat(offsets, t), bounds
+
+
 def impact_upper_bound(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> float:
     """max over block of the idf-free BM25 term contribution:
     tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).  Multiplied by idf(term) at

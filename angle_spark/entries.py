@@ -36,6 +36,20 @@ DOC_QUERY_SET: list[tuple[str, str, int]] = [
 ]
 
 
+# Phrase rendition (positional index): ph1 vs ph2 prove order
+# sensitivity (24 vs 35 matching docs at sf0.001 — reversed phrases,
+# different sets); ph4 is a repeated-token phrase; ph5 exercises ranked
+# truncation; ph6 has an out-of-vocabulary token (matches nothing).
+PHRASE_QUERY_SET: list[tuple[str, str, int]] = [
+    ("ph1", "hash join", 1000),
+    ("ph2", "join hash", 1000),
+    ("ph3", "the fast key", 1000),
+    ("ph4", "batch batch", 1000),
+    ("ph5", "scan merge sort", 15),
+    ("ph6", "zzzz scan", 10),
+]
+
+
 # Conjunctive (AND) rendition: k exceeds the corpus so the FULL
 # intersection is returned — the per-query result sizes (21/22/15/229/
 # 20/0/...) differ from the disjunctive top-k and from each other, so a
@@ -251,6 +265,106 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     purge_deletes(spark, out_dir)
     merged, tstats, meta = load_index(spark, out_dir)
     out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark), prune=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_phrase_oracle_sql() -> str:
+    """BM25 over docs containing each query's EXACT token sequence. The
+    positional truth is SQL-native: positions via generate_subscripts
+    aligned with unnest, a phrase = a chain of self-joins on
+    p_i = p_0 + i, per query (generated from the same tokenizer the
+    engine uses). Scoring then reuses the standard CTEs over the
+    phrase's distinct terms."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    toks = duckdb_tokens_sql("text")
+    match_selects = []
+    for qid, text, k in PHRASE_QUERY_SET:
+        terms = tokenize_py(text)
+        if any("'" in t for t in terms):  # defensive; tokenizer is [a-z0-9]
+            raise ValueError(terms)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        match_selects.append(
+            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds} GROUP BY p0.doc_id"
+        )
+    matches = "\n  UNION ALL\n  ".join(match_selects)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(PHRASE_QUERY_SET)}
+), scored AS (
+  SELECT m.query_id, m.k, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM matches m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.k, m.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- phrase retrieval over the POSITIONAL compressed index: SPIMI blocks
+#     carry per-posting token positions (delta+varint, index/spimi.py);
+#     the scorer narrows to the conjunctive survivors, then verifies the
+#     exact token sequence by positional-list intersection, all shard-
+#     local (a doc's postings AND positions live in its own segment —
+#     query/wand.py mode="phrase").
+def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.query.wand import wand_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    out_dir = tempfile.mkdtemp(prefix="bm25_phrase_entry_")
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16, positional=True)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, PHRASE_QUERY_SET),
+        mode="phrase",
+    )
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -983,6 +1097,7 @@ QUERIES = {
     "bm25_delete_mask": q_bm25_delete_mask,
     "bm25_purged_index": q_bm25_purged_index,
     "bm25_conjunctive": q_bm25_conjunctive,
+    "bm25_phrase": q_bm25_phrase,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1054,6 +1169,7 @@ ORACLE_SQL = {
     "bm25_delete_mask": _bm25_oracle_sql(candidate_where="WHERE tf.doc_id % 7 <> 0"),
     "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
+    "bm25_phrase": _bm25_phrase_oracle_sql(),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (

@@ -69,6 +69,10 @@ class IndexMeta:
     # indexes, where live == total and nothing changes.
     purged_docs: int = 0
     purged_tokens: int = 0
+    # whether blocks carry pos_bin (token positions — phrase retrieval).
+    # Persisted so streamed appends and purge rewrites keep emitting the
+    # same block shape the index was built with.
+    positional: bool = False
 
     @property
     def live_docs(self) -> int:
@@ -136,6 +140,7 @@ def build_index(
     batch_segments: int = 64,
     fail_after_batches: int | None = None,
     sink_format: str = "parquet",
+    positional: bool = False,
 ) -> IndexMeta:
     """docs(doc_id, tokens, dl) -> on-disk index; resumable.
 
@@ -161,7 +166,14 @@ def build_index(
         # not grow with the cluster). ~128 segments locally; a cluster
         # deployment pins e.g. 8M docs/segment explicitly.
         segment_docs = min(8_000_000, max(4096, n_docs // 128))
-    meta = IndexMeta(n_docs, avgdl, segment_docs, block_size, sink_format=sink_format)
+    meta = IndexMeta(
+        n_docs,
+        avgdl,
+        segment_docs,
+        block_size,
+        sink_format=sink_format,
+        positional=positional,
+    )
     fsio.mkdirs(spark, out_dir)
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
@@ -189,7 +201,9 @@ def build_index(
         t0 = time.monotonic()
         lo_ids = F.col("doc_id") / F.lit(segment_docs)
         batch_docs = docs.filter(lo_ids.cast("long").isin(batch))
-        blocks = build_segments(batch_docs, avgdl, segment_docs, block_size).persist()
+        blocks = build_segments(
+            batch_docs, avgdl, segment_docs, block_size, positional
+        ).persist()
         _write(
             blocks.repartition(F.col("segment_id")).sortWithinPartitions(
                 "term", "block_in_seg"
@@ -210,6 +224,7 @@ def build_index(
                 F.octet_length("docs_bin")
                 + F.octet_length("tfs_bin")
                 + F.octet_length("dls_bin")
+                + F.octet_length("pos_bin")
             ).alias("bytes"),
             F.sum("sum_tf").alias("token_count"),
         )

@@ -151,9 +151,25 @@ def _purge_block_rows(pdf: pd.DataFrame, deleted: np.ndarray, avgdl: float) -> p
             continue
         if not keep.any():
             continue  # block fully deleted
+        tf_all = decode_tfs(row["tfs_bin"])
         d = d[keep]
-        tf = decode_tfs(row["tfs_bin"])[keep]
+        tf = tf_all[keep]
         dl = decode_varints(row["dls_bin"]).astype(np.int64)[keep]
+        pos_bin = row["pos_bin"] if "pos_bin" in row.index else b""
+        if pos_bin:
+            # positions are within-doc, so kept postings' runs re-encode
+            # unchanged — only the dropped runs disappear from the stream
+            from angle_spark.codec import decode_positions
+
+            flat, bounds = decode_positions(pos_bin, tf_all)
+            kept_groups = [
+                flat[bounds[i] : bounds[i + 1]]
+                for i in np.flatnonzero(keep)
+            ]
+            pdeltas = np.concatenate(
+                [np.concatenate(([g[0]], np.diff(g))) for g in kept_groups]
+            )
+            pos_bin = encode_varints(pdeltas.astype(np.uint64))
         tff = tf.astype(np.float64)
         imp = tff * (K1 + 1.0) / (
             tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
@@ -168,6 +184,7 @@ def _purge_block_rows(pdf: pd.DataFrame, deleted: np.ndarray, avgdl: float) -> p
         new["max_impact"] = float(imp.max())
         new["docs_bin"] = encode_doc_deltas(d)
         new["tfs_bin"] = encode_tfs(tf)
+        new["pos_bin"] = pos_bin
         new["dls_bin"] = encode_varints(dl.astype(np.uint64))
         keep_rows.append(new)
     if not keep_rows:

@@ -44,14 +44,23 @@ from angle_spark.codec import (
 SEGMENT_SCHEMA = (
     "term string, segment_id long, block_in_seg int, first_doc long, "
     "last_doc long, n_postings int, max_tf int, min_dl long, sum_tf long, "
-    "max_impact double, docs_bin binary, tfs_bin binary, dls_bin binary"
+    "max_impact double, docs_bin binary, tfs_bin binary, dls_bin binary, "
+    "pos_bin binary"
 )
 
 DEFAULT_SEGMENT_DOCS = 100_000
 
 
-def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """One segment's docs -> encoded posting block rows (pure pandas/numpy)."""
+def _segment_blocks(
+    pdf: pd.DataFrame, avgdl: float, block_size: int, positional: bool = False
+) -> pd.DataFrame:
+    """One segment's docs -> encoded posting block rows (pure pandas/numpy).
+
+    positional=True additionally emits pos_bin: per posting, the 0-based
+    token positions of the term within the doc, delta+varint with an
+    absolute restart at each posting (decoded with the tf array as group
+    lengths — codec.decode_positions). Off by default: positions roughly
+    double index size and only phrase retrieval reads them."""
     empty = pd.DataFrame(
         {
             "term": pd.Series(dtype="string"),
@@ -67,6 +76,7 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
             "docs_bin": pd.Series(dtype=object),
             "tfs_bin": pd.Series(dtype=object),
             "dls_bin": pd.Series(dtype=object),
+            "pos_bin": pd.Series(dtype=object),
         }
     )
     seg_id = int(pdf["segment_id"].iloc[0])
@@ -76,12 +86,17 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     terms = np.concatenate(pdf["tokens"].to_numpy())
     docs = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
     dls = np.repeat(pdf["dl"].to_numpy(dtype=np.int64), lens)
+    # 0-based position of each token within its doc (aligned with terms)
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    tok_pos = np.arange(len(terms), dtype=np.int64) - np.repeat(row_starts, lens)
 
     # factorize terms -> int codes; all grouping in pure numpy (a pandas
     # string-key groupby here is 10x slower — this is the executor hot loop)
     uniq_terms, codes = np.unique(terms, return_inverse=True)
+    # np.lexsort is stable, so within a (code, doc) run token positions
+    # stay ascending — which is what lets pos deltas encode unsigned
     order = np.lexsort((docs, codes))
-    codes, docs, dls = codes[order], docs[order], dls[order]
+    codes, docs, dls, tok_pos = codes[order], docs[order], dls[order], tok_pos[order]
     # run boundaries where (code, doc) changes -> tf = run length
     new_run = np.concatenate(
         ([True], (codes[1:] != codes[:-1]) | (docs[1:] != docs[:-1]))
@@ -127,6 +142,24 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
     tfs_bin = [bytes(mv_t[toff[s] : toff[e]]) for s, e in zip(bstart, bend, strict=False)]
     dls_bin = [bytes(mv_l[loff[s] : loff[e]]) for s, e in zip(bstart, bend, strict=False)]
 
+    if positional:
+        # per-posting position runs live in the TOKEN stream (length =
+        # sum tf); delta with an absolute restart at every posting start
+        pdeltas = np.diff(tok_pos, prepend=np.int64(0))
+        pdeltas[starts] = tok_pos[starts]
+        pos_bytes, plen = encode_varints_with_lengths(pdeltas.astype(np.uint64))
+        # block b covers postings [bstart, bend) -> token range
+        # [starts[bstart], starts[bend]) with a sentinel at the end
+        tok_bound = np.append(starts, len(codes))
+        poff = np.concatenate(([0], np.cumsum(plen)))
+        mv_p = memoryview(pos_bytes)
+        pos_bin = [
+            bytes(mv_p[poff[tok_bound[s]] : poff[tok_bound[e]]])
+            for s, e in zip(bstart, bend, strict=False)
+        ]
+    else:
+        pos_bin = [b""] * len(bstart)
+
     return pd.DataFrame(
         {
             "term": uniq_terms[p_codes[bstart]],
@@ -142,6 +175,7 @@ def _segment_blocks(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.Data
             "docs_bin": docs_bin,
             "tfs_bin": tfs_bin,
             "dls_bin": dls_bin,
+            "pos_bin": pos_bin,
         }
     )
 
@@ -151,6 +185,7 @@ def build_segments(
     avgdl: float,
     segment_docs: int = DEFAULT_SEGMENT_DOCS,
     block_size: int = BLOCK_SIZE,
+    positional: bool = False,
 ) -> DataFrame:
     """docs(doc_id, tokens, dl) -> encoded block rows.
 
@@ -161,7 +196,7 @@ def build_segments(
     """
 
     def fn(key, pdf):
-        return _segment_blocks(pdf, avgdl, block_size)
+        return _segment_blocks(pdf, avgdl, block_size, positional)
 
     with_seg = docs.select(
         "doc_id",

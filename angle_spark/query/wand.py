@@ -36,7 +36,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from angle_spark.codec import B, K1, decode_doc_deltas, decode_tfs, decode_varints
+from angle_spark.codec import (
+    B,
+    K1,
+    decode_doc_deltas,
+    decode_positions,
+    decode_tfs,
+    decode_varints,
+)
 from angle_spark.index.build import IndexMeta
 from angle_spark.index.deletes import mask_postings
 from angle_spark.index.stats import idf_value
@@ -216,7 +223,7 @@ def _score_shard_multi(
     avgdl: float,
     prune: bool,
     deleted: np.ndarray | None = None,
-    conjunctive: bool = False,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -312,6 +319,58 @@ def _score_shard_multi(
             term_cache[term] = hit
         return hit
 
+    conjunctive = mode in ("and", "phrase")
+
+    pos_cache: dict[str, tuple] = {}
+
+    def term_positions(term):
+        """per-shard concatenated (docs, flat positions, boundaries) for
+        one term — built only in phrase mode. Tombstone masking is NOT
+        applied here: position lookups happen only for docs that survived
+        the (masked) conjunctive fold, so a deleted doc never reaches
+        this path."""
+        hit = pos_cache.get(term)
+        if hit is None:
+            docs_l, flat_l, len_l = [], [], []
+            for row in by_term[term].itertuples(index=False):
+                d0 = decode_doc_deltas(row.docs_bin)
+                tf0 = decode_tfs(row.tfs_bin)
+                flat, bounds = decode_positions(row.pos_bin, tf0)
+                docs_l.append(d0)
+                flat_l.append(flat)
+                len_l.append(np.diff(bounds))
+            docs_c = np.concatenate(docs_l)
+            lens_c = np.concatenate(len_l)
+            hit = (
+                docs_c,
+                np.concatenate(flat_l),
+                np.concatenate(([0], np.cumsum(lens_c))),
+            )
+            pos_cache[term] = hit
+        return hit
+
+    def positions_of(term, doc):
+        docs_c, flat, bounds = term_positions(term)
+        i = int(np.searchsorted(docs_c, doc))
+        if i >= len(docs_c) or docs_c[i] != doc:
+            return None
+        return flat[bounds[i] : bounds[i + 1]]
+
+    def phrase_match(phrase, doc) -> bool:
+        """classic positional-intersection walk: candidate start positions
+        survive each token's offset check (P -> P with P+i in pos_i)."""
+        P = positions_of(phrase[0], doc)
+        if P is None:
+            return False
+        for i, tok in enumerate(phrase[1:], start=1):
+            pi = positions_of(tok, doc)
+            if pi is None:
+                return False
+            P = P[np.isin(P + i, pi)]
+            if len(P) == 0:
+                return False
+        return True
+
     acc = np.zeros(span, dtype=np.float64)
     acc2 = np.zeros(span, dtype=np.float64)  # MaxScore phase-2 (ascending) fold
     cnt = np.zeros(span, dtype=np.int32) if conjunctive else None
@@ -351,6 +410,17 @@ def _score_shard_multi(
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
             full = hit[cnt[hit] == nq]
+            if mode == "phrase" and len(full):
+                # positional verification over the conjunctive survivors
+                # only — the candidate set is already small, and position
+                # lists decode lazily per term, cached across queries
+                phrase = list(q.phrase)
+                ok = np.fromiter(
+                    (phrase_match(phrase, int(li + base)) for li in full),
+                    dtype=bool,
+                    count=len(full),
+                )
+                full = full[ok]
             doc_ids = full + base
             scores = acc[full].copy()
             acc[hit] = 0.0
@@ -435,6 +505,13 @@ def _score_shard_multi(
     )
 
 
+def _split_toks(toks: list[str]) -> tuple[list[str], list[str]]:
+    """ordered token list -> (sorted distinct terms for stats/scoring,
+    the original order for phrase matching). Tokenization itself already
+    ran (executor-side for Spark query batches); this is O(|query|)."""
+    return sorted(set(toks)), toks
+
+
 def wand_topk(
     spark: SparkSession,
     merged: DataFrame,
@@ -490,13 +567,18 @@ def wand_topk(
     task they mask at decode time, which keeps pruning exact.
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if mode not in ("or", "and", "phrase"):
+        raise ValueError(f"mode must be 'or', 'and' or 'phrase', got {mode!r}")
+    if mode == "phrase" and not getattr(meta, "positional", False):
+        raise ValueError(
+            "phrase mode needs a positional index — rebuild with "
+            "build_index(..., positional=True)"
+        )
     if isinstance(queries, pd.DataFrame):
         from angle_spark.functions.tokenizer import tokenize_py
 
         tokenized = [
-            (q.query_id, int(q.k), sorted(set(tokenize_py(q.text))))
+            (q.query_id, int(q.k), *_split_toks(tokenize_py(q.text)))
             for q in queries.itertuples(index=False)
         ]
     else:
@@ -505,23 +587,24 @@ def wand_topk(
         qrows = queries.select(
             "query_id",
             F.col("k").cast("int").alias("k"),
-            F.sort_array(
-                F.array_distinct(
-                    F.coalesce(tokens_col("text"), F.array().cast("array<string>"))
-                )
-            ).alias("qterms"),
+            F.coalesce(tokens_col("text"), F.array().cast("array<string>")).alias(
+                "ptoks"
+            ),
         ).collect()
-        tokenized = [(r["query_id"], int(r["k"]), list(r["qterms"])) for r in qrows]
-    all_terms = sorted({t for _, _, ts in tokenized for t in ts})
+        tokenized = [
+            (r["query_id"], int(r["k"]), *_split_toks(list(r["ptoks"])))
+            for r in qrows
+        ]
+    all_terms = sorted({t for _, _, ts, _ in tokenized for t in ts})
     ts_pdf = query_term_stats(tstats, all_terms)
     df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
 
-    conjunctive = mode == "and"
+    conjunctive = mode in ("and", "phrase")
     rows = []
-    for query_id, k, qterms in tokenized:
+    for query_id, k, qterms, phrase in tokenized:
         terms = [t for t in qterms if t in df_map]
         if conjunctive and len(terms) < len(qterms):
-            continue  # AND with an out-of-vocabulary token matches nothing
+            continue  # AND/phrase with an out-of-vocab token matches nothing
         if terms:
             rows.append(
                 (
@@ -532,11 +615,14 @@ def wand_topk(
                     # reflects the post-compaction corpus (deletes.py)
                     [idf_value(meta.live_docs, int(df_map[t])) for t in terms],
                     len(qterms),
+                    phrase if mode == "phrase" else [],
                 )
             )
     if not rows:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
-    grouped = pd.DataFrame(rows, columns=["query_id", "k", "terms", "idfs", "nq"])
+    grouped = pd.DataFrame(
+        rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase"]
+    )
     b_qt = spark.sparkContext.broadcast(grouped)
 
     if shard_segments is None:
@@ -555,7 +641,7 @@ def wand_topk(
 
         def fn(key, pdf):
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, conjunctive=conjunctive
+                pdf, b_qt.value, avgdl, prune, mode=mode
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
@@ -574,7 +660,7 @@ def wand_topk(
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             deleted = np.sort(np.unique(tomb["doc_id"].to_numpy(dtype=np.int64)))
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, deleted, conjunctive=conjunctive
+                pdf, b_qt.value, avgdl, prune, deleted, mode=mode
             )
 
         local = (
@@ -583,7 +669,7 @@ def wand_topk(
             .applyInPandas(fn2, schema=_OUT_SCHEMA)
         )
     kdf = spark.createDataFrame(
-        [(qid, k) for qid, k, _ in tokenized], schema="query_id string, k int"
+        [(qid, k) for qid, k, _, _ in tokenized], schema="query_id string, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (

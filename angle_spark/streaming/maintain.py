@@ -69,7 +69,9 @@ def append_micro_batch(
     # max_impact column is ADVISORY across batch/streamed segments and the
     # query side (query/wand.py) recomputes bounds from (max_tf, min_dl)
     # with the current avgdl; never prune on the stored column directly.
-    blocks = build_segments(docs, meta.avgdl, meta.segment_docs, meta.block_size)
+    blocks = build_segments(
+        docs, meta.avgdl, meta.segment_docs, meta.block_size, meta.positional
+    )
     (
         blocks.write.mode("append")
         .partitionBy("segment_id")
@@ -92,6 +94,7 @@ def append_micro_batch(
             F.octet_length("docs_bin")
             + F.octet_length("tfs_bin")
             + F.octet_length("dls_bin")
+            + F.octet_length("pos_bin")
         ).alias("bytes"),
         F.sum("sum_tf").alias("token_count"),
     )

@@ -47,6 +47,17 @@ def main() -> None:
     ap.add_argument("--queries", help="json file: [{query_id, text, k}, ...]")
     ap.add_argument("--out", help="results parquet dir")
     ap.add_argument("--segment-docs", type=int, default=None)
+    ap.add_argument(
+        "--positional",
+        action="store_true",
+        help="store token positions in the index (enables --mode phrase)",
+    )
+    ap.add_argument(
+        "--mode",
+        choices=["or", "and", "phrase"],
+        default="or",
+        help="disjunctive BM25 (default), conjunctive AND, or exact phrase",
+    )
     ap.add_argument("--demo", action="store_true", help="self-contained local demo")
     ap.add_argument(
         "--append",
@@ -137,6 +148,7 @@ def main() -> None:
                 meta,
                 queries,
                 deletes=load_deletes(spark, args.index),
+                mode=args.mode,
             ).write.mode("overwrite").parquet(args.out)
             print(f"wrote results -> {args.out}")
         return
@@ -163,11 +175,17 @@ def main() -> None:
 
     raw = spark.read.parquet(args.transcripts)
     docs = with_tokens(assign_doc_ids(raw)).select("doc_id", "tokens", "dl")
-    meta = build_index(spark, docs, args.index, segment_docs=args.segment_docs)
+    meta = build_index(
+        spark,
+        docs,
+        args.index,
+        segment_docs=args.segment_docs,
+        positional=args.positional,
+    )
     print(f"indexed {meta.n_docs} turns (avgdl={meta.avgdl:.2f}) -> {args.index}")
 
     merged, tstats, meta = load_index(spark, args.index)
-    results = wand_topk(spark, merged, tstats, meta, queries)
+    results = wand_topk(spark, merged, tstats, meta, queries, mode=args.mode)
     results.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"wrote {n} result rows -> {args.out}")
