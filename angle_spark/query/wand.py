@@ -632,7 +632,14 @@ def wand_topk(
         par = spark.sparkContext.defaultParallelism
         shard_segments = max(1, n_segments // (par * 4))
     terms = sorted({t for ts in grouped["terms"] for t in ts})
-    cand = merged.filter(F.col("term").isin(terms)).withColumn(
+    cand = merged.filter(F.col("term").isin(terms))
+    if mode != "phrase" and "pos_bin" in cand.columns:
+        # positions roughly double a positional index's block bytes and
+        # only phrase verification reads them — drop the column BEFORE
+        # the shard shuffle so or/and queries never ship it (the
+        # projection also prunes it out of the parquet scan)
+        cand = cand.drop("pos_bin")
+    cand = cand.withColumn(
         "shard", (F.col("segment_id") / F.lit(shard_segments)).cast("long")
     )
     avgdl = meta.avgdl
