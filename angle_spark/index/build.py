@@ -308,13 +308,16 @@ def merge_index(
             _read_table(spark, merged_path, fmt)
             .filter(F.col("first_doc") >= F.lit(meta.merged_docs))
             .groupBy("term")
-            .agg(F.sum("n_postings").alias("df"))
+            .agg(
+                F.sum("n_postings").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+            )
         )
         combined = (
             _read_table(spark, tstats_path, fmt)
             .unionByName(delta_df)
             .groupBy("term")
-            .agg(F.sum("df").alias("df"))
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
         _write(combined, tstats_path + "_tmp", fmt, "overwrite")
         fsio.rename(spark, tstats_path, tstats_path + "_old")
@@ -337,7 +340,12 @@ def merge_index(
             F.max("last_doc").alias("hi"),
         ).collect()[0]
         _write(
-            merged.groupBy("term").agg(F.sum("n_postings").alias("df")),
+            merged.groupBy("term").agg(
+                F.sum("n_postings").alias("df"),
+                # collection frequency: total term occurrences — (term,
+                # doc) is unique across blocks so the tf sums add cleanly
+                F.sum("sum_tf").alias("cf"),
+            ),
             tstats_path,
             fmt,
             "overwrite",
@@ -423,9 +431,12 @@ def load_index(spark: SparkSession, out_dir: str):
         merged = merged.unionByName(delta.select(*merged.columns))
         tstats = (
             tstats.unionByName(
-                delta.groupBy("term").agg(F.sum("n_postings").alias("df"))
+                delta.groupBy("term").agg(
+                    F.sum("n_postings").alias("df"),
+                    F.sum("sum_tf").alias("cf"),
+                )
             )
             .groupBy("term")
-            .agg(F.sum("df").alias("df"))
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
     return merged, tstats, meta

@@ -62,8 +62,12 @@ def test_block_invariants(spark, index_dir, oracle):
 
 def test_term_stats_match_oracle(spark, index_dir, oracle):
     _, tstats, meta = load_index(spark, index_dir)
-    got = {r["term"]: r["df"] for r in tstats.collect()}
+    rows = tstats.collect()
+    got = {r["term"]: r["df"] for r in rows}
     assert got == oracle.df
+    # collection frequency: total occurrences per term
+    got_cf = {r["term"]: r["cf"] for r in rows}
+    assert got_cf == {t: sum(p.values()) for t, p in oracle.tf.items()}
     assert meta.n_docs == oracle.n_docs
     assert meta.avgdl == oracle.avgdl
 
