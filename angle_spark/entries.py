@@ -50,6 +50,20 @@ PHRASE_QUERY_SET: list[tuple[str, str, int]] = [
 ]
 
 
+# Proximity (NEAR) rendition: all distinct tokens within NEAR_SLOP
+# positions, unordered. At slop=4, "hash join" matches 158 docs at
+# sf0.001 vs 55 at slop=1 vs 24 as an exact phrase vs 100s
+# conjunctively — the window size is load-bearing, so neither a
+# phrase nor an AND implementation can pass this oracle.
+NEAR_SLOP = 4
+NEAR_QUERY_SET: list[tuple[str, str, int]] = [
+    ("nr1", "hash join", 1000),
+    ("nr2", "dup spark", 1000),
+    ("nr3", "scan filter merge", 1000),
+    ("nr4", "zzzz scan", 10),
+]
+
+
 # Conjunctive (AND) rendition: k exceeds the corpus so the FULL
 # intersection is returned — the per-query result sizes (21/22/15/229/
 # 20/0/...) differ from the disjunctive top-k and from each other, so a
@@ -364,6 +378,104 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta,
         _doc_queries_df(spark, PHRASE_QUERY_SET),
         mode="phrase",
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_near_oracle_sql() -> str:
+    """BM25 over docs where each query's distinct tokens co-occur within
+    NEAR_SLOP positions (unordered). The positional truth is a per-query
+    n-way self-join with a greatest-least window bound; scoring reuses
+    the standard CTEs over the distinct terms."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    toks = duckdb_tokens_sql("text")
+    match_selects = []
+    for qid, text, k in NEAR_QUERY_SET:
+        terms = sorted(set(tokenize_py(text)))
+        n = len(terms)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, n)
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        ps = ", ".join(f"p{i}.p" for i in range(n))
+        window = (
+            f" AND greatest({ps}) - least({ps}) <= {NEAR_SLOP}" if n > 1 else ""
+        )
+        match_selects.append(
+            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds}{window} GROUP BY p0.doc_id"
+        )
+    matches = "\n  UNION ALL\n  ".join(match_selects)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(NEAR_QUERY_SET)}
+), scored AS (
+  SELECT m.query_id, m.k, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM matches m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.k, m.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- unordered proximity (NEAR) over the positional index: conjunctive
+#     survivors + smallest-range-covering-k-lists verification per
+#     candidate, shard-local (query/wand.py mode="near", slop=NEAR_SLOP).
+def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.query.wand import wand_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    out_dir = tempfile.mkdtemp(prefix="bm25_near_entry_")
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16, positional=True)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, NEAR_QUERY_SET),
+        mode="near",
+        slop=NEAR_SLOP,
     )
     return out.select(
         "query_id",
@@ -1098,6 +1210,7 @@ QUERIES = {
     "bm25_purged_index": q_bm25_purged_index,
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_phrase": q_bm25_phrase,
+    "bm25_near": q_bm25_near,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1170,6 +1283,7 @@ ORACLE_SQL = {
     "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
+    "bm25_near": _bm25_near_oracle_sql(),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (

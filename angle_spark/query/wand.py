@@ -224,6 +224,7 @@ def _score_shard_multi(
     prune: bool,
     deleted: np.ndarray | None = None,
     mode: str = "or",
+    slop: int = 0,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -319,7 +320,7 @@ def _score_shard_multi(
             term_cache[term] = hit
         return hit
 
-    conjunctive = mode in ("and", "phrase")
+    conjunctive = mode in ("and", "phrase", "near")
 
     pos_cache: dict[str, tuple] = {}
 
@@ -371,6 +372,38 @@ def _score_shard_multi(
                 return False
         return True
 
+    def near_match(terms, doc, slop) -> bool:
+        """unordered proximity: some choice of one position per term spans
+        at most ``slop`` tokens. Classic smallest-range-covering-k-lists
+        two-pointer over the merged, labeled position lists."""
+        lists = [positions_of(t, doc) for t in terms]
+        if any(p is None for p in lists):
+            return False
+        if len(lists) == 1:
+            return True
+        pos = np.concatenate(lists)
+        lab = np.concatenate(
+            [np.full(len(p), i, dtype=np.int32) for i, p in enumerate(lists)]
+        )
+        o = np.argsort(pos, kind="stable")
+        pos, lab = pos[o], lab[o]
+        need = len(lists)
+        have = 0
+        counts = np.zeros(need, dtype=np.int32)
+        lo = 0
+        for hi in range(len(pos)):
+            if counts[lab[hi]] == 0:
+                have += 1
+            counts[lab[hi]] += 1
+            while have == need:
+                if pos[hi] - pos[lo] <= slop:
+                    return True
+                counts[lab[lo]] -= 1
+                if counts[lab[lo]] == 0:
+                    have -= 1
+                lo += 1
+        return False
+
     acc = np.zeros(span, dtype=np.float64)
     acc2 = np.zeros(span, dtype=np.float64)  # MaxScore phase-2 (ascending) fold
     cnt = np.zeros(span, dtype=np.int32) if conjunctive else None
@@ -410,16 +443,24 @@ def _score_shard_multi(
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
             full = hit[cnt[hit] == nq]
-            if mode == "phrase" and len(full):
+            if mode in ("phrase", "near") and len(full):
                 # positional verification over the conjunctive survivors
                 # only — the candidate set is already small, and position
                 # lists decode lazily per term, cached across queries
-                phrase = list(q.phrase)
-                ok = np.fromiter(
-                    (phrase_match(phrase, int(li + base)) for li in full),
-                    dtype=bool,
-                    count=len(full),
-                )
+                if mode == "phrase":
+                    phrase = list(q.phrase)
+                    ok = np.fromiter(
+                        (phrase_match(phrase, int(li + base)) for li in full),
+                        dtype=bool,
+                        count=len(full),
+                    )
+                else:
+                    qterms = list(q.terms)
+                    ok = np.fromiter(
+                        (near_match(qterms, int(li + base), slop) for li in full),
+                        dtype=bool,
+                        count=len(full),
+                    )
                 full = full[ok]
             doc_ids = full + base
             scores = acc[full].copy()
@@ -522,6 +563,7 @@ def wand_topk(
     shard_segments: int | None = SHARD_SEGMENTS,
     deletes: DataFrame | None = None,
     mode: str = "or",
+    slop: int = 0,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -566,14 +608,23 @@ def wand_topk(
     broadcast, so the tombstone set may grow with the corpus; inside a
     task they mask at decode time, which keeps pruning exact.
 
+    mode="near" is unordered proximity: all distinct query tokens within
+    a window of ``slop`` tokens (max position - min position <= slop),
+    verified like phrase mode on the conjunctive survivors (smallest-
+    range two-pointer per candidate). Needs a positional index.
+
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and", "phrase"):
-        raise ValueError(f"mode must be 'or', 'and' or 'phrase', got {mode!r}")
-    if mode == "phrase" and not getattr(meta, "positional", False):
+    if mode not in ("or", "and", "phrase", "near"):
         raise ValueError(
-            "phrase mode needs a positional index — rebuild with "
+            f"mode must be 'or', 'and', 'phrase' or 'near', got {mode!r}"
+        )
+    if mode in ("phrase", "near") and not getattr(meta, "positional", False):
+        raise ValueError(
+            f"{mode} mode needs a positional index — rebuild with "
             "build_index(..., positional=True)"
         )
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     if isinstance(queries, pd.DataFrame):
         from angle_spark.functions.tokenizer import tokenize_py
 
@@ -633,7 +684,7 @@ def wand_topk(
         shard_segments = max(1, n_segments // (par * 4))
     terms = sorted({t for ts in grouped["terms"] for t in ts})
     cand = merged.filter(F.col("term").isin(terms))
-    if mode != "phrase" and "pos_bin" in cand.columns:
+    if mode not in ("phrase", "near") and "pos_bin" in cand.columns:
         # positions roughly double a positional index's block bytes and
         # only phrase verification reads them — drop the column BEFORE
         # the shard shuffle so or/and queries never ship it (the
@@ -648,7 +699,7 @@ def wand_topk(
 
         def fn(key, pdf):
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, mode=mode
+                pdf, b_qt.value, avgdl, prune, mode=mode, slop=slop
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
@@ -667,7 +718,7 @@ def wand_topk(
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             deleted = np.sort(np.unique(tomb["doc_id"].to_numpy(dtype=np.int64)))
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, deleted, mode=mode
+                pdf, b_qt.value, avgdl, prune, deleted, mode=mode, slop=slop
             )
 
         local = (

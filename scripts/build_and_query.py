@@ -28,6 +28,10 @@ the same stable-order contract the streaming path has.
 them immediately with full-corpus stats, Lucene-style), --purge is the
 compaction that physically removes their postings and switches the
 stats to live values (index/deletes.py).
+
+Query-only: --index + --queries + --out WITHOUT --transcripts answers
+the query file against an existing index (honoring pending tombstones,
+--mode or|and|phrase|near, --slop).
 """
 
 from __future__ import annotations
@@ -54,9 +58,16 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode",
-        choices=["or", "and", "phrase"],
+        choices=["or", "and", "phrase", "near"],
         default="or",
-        help="disjunctive BM25 (default), conjunctive AND, or exact phrase",
+        help="disjunctive BM25 (default), conjunctive AND, exact phrase, "
+        "or unordered proximity (see --slop)",
+    )
+    ap.add_argument(
+        "--slop",
+        type=int,
+        default=4,
+        help="near mode: max window (max pos - min pos) in tokens",
     )
     ap.add_argument("--demo", action="store_true", help="self-contained local demo")
     ap.add_argument(
@@ -96,7 +107,11 @@ def main() -> None:
 
     spark = get_spark(app_name="angle_spark_build_and_query")
 
-    if args.append or args.compact or args.delete or args.purge:
+    query_only = (
+        args.index and args.queries and args.out
+        and not args.transcripts and not args.demo
+    )
+    if args.append or args.compact or args.delete or args.purge or query_only:
         if not args.index:
             ap.error("--index required")
         if args.append:
@@ -149,6 +164,7 @@ def main() -> None:
                 queries,
                 deletes=load_deletes(spark, args.index),
                 mode=args.mode,
+                slop=args.slop,
             ).write.mode("overwrite").parquet(args.out)
             print(f"wrote results -> {args.out}")
         return
@@ -185,7 +201,9 @@ def main() -> None:
     print(f"indexed {meta.n_docs} turns (avgdl={meta.avgdl:.2f}) -> {args.index}")
 
     merged, tstats, meta = load_index(spark, args.index)
-    results = wand_topk(spark, merged, tstats, meta, queries, mode=args.mode)
+    results = wand_topk(
+        spark, merged, tstats, meta, queries, mode=args.mode, slop=args.slop
+    )
     results.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"wrote {n} result rows -> {args.out}")

@@ -178,6 +178,55 @@ def test_positions_survive_purge(spark, index_dir, corpus, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
 
 
+def _near_docs(toks, terms: list[str], slop: int) -> set[int]:
+    """naive truth: any choice of one position per distinct term spanning
+    <= slop tokens."""
+    import itertools
+
+    out = set()
+    for d, tk in enumerate(toks):
+        pos = {t: [i for i, x in enumerate(tk) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        for combo in itertools.product(*(pos[t] for t in terms)):
+            if max(combo) - min(combo) <= slop:
+                out.add(d)
+                break
+    return out
+
+
+def test_near_matches_naive_truth(spark, index_dir, corpus):
+    _, toks, oracle = corpus
+    # a bigram that exists somewhere, queried at three slop levels
+    a, b = toks[0][3], toks[0][4]
+    qs = [("s1", f"{a} {b}", 1000)]
+    merged, tstats, meta = load_index(spark, index_dir)
+    sizes = {}
+    for slop in (1, 8, 10_000):
+        got = _frame(
+            wand_topk(
+                spark, merged, tstats, meta, _qdf(spark, qs), mode="near", slop=slop
+            )
+        )
+        terms = sorted({a, b})
+        want_docs = _near_docs(toks, terms, slop)
+        assert set(got.doc_id) == want_docs, slop
+        sizes[slop] = len(got)
+        # scores are the AND scores (BM25 over distinct terms)
+        want_scores = {
+            d: s for d, s in oracle.score_query(f"{a} {b}", oracle.n_docs)
+        }
+        for r in got.itertuples(index=False):
+            assert want_scores[r.doc_id] == r.score
+    # slop is load-bearing and monotone; huge slop == conjunctive AND
+    assert sizes[1] <= sizes[8] <= sizes[10_000]
+    assert sizes[1] < sizes[10_000]
+    and_rows = wand_topk(
+        spark, merged, tstats, meta, _qdf(spark, qs), mode="and"
+    ).count()
+    assert sizes[10_000] == and_rows
+
+
 def test_positions_survive_streamed_append(spark, tmp_path, corpus):
     """meta.positional propagates to streamed delta segments: a phrase
     only present in the APPENDED tail must be found without any merge."""
