@@ -287,31 +287,16 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_phrase_oracle_sql() -> str:
-    """BM25 over docs containing each query's EXACT token sequence. The
-    positional truth is SQL-native: positions via generate_subscripts
-    aligned with unnest, a phrase = a chain of self-joins on
-    p_i = p_0 + i, per query (generated from the same tokenizer the
-    engine uses). Scoring then reuses the standard CTEs over the
-    phrase's distinct terms."""
-    from angle_spark.functions.tokenizer import tokenize_py
-
+def _bm25_positional_oracle_sql(query_set, match_select) -> str:
+    """Shared template for the positional oracles (phrase / near): a
+    per-query `matches` CTE built by ``match_select(qid, text, k)`` over
+    the SQL-native positional truth (positions via generate_subscripts
+    aligned with unnest), then BM25 scoring of the matched docs with the
+    standard CTEs over each query's distinct terms."""
     toks = duckdb_tokens_sql("text")
-    match_selects = []
-    for qid, text, k in PHRASE_QUERY_SET:
-        terms = tokenize_py(text)
-        if any("'" in t for t in terms):  # defensive; tokenizer is [a-z0-9]
-            raise ValueError(terms)
-        joins = " ".join(
-            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
-            for i in range(1, len(terms))
-        )
-        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
-        match_selects.append(
-            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
-            f" FROM pos p0 {joins} WHERE {conds} GROUP BY p0.doc_id"
-        )
-    matches = "\n  UNION ALL\n  ".join(match_selects)
+    matches = "\n  UNION ALL\n  ".join(
+        match_select(qid, text, k) for qid, text, k in query_set
+    )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toks} AS tokens FROM documents
@@ -332,7 +317,7 @@ WITH docs AS (
   {matches}
 ), qterms AS (
   SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
-  FROM {_doc_queries_values_sql(PHRASE_QUERY_SET)}
+  FROM {_doc_queries_values_sql(query_set)}
 ), scored AS (
   SELECT m.query_id, m.k, m.doc_id,
          sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
@@ -353,6 +338,28 @@ WITH docs AS (
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
 FROM ranked WHERE rnk <= k
 """
+
+
+def _bm25_phrase_oracle_sql() -> str:
+    """Exact token-sequence truth: a chain of self-joins on
+    p_i = p_0 + i per query, from the same tokenizer the engine uses."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    def phrase_select(qid, text, k):
+        terms = tokenize_py(text)
+        if any("'" in t for t in terms):  # defensive; tokenizer is [a-z0-9]
+            raise ValueError(terms)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        return (
+            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds} GROUP BY p0.doc_id"
+        )
+
+    return _bm25_positional_oracle_sql(PHRASE_QUERY_SET, phrase_select)
 
 
 # --- phrase retrieval over the POSITIONAL compressed index: SPIMI blocks
@@ -388,15 +395,11 @@ def q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_near_oracle_sql() -> str:
-    """BM25 over docs where each query's distinct tokens co-occur within
-    NEAR_SLOP positions (unordered). The positional truth is a per-query
-    n-way self-join with a greatest-least window bound; scoring reuses
-    the standard CTEs over the distinct terms."""
+    """Unordered within-window truth: an n-way positional self-join with
+    a greatest-least window bound of NEAR_SLOP per query."""
     from angle_spark.functions.tokenizer import tokenize_py
 
-    toks = duckdb_tokens_sql("text")
-    match_selects = []
-    for qid, text, k in NEAR_QUERY_SET:
+    def near_select(qid, text, k):
         terms = sorted(set(tokenize_py(text)))
         n = len(terms)
         joins = " ".join(
@@ -407,52 +410,12 @@ def _bm25_near_oracle_sql() -> str:
         window = (
             f" AND greatest({ps}) - least({ps}) <= {NEAR_SLOP}" if n > 1 else ""
         )
-        match_selects.append(
+        return (
             f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
             f" FROM pos p0 {joins} WHERE {conds}{window} GROUP BY p0.doc_id"
         )
-    matches = "\n  UNION ALL\n  ".join(match_selects)
-    return f"""
-WITH docs AS (
-  SELECT doc_id, {toks} AS tokens FROM documents
-), dl AS (
-  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
-), tf AS (
-  SELECT doc_id, term, count(*)::BIGINT AS tf
-  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
-  GROUP BY doc_id, term
-), stats AS (
-  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
-), dft AS (
-  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
-), pos AS (
-  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
-  FROM docs
-), matches AS (
-  {matches}
-), qterms AS (
-  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
-  FROM {_doc_queries_values_sql(NEAR_QUERY_SET)}
-), scored AS (
-  SELECT m.query_id, m.k, m.doc_id,
-         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-              * tf.tf * 2.2
-              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
-  FROM matches m
-  JOIN qterms qt ON qt.query_id = m.query_id
-  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
-  JOIN dft ON dft.term = qt.term
-  JOIN dl  ON dl.doc_id = m.doc_id
-  CROSS JOIN stats s
-  GROUP BY m.query_id, m.k, m.doc_id
-), ranked AS (
-  SELECT query_id, k, doc_id, raw,
-         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
-  FROM scored
-)
-SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
-FROM ranked WHERE rnk <= k
-"""
+
+    return _bm25_positional_oracle_sql(NEAR_QUERY_SET, near_select)
 
 
 # --- unordered proximity (NEAR) over the positional index: conjunctive
