@@ -41,6 +41,24 @@ def test_healthy_positional_clean(spark, tmp_path):
     assert fsck_index(spark, out).count() == 0
 
 
+def test_healthy_streamed_delta_clean(spark, tmp_path):
+    """committed-but-unmerged delta segments pass fsck too (the stats
+    check runs against the same delta union load_index serves)."""
+    from angle_spark.index.build import refresh_corpus_stats
+    from angle_spark.streaming.maintain import append_micro_batch
+
+    out = _build(spark, tmp_path)
+    tail = transcripts_df(spark, 40, seed=SEED).filter(
+        f"conv_id >= 'conv_{N_CONVS:08d}'"
+    )
+    import json
+
+    meta_docs = json.load(open(f"{out}/corpus_stats.json"))["n_docs"]
+    append_micro_batch(tail, 0, out, meta_docs)
+    refresh_corpus_stats(spark, out)
+    assert fsck_index(spark, out).count() == 0
+
+
 def _drop_crc(f):
     """the rewrite invalidates Hadoop's .crc sidecar — remove it so the
     corruption reaches the reader instead of tripping ChecksumException"""
