@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from angle_spark import fsio
 
 from angle_spark.codec import BLOCK_SIZE
-from angle_spark.index.spimi import DEFAULT_SEGMENT_DOCS, build_segments
+from angle_spark.index.spimi import build_segments
 from angle_spark.index.stats import corpus_stats
 
 LINEAGE_SCHEMA = (

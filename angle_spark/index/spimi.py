@@ -15,8 +15,9 @@ re-sort at merge time.
 
 Block rows (one per <=BLOCK_SIZE docs of one term in one segment):
     term, segment_id, block_in_seg, first_doc, last_doc, n_postings,
-    max_tf, max_impact (idf-free BM25 bound for block-max WAND),
-    docs_bin (delta+varint), tfs_bin (varint of tf-1), dls_bin (varint)
+    max_tf, min_dl, sum_tf, max_impact (idf-free BM25 bound for
+    block-max WAND), docs_bin (delta+varint), tfs_bin (varint of tf-1),
+    dls_bin (varint), pos_bin (positional indexes only, else empty)
 
 max_impact is ADVISORY: it bakes in the avgdl at encode time, which goes
 stale once streamed delta segments land (streaming/maintain.py). The
@@ -25,8 +26,6 @@ query side must — and query/wand.py does — recompute block bounds from
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
