@@ -448,6 +448,39 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FILTERED retrieval: a metadata facet (lang = 'en', 218/500 docs)
+#     resolves to a docID allow-list against the corpus table, then rides
+#     the shard-cogrouped decode-time masking (query/wand.py doc_filter)
+#     — only listed docs are ranked, corpus stats stay full, pruning
+#     stays exact. Oracle: candidate filter only, stats CTEs untouched.
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import build_index, load_index
+    from angle_spark.query.wand import wand_topk
+
+    docs_tbl = _read(spark, sf_dir, "documents")
+    docs = with_tokens(docs_tbl).select("doc_id", "tokens", "dl")
+    out_dir = tempfile.mkdtemp(prefix="bm25_filter_entry_")
+    build_index(spark, docs, out_dir, segment_docs=128, block_size=16)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark),
+        prune=True,
+        doc_filter=docs_tbl.filter(F.col("lang") == "en").select("doc_id"),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- conjunctive (AND) retrieval over the compressed index: only docs
 #     matching EVERY distinct query token are ranked (BM25-scored; the
 #     shard-local matched-term counter is globally exact because a doc's
@@ -1174,6 +1207,7 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
+    "bm25_filtered": q_bm25_filtered,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1247,6 +1281,10 @@ ORACLE_SQL = {
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
+    "bm25_filtered": _bm25_oracle_sql(
+        candidate_where="WHERE tf.doc_id IN "
+        "(SELECT doc_id FROM documents WHERE lang = 'en')"
+    ),
     "doc_term_df": f"""
         SELECT term, count(*)::BIGINT AS df
         FROM (SELECT doc_id, term FROM (

@@ -225,6 +225,7 @@ def _score_shard_multi(
     deleted: np.ndarray | None = None,
     mode: str = "or",
     slop: int = 0,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -289,7 +290,18 @@ def _score_shard_multi(
             d = decode_doc_deltas(row.docs_bin)
             tf = decode_tfs(row.tfs_bin).astype(np.float64)
             dl = decode_varints(row.dls_bin).astype(np.float64)
-            if deleted is not None:
+            if allowed is not None:
+                # allow-list (filtered retrieval) masked at DECODE time —
+                # same exactness argument as tombstones below
+                if allowed.size == 0:
+                    d, tf, dl = d[:0], tf[:0], dl[:0]
+                else:
+                    idx = np.searchsorted(allowed, d)
+                    idx[idx == allowed.size] = 0
+                    keep = allowed[idx] == d
+                    if not keep.all():
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+            elif deleted is not None:
                 # tombstone masking at DECODE time keeps pruning exact:
                 # block bounds stay valid upper bounds for the surviving
                 # postings, and theta only ever rises on live docs — a
@@ -564,6 +576,7 @@ def wand_topk(
     deletes: DataFrame | None = None,
     mode: str = "or",
     slop: int = 0,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -612,6 +625,13 @@ def wand_topk(
     a window of ``slop`` tokens (max position - min position <= slop),
     verified like phrase mode on the conjunctive survivors (smallest-
     range two-pointer per candidate). Needs a positional index.
+
+    ``doc_filter`` (a doc_id DataFrame) is FILTERED RETRIEVAL: only the
+    listed docs are ranked (facet/metadata filters resolve to a docID
+    set against the corpus table, then ride the same shard-cogrouped,
+    decode-time masking as tombstones — stats stay full-corpus, pruning
+    stays exact). Composes with ``deletes`` (tombstones are removed from
+    the allow-list before it ships) and with every mode.
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     if mode not in ("or", "and", "phrase", "near"):
@@ -695,7 +715,21 @@ def wand_topk(
     )
     avgdl = meta.avgdl
 
-    if deletes is None:
+    side = None
+    allow = False
+    if doc_filter is not None:
+        side = doc_filter.select(F.col("doc_id").cast("long").alias("doc_id"))
+        if deletes is not None:
+            side = side.join(
+                deletes.select(F.col("doc_id").cast("long").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        allow = True
+    elif deletes is not None:
+        side = deletes.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+    if side is None:
 
         def fn(key, pdf):
             return _score_shard_multi(
@@ -705,25 +739,32 @@ def wand_topk(
         local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
     else:
         # a doc's shard is a pure function of its docID (segment_id =
-        # doc_id // segment_docs), so tombstones shuffle straight to the
-        # one task whose blocks can contain them
+        # doc_id // segment_docs), so the docID set (tombstones or an
+        # allow-list) shuffles straight to the one task whose blocks can
+        # contain it — never broadcast
         docs_per_shard = meta.segment_docs * shard_segments
-        dels = deletes.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("doc_id") / F.lit(docs_per_shard)).cast("long").alias("shard"),
+        side = side.withColumn(
+            "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
         )
 
-        def fn2(key, pdf, tomb):
+        def fn2(key, pdf, ids):
             if len(pdf) == 0:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-            deleted = np.sort(np.unique(tomb["doc_id"].to_numpy(dtype=np.int64)))
+            arr = np.sort(np.unique(ids["doc_id"].to_numpy(dtype=np.int64)))
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, deleted, mode=mode, slop=slop
+                pdf,
+                b_qt.value,
+                avgdl,
+                prune,
+                deleted=None if allow else arr,
+                mode=mode,
+                slop=slop,
+                allowed=arr if allow else None,
             )
 
         local = (
             cand.groupby("shard")
-            .cogroup(dels.groupby("shard"))
+            .cogroup(side.groupby("shard"))
             .applyInPandas(fn2, schema=_OUT_SCHEMA)
         )
     kdf = spark.createDataFrame(
