@@ -83,10 +83,13 @@ class Searcher:
         queries,
         prune: bool = True,
         mode: str = "or",
+        slop: int = 0,
+        doc_filter: DataFrame | None = None,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
-        same contract as wand_topk, which this delegates to with the
-        session's cached state."""
+        same contract as wand_topk (mode or/and/phrase/near, slop,
+        per-call doc_filter), which this delegates to with the session's
+        cached state."""
         if self._merged is None:
             raise RuntimeError("Searcher is closed")
         return wand_topk(
@@ -97,7 +100,9 @@ class Searcher:
             queries,
             prune=prune,
             mode=mode,
+            slop=slop,
             deletes=self.deletes,
+            doc_filter=doc_filter,
         )
 
     def close(self) -> None:
