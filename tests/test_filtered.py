@@ -93,6 +93,54 @@ def test_filter_composes_with_deletes(spark, index_dir, oracle, tmp_path_factory
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
 
 
+def test_filter_deletes_phrase_three_way(spark, tmp_path_factory, oracle):
+    """the full composition: positional index + allow-list + tombstones +
+    phrase mode, against a naive golden."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    docs = (
+        with_tokens(assign_doc_ids(transcripts_df(spark, N_CONVS, seed=SEED, partitions=4)))
+        .select("doc_id", "tokens", "dl")
+    )
+    out = str(tmp_path_factory.mktemp("filt3") / "idx")
+    build_index(spark, docs, out, segment_docs=128, block_size=16, positional=True)
+    delete_docs(spark, out, spark.range(0, oracle.n_docs, 5).selectExpr("id as doc_id"))
+
+    tp = transcripts_pdf(N_CONVS, seed=SEED)
+    ordered = tp.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    toks = [tokenize_py(t if isinstance(t, str) else "") for t in ordered["text"]]
+    phrase = toks[1][2:4]
+    q = spark.createDataFrame(
+        [("x", " ".join(phrase), 1000)], "query_id string, text string, k int"
+    )
+    merged, tstats, meta = load_index(spark, out)
+    got = _frame(
+        wand_topk(
+            spark,
+            merged,
+            tstats,
+            meta,
+            q,
+            mode="phrase",
+            doc_filter=spark.range(0, oracle.n_docs, 2).selectExpr("id as doc_id"),
+            deletes=load_deletes(spark, out),
+        )
+    )
+
+    def ok(d):
+        if d % 2 != 0 or d % 5 == 0:
+            return False
+        tk, m = toks[d], len(phrase)
+        return any(tk[i : i + m] == phrase for i in range(len(tk) - m + 1))
+
+    want = _golden(oracle, pd.DataFrame([("x", " ".join(phrase), 1000)],
+                                        columns=["query_id", "text", "k"]), ok)
+    assert len(want) > 0 or not any(ok(d) for d in range(oracle.n_docs))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
 def test_empty_filter_matches_nothing(spark, index_dir):
     merged, tstats, meta = load_index(spark, index_dir)
     empty = spark.createDataFrame([], "doc_id long")
