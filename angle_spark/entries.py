@@ -305,16 +305,21 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_positional_oracle_sql(query_set, match_select) -> str:
-    """Shared template for the positional oracles (phrase / near): a
-    per-query `matches` CTE built by ``match_select(qid, text, k)`` over
-    the SQL-native positional truth (positions via generate_subscripts
-    aligned with unnest), then BM25 scoring of the matched docs with the
-    standard CTEs over each query's distinct terms."""
+def _bm25_matches_scored_sql(
+    matches_sql: str, qterms_sql: str, rank_on_rounded: bool = False
+) -> str:
+    """Shared scoring skeleton for every membership-then-score oracle
+    (phrase / near / boolean): a `matches` CTE of (query_id, k, doc_id)
+    membership truth, a `qterms` CTE of each query's distinct SCORING
+    terms, then the standard BM25 CTEs over the matched docs.
+
+    rank_on_rounded: rank by round(raw, 6) with the doc_id tiebreak —
+    for FULL-answer-set queries (k > corpus) where two distinct docs can
+    land within SQL-sum-order ULP noise of each other; the engine side
+    then ranks on its rounded scores too, making the tie order
+    deterministic on both sides."""
+    rank_key = "round(raw, 6)" if rank_on_rounded else "raw"
     toks = duckdb_tokens_sql("text")
-    matches = "\n  UNION ALL\n  ".join(
-        match_select(qid, text, k) for qid, text, k in query_set
-    )
     return f"""
 WITH docs AS (
   SELECT doc_id, {toks} AS tokens FROM documents
@@ -332,10 +337,9 @@ WITH docs AS (
   SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
   FROM docs
 ), matches AS (
-  {matches}
+  {matches_sql}
 ), qterms AS (
-  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
-  FROM {_doc_queries_values_sql(query_set)}
+  {qterms_sql}
 ), scored AS (
   SELECT m.query_id, m.k, m.doc_id,
          sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
@@ -350,12 +354,28 @@ WITH docs AS (
   GROUP BY m.query_id, m.k, m.doc_id
 ), ranked AS (
   SELECT query_id, k, doc_id, raw,
-         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY {rank_key} DESC, doc_id ASC) AS rnk
   FROM scored
 )
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
 FROM ranked WHERE rnk <= k
 """
+
+
+def _bm25_positional_oracle_sql(query_set, match_select) -> str:
+    """Shared template for the positional oracles (phrase / near): a
+    per-query `matches` CTE built by ``match_select(qid, text, k)`` over
+    the SQL-native positional truth (positions via generate_subscripts
+    aligned with unnest), then BM25 scoring of the matched docs with the
+    standard CTEs over each query's distinct terms."""
+    matches = "\n  UNION ALL\n  ".join(
+        match_select(qid, text, k) for qid, text, k in query_set
+    )
+    qterms = (
+        f"SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term"
+        f"\n  FROM {_doc_queries_values_sql(query_set)}"
+    )
+    return _bm25_matches_scored_sql(matches, qterms)
 
 
 def _bm25_phrase_oracle_sql() -> str:
@@ -455,6 +475,124 @@ def q_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Boolean rendition: mixed trees no single-flavor call can answer —
+# phrase-within-AND-within-OR (bl1), AND NOT (bl2), OR-group with a
+# negated phrase (bl3), a proximity leaf inside AND (bl4), OOV in an OR
+# arm (survives, bl5) vs inside an AND (dead, bl6), nested NOT-group
+# (bl7). k exceeds the corpus so FULL answer sets discriminate.
+BOOL_QUERY_SET: list[tuple[str, str, int]] = [
+    ("bl1", '("hash join" AND spark) OR dup', 1000),
+    ("bl2", "scan AND NOT filter", 1000),
+    ("bl3", '(dup OR spark) AND merge AND NOT "the fast"', 1000),
+    ("bl4", '"join hash"~3 AND scan', 1000),
+    ("bl5", "zzzz OR dup", 1000),
+    ("bl6", "zzzz AND scan", 10),
+    ("bl7", "group AND (batch OR NOT window AND sort)", 1000),
+]
+
+
+def _bool_match_sql(node) -> str:
+    """AST -> a DuckDB set expression of matching doc_ids, built from
+    membership primitives the engine does NOT use: term membership from
+    the tf CTE, phrase/proximity from positional self-joins, and the
+    tree composed with INTERSECT / UNION / EXCEPT — algorithm-
+    independent truth for the shard-local mask evaluation."""
+    kind = node[0]
+    if kind == "term":
+        return f"SELECT doc_id FROM tf WHERE term = '{node[1]}'"
+    if kind == "phrase":
+        toks, slop = list(node[1]), int(node[2])
+        if any("'" in t for t in toks):  # defensive; tokenizer is [a-z0-9]
+            raise ValueError(toks)
+        if slop == 0:
+            joins = " ".join(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+                for i in range(1, len(toks))
+            )
+            conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(toks))
+            return (
+                f"SELECT p0.doc_id FROM pos p0 {joins} WHERE {conds} "
+                "GROUP BY p0.doc_id"
+            )
+        distinct = sorted(set(toks))
+        n = len(distinct)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id" for i in range(1, n)
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(distinct))
+        ps = ", ".join(f"p{i}.p" for i in range(n))
+        window = f" AND greatest({ps}) - least({ps}) <= {slop}" if n > 1 else ""
+        return (
+            f"SELECT p0.doc_id FROM pos p0 {joins} WHERE {conds}{window} "
+            "GROUP BY p0.doc_id"
+        )
+    if kind == "and":
+        s = " INTERSECT ".join(f"({_bool_match_sql(c)})" for c in node[1])
+        for c in node[2]:
+            s = f"({s}) EXCEPT ({_bool_match_sql(c)})"
+        return s
+    return " UNION ".join(f"({_bool_match_sql(c)})" for c in node[1])  # or
+
+
+def _bm25_boolean_oracle_sql() -> str:
+    from angle_spark.query.boolean import parse_query, query_terms
+
+    matches_parts, qterm_rows = [], []
+    for qid, text, k in BOOL_QUERY_SET:
+        ast = parse_query(text)
+        matches_parts.append(
+            f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM ({_bool_match_sql(ast)})"
+        )
+        for t in query_terms(ast)[0]:  # distinct POSITIVE terms score
+            qterm_rows.append(f"('{qid}', '{t}')")
+    matches = "\n  UNION ALL\n  ".join(matches_parts)
+    qterms = (
+        "SELECT query_id, term FROM (VALUES "
+        + ", ".join(qterm_rows)
+        + ") AS qt(query_id, term)"
+    )
+    return _bm25_matches_scored_sql(matches, qterms, rank_on_rounded=True)
+
+
+# --- BOOLEAN query trees over the positional compressed index: AND/OR/
+#     NOT with term, exact-phrase and proximity leaves (query/boolean.py
+#     grammar), evaluated shard-locally as boolean masks (exact — a
+#     doc's postings all live in its own segment), scored by the
+#     disjunctive BM25 fold over each query's distinct positive terms
+#     (query/wand.py mode="boolean"). The oracle rebuilds membership
+#     with INTERSECT/UNION/EXCEPT over SQL-native primitives.
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, BOOL_QUERY_SET),
+        mode="boolean",
+    )
+    # FULL answer sets (k > corpus): re-rank on the ROUNDED score with
+    # the doc_id tiebreak, mirroring the oracle — two distinct docs can
+    # sit within SQL-sum-order ULP noise of each other, and the rounded
+    # key makes that tie order deterministic on both sides. Safe exactly
+    # because no query here truncates (the raw and rounded top-k SETS are
+    # identical when everything is kept).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
     )
@@ -1209,6 +1347,7 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
+    "bm25_boolean": q_bm25_boolean,
     "bm25_filtered": q_bm25_filtered,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
@@ -1283,6 +1422,7 @@ ORACLE_SQL = {
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
+    "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

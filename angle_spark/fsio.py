@@ -36,20 +36,34 @@ def mkdirs(spark: SparkSession, path: str) -> None:
 
 def write_text(spark: SparkSession, path: str, content: str) -> None:
     """crash-safe single-file write: write to a sibling temp path, then
-    rename over the target (atomic on HDFS/file://; best-effort elsewhere).
-    A crash mid-write can no longer leave a truncated corpus_stats.json
-    that breaks load_index/resume — the old file survives until the
-    rename. Parents are created by the FileSystem implementation."""
+    rename over the target with FileContext's Rename.OVERWRITE — a single
+    atomic operation on HDFS/file://, so there is NO window in which the
+    target is missing (the old delete-then-rename left one; round-3
+    ADVICE). A crash mid-write leaves only a stale ._tmp next to the
+    intact old file. Filesystems without FileContext overwrite semantics
+    fall back to delete+rename (best-effort, window disclosed here)."""
+    jvm = spark._jvm
     fs, p = _fs_path(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + "._tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    fs.rename(tmp, p)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        arr = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        arr[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, p, arr)
+    except Exception:
+        # object stores without FileContext rename: non-atomic fallback
+        if fs.exists(p):
+            fs.delete(p, False)
+        fs.rename(tmp, p)
 
 
 def read_text(spark: SparkSession, path: str) -> str:
@@ -65,8 +79,8 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """FileSystem rename (atomic on HDFS/file://; best-effort on object
-    stores). Used for swap-style directory replacement (merge_index's
-    term_stats update) and crash-safe meta writes."""
+    stores). Used for swap-style directory replacement (purge's segments
+    swap, delta-run commits) and crash-safe meta writes."""
     fs, p = _fs_path(spark, src)
     return bool(fs.rename(p, spark._jvm.org.apache.hadoop.fs.Path(dst)))
 
@@ -74,6 +88,15 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, p = _fs_path(spark, path)
     return bool(fs.delete(p, recursive))
+
+
+def list_dir(spark: SparkSession, path: str) -> list[str]:
+    """child names (not paths) of a directory; [] when it doesn't exist.
+    Control-plane only (run-directory sweeps) — never data enumeration."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
 def has_files_with_suffix(spark: SparkSession, path: str, suffix: str = ".parquet") -> bool:

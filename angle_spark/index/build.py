@@ -13,6 +13,9 @@ Layout under <out_dir>/:
                                            bytes, wall_ms, commit_ts,
                                            token_count) per segment commit
     merged/bucket=B/*.parquet             final term-bucketed, salt-spread layout
+    delta_runs/run_<lo>_<hi>/*.parquet    LSM delta tiers from incremental
+                                          merges (only runs listed in meta
+                                          are live; see merge_index)
     term_stats/*.parquet                  (term, df, cf)
 
 Resume: the work list is segment ids minus lineage's committed ids
@@ -73,6 +76,26 @@ class IndexMeta:
     # Persisted so streamed appends and purge rewrites keep emitting the
     # same block shape the index was built with.
     positional: bool = False
+    # LSM-style delta tiers: each incremental merge lays its delta out as
+    # ONE run directory under <out_dir>/delta_runs/ and lists the run
+    # name here. Readers union merged/ + exactly these runs (+ raw
+    # unmerged segments) — an UNREFERENCED run dir is crash debris and is
+    # never read, which is what makes the incremental merge idempotent:
+    # the meta write is the single atomic commit point. A full merge (the
+    # compaction) folds every run back into merged/ and clears the list.
+    delta_runs: list = None  # type: ignore[assignment]
+    # term_stats/ covers docs with doc_id < stats_docs. Incremental
+    # merges do NOT rewrite term_stats (no swap, no crash window — the
+    # round-3 ADVICE hole); readers aggregate stats for newer blocks from
+    # the delta runs at load. -1 = legacy meta -> stats cover everything
+    # merged (pre-runs incremental merges rebuilt term_stats in place).
+    stats_docs: int = -1
+
+    def __post_init__(self) -> None:
+        if self.delta_runs is None:
+            self.delta_runs = []
+        if self.stats_docs < 0:
+            self.stats_docs = self.merged_docs
 
     @property
     def live_docs(self) -> int:
@@ -252,8 +275,69 @@ def build_index(
     return meta
 
 
+def _runs_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "delta_runs")
+
+
+def _sweep_unreferenced_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
+    """delete run dirs not listed in meta.delta_runs — crash debris (a
+    run written but never committed, or superseded by a compaction whose
+    cleanup died). Readers never see them, so this is pure hygiene."""
+    live = set(meta.delta_runs)
+    for name in fsio.list_dir(spark, _runs_dir(out_dir)):
+        if name not in live:
+            fsio.delete(spark, os.path.join(_runs_dir(out_dir), name))
+
+
+def _range_layout(df: DataFrame) -> DataFrame:
+    return df.repartitionByRange(
+        "term", "segment_id", "block_in_seg"
+    ).sortWithinPartitions("term", "segment_id", "block_in_seg")
+
+
+def compact_delta_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
+    """Middle merge tier (Lucene TieredMergePolicy shape): fold ALL
+    current delta runs into ONE combined run, leaving merged/ untouched.
+    Bounds the file count under a long streamed-append tail without ever
+    paying the O(index) full compaction. Crash-safe the same way the
+    incremental merge is: the combined run is written under a name no
+    reader references, then the meta write atomically repoints
+    delta_runs; old run dirs are deleted only after the commit (and a
+    died cleanup is swept by the next merge)."""
+    runs = list(meta.delta_runs)
+    if len(runs) <= 1:
+        _sweep_unreferenced_runs(spark, out_dir, meta)
+        return
+    fmt = meta.sink_format
+    combined = _read_table(spark, os.path.join(_runs_dir(out_dir), runs[0]), fmt)
+    for r in runs[1:]:
+        combined = combined.unionByName(
+            _read_table(spark, os.path.join(_runs_dir(out_dir), r), fmt)
+        )
+    lo = min(int(r.split("_")[1]) for r in runs)
+    hi = max(int(r.split("_")[2]) for r in runs)
+    # name spans [lo, hi] — distinct from every input run (each input
+    # either starts later or ends earlier), so no referenced dir is
+    # ever overwritten
+    name = f"run_{lo}_{hi}"
+    path = os.path.join(_runs_dir(out_dir), name)
+    if fsio.exists(spark, path):
+        fsio.delete(spark, path)  # unreferenced debris from a crashed attempt
+    _write(_range_layout(combined), path + "_tmp", fmt, "overwrite")
+    fsio.rename(spark, path + "_tmp", path)
+    meta.delta_runs = [name]
+    fsio.write_text(
+        spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
+    )  # atomic commit point
+    _sweep_unreferenced_runs(spark, out_dir, meta)
+
+
 def merge_index(
-    spark: SparkSession, out_dir: str, meta: IndexMeta, incremental: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    meta: IndexMeta,
+    incremental: bool = False,
+    max_delta_runs: int = 8,
 ) -> None:
     """Segments -> final queryable layout + global term stats.
 
@@ -268,15 +352,27 @@ def merge_index(
     hot-spotting one task (skew-aware salting by block position).
 
     incremental=True merges ONLY blocks newer than the meta.merged_docs
-    watermark — an O(delta) append, never an O(index) rewrite: new blocks
-    are range-laid-out among themselves and appended as new files next to
-    the untouched old ones (their term ranges overlap older files', so
-    per-file row-group pruning stays exact, just slightly coarser), and
-    term_stats is rebuilt as old ∪ delta — O(vocab + delta), no postings
-    scan. A periodic full merge (incremental=False) is the compaction
-    that restores the tight single-range layout. Requires a watermark
-    (merged_docs > 0), i.e. one prior full merge — build_index always
-    provides that.
+    watermark — an O(delta) operation, never an O(index) rewrite. The
+    delta is range-laid-out among itself and written as ONE new run
+    directory under delta_runs/ (merged/ is never touched); the meta
+    write that lists the run and advances the watermark is the single
+    atomic commit point, so a crash anywhere leaves either the old state
+    or the new one — never a double-counted delta (a written-but-
+    unlisted run is invisible to readers and swept later; round-3 ADVICE
+    item). term_stats/ is NOT rewritten (no swap, no crash window):
+    readers aggregate stats for post-``stats_docs`` blocks from the runs
+    at load. When the run count exceeds ``max_delta_runs``, the runs are
+    folded into one (compact_delta_runs) — the middle tier that bounds
+    file count under a long append tail. A periodic full merge
+    (incremental=False) is the top-tier compaction that restores the
+    tight single-range layout, rebuilds term_stats, and clears the runs.
+    Requires a watermark (merged_docs > 0), i.e. one prior full merge —
+    build_index always provides that.
+
+    The full merge is NOT atomic (merged/ + term_stats are overwritten
+    in place): a crash mid-compaction requires rerunning the merge
+    before the index is readable again, exactly the contract a Lucene
+    forceMerge has. purge_deletes' kill-matrix covers the rerun path.
     """
     fmt = meta.sink_format
     merged_path = os.path.join(out_dir, "merged")
@@ -294,66 +390,53 @@ def merge_index(
         hi = delta.agg(F.max("last_doc")).collect()[0][0]
         if hi is None:
             return  # nothing new since the last merge
-        _write(
-            delta.repartitionByRange("term", "segment_id", "block_in_seg")
-            .sortWithinPartitions("term", "segment_id", "block_in_seg"),
-            merged_path,
-            fmt,
-            "append",
-        )
-        # term_stats := old ∪ delta, re-aggregated. Written to a temp dir
-        # then swapped via rename (can't overwrite a path being read);
-        # a crash mid-swap leaves term_stats_old/_tmp to recover from.
-        delta_df = (
-            _read_table(spark, merged_path, fmt)
-            .filter(F.col("first_doc") >= F.lit(meta.merged_docs))
-            .groupBy("term")
-            .agg(
-                F.sum("n_postings").alias("df"),
-                F.sum("sum_tf").alias("cf"),
-            )
-        )
-        combined = (
-            _read_table(spark, tstats_path, fmt)
-            .unionByName(delta_df)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-        )
-        _write(combined, tstats_path + "_tmp", fmt, "overwrite")
-        fsio.rename(spark, tstats_path, tstats_path + "_old")
-        fsio.rename(spark, tstats_path + "_tmp", tstats_path)
-        fsio.delete(spark, tstats_path + "_old")
+        lo = meta.merged_docs
+        name = f"run_{lo}_{int(hi)}"
+        path = os.path.join(_runs_dir(out_dir), name)
+        if fsio.exists(spark, path):
+            fsio.delete(spark, path)  # debris: same delta, crashed commit
+        _write(_range_layout(delta), path + "_tmp", fmt, "overwrite")
+        fsio.rename(spark, path + "_tmp", path)
+        meta.delta_runs = list(meta.delta_runs) + [name]
         meta.merged_docs = int(hi) + 1
-    else:
-        _write(
-            seg.repartitionByRange("term", "segment_id", "block_in_seg")
-            .sortWithinPartitions("term", "segment_id", "block_in_seg"),
-            merged_path,
-            fmt,
-            "overwrite",
-        )
-        merged = _read_table(spark, merged_path, fmt)
-        # (term, doc) is unique across blocks, so df = total postings per
-        # term; column pruning means this scan touches only
-        # (term, n_postings, last_doc)
-        agg = merged.agg(
-            F.max("last_doc").alias("hi"),
-        ).collect()[0]
-        _write(
-            merged.groupBy("term").agg(
-                F.sum("n_postings").alias("df"),
-                # collection frequency: total term occurrences — (term,
-                # doc) is unique across blocks so the tf sums add cleanly
-                F.sum("sum_tf").alias("cf"),
-            ),
-            tstats_path,
-            fmt,
-            "overwrite",
-        )
-        meta.merged_docs = int(agg["hi"]) + 1 if agg["hi"] is not None else 0
+        fsio.write_text(
+            spark,
+            os.path.join(out_dir, "corpus_stats.json"),
+            json.dumps(meta.__dict__),
+        )  # atomic commit point
+        if len(meta.delta_runs) > max_delta_runs:
+            compact_delta_runs(spark, out_dir, meta)
+        else:
+            _sweep_unreferenced_runs(spark, out_dir, meta)
+        return
+
+    _write(_range_layout(seg), merged_path, fmt, "overwrite")
+    merged = _read_table(spark, merged_path, fmt)
+    # (term, doc) is unique across blocks, so df = total postings per
+    # term; column pruning means this scan touches only
+    # (term, n_postings, last_doc)
+    agg = merged.agg(
+        F.max("last_doc").alias("hi"),
+    ).collect()[0]
+    _write(
+        merged.groupBy("term").agg(
+            F.sum("n_postings").alias("df"),
+            # collection frequency: total term occurrences — (term,
+            # doc) is unique across blocks so the tf sums add cleanly
+            F.sum("sum_tf").alias("cf"),
+        ),
+        tstats_path,
+        fmt,
+        "overwrite",
+    )
+    meta.merged_docs = int(agg["hi"]) + 1 if agg["hi"] is not None else 0
+    meta.stats_docs = meta.merged_docs
+    meta.delta_runs = []
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )
+    if fsio.exists(spark, _runs_dir(out_dir)):
+        fsio.delete(spark, _runs_dir(out_dir))  # all folded into merged/
 
 
 def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
@@ -403,15 +486,20 @@ def refresh_corpus_stats(spark: SparkSession, out_dir: str) -> IndexMeta:
 def load_index(spark: SparkSession, out_dir: str):
     """-> (blocks DF, term_stats DF, IndexMeta).
 
-    Committed-but-unmerged delta segments (streamed appends past the
-    merged_docs watermark) are UNIONED in lazily — queries see them with
-    NO merge_index call and no merged/ rewrite (the union is a plan node;
-    term/first_doc predicates push into both sides). The orphan guard
-    ``first_doc < n_docs`` excludes blocks whose micro-batch crashed
-    before its lineage commit: docIDs are dense and assigned in commit
-    order, so committed blocks are exactly those below the lineage doc
-    sum (callers get fresh n_docs/avgdl from refresh_corpus_stats — which
-    BM25 scoring needs anyway).
+    Blocks = merged/ ∪ the delta runs listed in meta.delta_runs ∪
+    committed-but-unmerged delta segments (streamed appends past the
+    merged_docs watermark) — all UNIONED lazily, so queries see streamed
+    data with NO merge_index call and no merged/ rewrite (the union is a
+    plan node; term/first_doc predicates push into every side). The
+    orphan guard ``first_doc < n_docs`` excludes blocks whose micro-batch
+    crashed before its lineage commit: docIDs are dense and assigned in
+    commit order, so committed blocks are exactly those below the lineage
+    doc sum (callers get fresh n_docs/avgdl from refresh_corpus_stats —
+    which BM25 scoring needs anyway).
+
+    term_stats/ covers docs below meta.stats_docs (incremental merges
+    never rewrite it); stats for newer blocks are aggregated from the
+    SAME delta union — O(delta), compaction-bounded by the run tier.
     merged_docs == 0 means legacy meta (pre-watermark) -> merged/ is
     assumed complete, exactly the old behavior."""
     meta = IndexMeta(
@@ -419,16 +507,30 @@ def load_index(spark: SparkSession, out_dir: str):
     )
     merged = _read_table(spark, os.path.join(out_dir, "merged"), meta.sink_format)
     tstats = _read_table(spark, os.path.join(out_dir, "term_stats"), meta.sink_format)
+
+    deltas: list[DataFrame] = [
+        _read_table(spark, os.path.join(_runs_dir(out_dir), r), meta.sink_format)
+        for r in meta.delta_runs
+    ]
     if 0 < meta.merged_docs < meta.n_docs:
         first_seg = meta.merged_docs // meta.segment_docs
-        delta = _read_table(
-            spark, os.path.join(out_dir, "segments"), meta.sink_format
-        ).filter(
-            (F.col("segment_id") >= F.lit(first_seg))
-            & (F.col("first_doc") >= F.lit(meta.merged_docs))
-            & (F.col("first_doc") < F.lit(meta.n_docs))
+        deltas.append(
+            _read_table(
+                spark, os.path.join(out_dir, "segments"), meta.sink_format
+            ).filter(
+                (F.col("segment_id") >= F.lit(first_seg))
+                & (F.col("first_doc") >= F.lit(meta.merged_docs))
+                & (F.col("first_doc") < F.lit(meta.n_docs))
+            )
         )
-        merged = merged.unionByName(delta.select(*merged.columns))
+    if deltas:
+        delta = deltas[0].select(*merged.columns)
+        for d in deltas[1:]:
+            delta = delta.unionByName(d.select(*merged.columns))
+        merged = merged.unionByName(delta)
+        # every delta block sits past stats_docs (runs are created only
+        # after the last full merge; raw segments past merged_docs are
+        # newer still), so the stats gap is exactly this union
         tstats = (
             tstats.unionByName(
                 delta.groupBy("term").agg(

@@ -132,6 +132,10 @@ def fsck_index(spark: SparkSession, out_dir: str) -> DataFrame:
 
     checks.append(block_checks(os.path.join(out_dir, "segments"), "segments"))
     checks.append(block_checks(os.path.join(out_dir, "merged"), "merged"))
+    for run in meta.delta_runs:
+        checks.append(
+            block_checks(os.path.join(out_dir, "delta_runs", run), f"delta_runs/{run}")
+        )
 
     # term_stats: df/cf must equal the block-derived truth (merged plus
     # committed-but-unmerged deltas — the same union load_index serves)

@@ -267,6 +267,7 @@ def embedding_near_pairs_lsh(
     n_planes: int = 24,
     band_bits: int = 2,
     seed: int = 1234,
+    dim: int | None = None,
 ) -> DataFrame:
     """embedding near-duplicate PAIRS via banded RHP-LSH self-join — the
     scale path for vector dedup (the exact complement of
@@ -282,7 +283,26 @@ def embedding_near_pairs_lsh(
     -> (id1, id2, cosine)."""
     from angle_spark.operators.ann import _dot, _hyperplanes, _norm, rhp_signature_col
 
-    planes = _hyperplanes(64, n_planes=n_planes, seed=seed)
+    if dim is None:
+        # derive from the data; MIXED lengths would silently truncate/null
+        # band dot products (zip_with pads with nulls) — fail loudly
+        # instead (round-3 ADVICE)
+        lo, hi = (
+            emb.agg(
+                F.min(F.size("embedding")), F.max(F.size("embedding"))
+            ).first()
+            or (None, None)
+        )
+        if lo is None:
+            dim = 0
+        elif lo != hi:
+            raise ValueError(
+                f"embedding lengths vary ({lo}..{hi}); pass dim= explicitly "
+                "after normalizing the column"
+            )
+        else:
+            dim = int(lo)
+    planes = _hyperplanes(dim, n_planes=n_planes, seed=seed)
     v = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),

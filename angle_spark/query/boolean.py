@@ -1,0 +1,261 @@
+"""Boolean query trees: AND / OR / NOT with term, phrase and NEAR leaves.
+
+The round-3 surface answered one flavor per call (or | and | phrase |
+near | filtered); real retrieval mixes them immediately — ``("hash
+join" AND spark) OR dup`` is the first thing a search user types that a
+single-flavor engine cannot answer (the reference's golden gate runs
+real user queries end-to-end, reference tests/test_eval.py:4-20). This
+module gives that surface its query language:
+
+Grammar (a deliberate Lucene-classic subset; operators are UPPERCASE so
+lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
+
+    expr   := and ( OR  and )*
+    and    := unary ( AND unary )*
+    unary  := [NOT] atom
+    atom   := '(' expr ')' | '"' words '"' [ '~' slop ] | word
+
+- ``"a b"``    exact ordered phrase (positional index required)
+- ``"a b"~3``  unordered proximity: all distinct tokens within a
+               3-token window (the existing NEAR semantics)
+- a bare word is run through the SAME tokenizer as the corpus; if it
+  splits into several tokens (e.g. ``hash-join``) it becomes an AND of
+  them.
+- NOT is restricted the way Lucene restricts MUST_NOT: it must appear
+  under an AND with at least one positive sibling (``a AND NOT b``).
+  A pure negation (``NOT b``, ``NOT a OR b``'s left arm) is rejected:
+  its answer set is "every document except…", which cannot be produced
+  from the query terms' posting lists — and is never what a user means.
+
+AST nodes are plain picklable tuples (they ride the query broadcast):
+
+    ("term",   token)
+    ("phrase", [tokens], slop)        # slop 0 = exact ordered phrase
+    ("and",    [positives], [negatives])
+    ("or",     [children])
+
+Evaluation happens shard-locally in query/wand.py over boolean masks on
+the shard's docID span — exact for the same reason conjunctive mode is:
+every posting of a doc lives in its own segment, so all evidence about
+one doc meets in one task. Because every matched doc satisfies at least
+one positive leaf, the candidate set is covered by the positive terms'
+posting lists; scoring is the standard disjunctive BM25 fold over the
+query's distinct positive terms, restricted to the matched docs — the
+exact semantics the SQL oracle (entries._bm25_boolean_oracle_sql)
+asserts via INTERSECT/UNION/EXCEPT membership CTEs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from angle_spark.functions.tokenizer import tokenize_py
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<word>[^\s()"]+)
+    )""",
+    re.VERBOSE,
+)
+
+_OPS = {"AND", "OR", "NOT"}
+
+
+class BooleanQueryError(ValueError):
+    pass
+
+
+def _lex(text: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None or m.end() == pos:
+            if text[pos:].strip():
+                raise BooleanQueryError(f"cannot lex at: {text[pos:]!r}")
+            break
+        pos = m.end()
+        if m.group("lparen"):
+            out.append(("(", None))
+        elif m.group("rparen"):
+            out.append((")", None))
+        elif m.group("quoted") is not None:
+            out.append(
+                ("phrase", (m.group("qbody"), int(m.group("slop") or 0)))
+            )
+        else:
+            w = m.group("word")
+            out.append(("op", w) if w in _OPS else ("word", w))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, object]], text: str):
+        self.toks = toks
+        self.i = 0
+        self.text = text
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expr(self):
+        arms = [self.and_expr()]
+        while self.peek() == ("op", "OR"):
+            self.take()
+            arms.append(self.and_expr())
+        if len(arms) == 1:
+            return arms[0]
+        for neg, _node in arms:
+            if neg:
+                raise BooleanQueryError(
+                    f"NOT must sit under an AND with a positive sibling: {self.text!r}"
+                )
+        return (False, ("or", [n for _, n in arms]))
+
+    def and_expr(self):
+        arms = [self.unary()]
+        while self.peek() == ("op", "AND"):
+            self.take()
+            arms.append(self.unary())
+        if len(arms) == 1:
+            return arms[0]
+        pos = [n for neg, n in arms if not neg]
+        neg = [n for negf, n in arms if negf]
+        if not pos:
+            raise BooleanQueryError(
+                f"AND group with no positive arm (pure negation): {self.text!r}"
+            )
+        return (False, ("and", pos, neg))
+
+    def unary(self):
+        if self.peek() == ("op", "NOT"):
+            self.take()
+            negf, node = self.unary()
+            return (not negf, node)
+        return (False, self.atom())
+
+    def atom(self):
+        kind, val = self.take()
+        if kind == "(":
+            negf, node = self.expr()
+            if negf:
+                raise BooleanQueryError(
+                    f"parenthesized pure negation: {self.text!r}"
+                )
+            if self.take() != (")", None):
+                raise BooleanQueryError(f"missing ')': {self.text!r}")
+            return node
+        if kind == "phrase":
+            body, slop = val
+            toks = tokenize_py(body)
+            if not toks:
+                raise BooleanQueryError(f"empty phrase in: {self.text!r}")
+            if len(toks) == 1:
+                return ("term", toks[0])
+            return ("phrase", toks, slop)
+        if kind == "word":
+            if val in _OPS:  # defensive; lexer routed ops already
+                raise BooleanQueryError(f"operator {val} used as term")
+            toks = tokenize_py(str(val))
+            if not toks:
+                raise BooleanQueryError(f"word tokenizes to nothing: {val!r}")
+            if len(toks) == 1:
+                return ("term", toks[0])
+            # a multi-token bare word (hash-join) is an AND of its tokens
+            return ("and", [("term", t) for t in toks], [])
+        raise BooleanQueryError(f"unexpected token {kind!r} in: {self.text!r}")
+
+
+def parse_query(text: str):
+    """boolean query string -> AST tuple (see module docstring)."""
+    toks = _lex(text)
+    if not toks:
+        raise BooleanQueryError("empty query")
+    p = _Parser(toks, text)
+    negf, node = p.expr()
+    if p.i != len(toks):
+        raise BooleanQueryError(
+            f"trailing input after position {p.i}: {text!r} — adjacent atoms "
+            "need an explicit AND/OR"
+        )
+    if negf:
+        raise BooleanQueryError(f"pure negation query: {text!r}")
+    return node
+
+
+def simplify(node, vocab) -> object | None:
+    """Fold out-of-vocabulary leaves driver-side (round-3 verdict item 6
+    generalized): an OOV term/phrase can match nothing, so an AND
+    containing one positively is dead, an OR arm drops, and an OOV NOT
+    child is a no-op. Returns None when the whole node cannot match —
+    the caller drops the query and ships NO candidate blocks for it."""
+    kind = node[0]
+    if kind == "term":
+        return node if node[1] in vocab else None
+    if kind == "phrase":
+        return node if all(t in vocab for t in node[1]) else None
+    if kind == "and":
+        pos = [simplify(c, vocab) for c in node[1]]
+        if any(p is None for p in pos):
+            return None
+        neg = [s for c in node[2] if (s := simplify(c, vocab)) is not None]
+        if len(pos) == 1 and not neg:
+            return pos[0]
+        return ("and", pos, neg)
+    if kind == "or":
+        arms = [s for c in node[1] if (s := simplify(c, vocab)) is not None]
+        if not arms:
+            return None
+        if len(arms) == 1:
+            return arms[0]
+        return ("or", arms)
+    raise BooleanQueryError(f"unknown node kind {kind!r}")
+
+
+def _walk(node, positive: bool, pos_out: set, all_out: set) -> None:
+    kind = node[0]
+    if kind == "term":
+        all_out.add(node[1])
+        if positive:
+            pos_out.add(node[1])
+    elif kind == "phrase":
+        all_out.update(node[1])
+        if positive:
+            pos_out.update(node[1])
+    elif kind == "and":
+        for c in node[1]:
+            _walk(c, positive, pos_out, all_out)
+        for c in node[2]:
+            _walk(c, False, pos_out, all_out)
+    elif kind == "or":
+        for c in node[1]:
+            _walk(c, positive, pos_out, all_out)
+
+
+def query_terms(node) -> tuple[list[str], list[str]]:
+    """-> (sorted distinct POSITIVE terms — the scoring set, sorted
+    distinct ALL terms — the posting lists the shard must see, negated
+    leaves included: exclusion needs their postings too)."""
+    pos: set[str] = set()
+    allt: set[str] = set()
+    _walk(node, True, pos, allt)
+    return sorted(pos), sorted(allt)
+
+
+def needs_positions(node) -> bool:
+    kind = node[0]
+    if kind == "phrase":
+        return True
+    if kind == "and":
+        return any(needs_positions(c) for c in node[1] + node[2])
+    if kind == "or":
+        return any(needs_positions(c) for c in node[1])
+    return False

@@ -416,6 +416,65 @@ def _score_shard_multi(
                 lo += 1
         return False
 
+    def bool_mask(node) -> np.ndarray:
+        """boolean-tree evaluation over the shard's docID span (mode=
+        "boolean"). Exact shard-locally for the same reason conjunctive
+        mode is: every posting of a doc lives in its own segment.
+        Leaves reuse the shared decode caches; phrase/NEAR leaves verify
+        positions only over their own conjunctive survivors."""
+        kind = node[0]
+        if kind == "term":
+            t = node[1]
+            m = np.zeros(span, dtype=bool)
+            if t in by_term:
+                d, _, _ = term_arrays(t)
+                m[d - base] = True
+            return m
+        if kind == "phrase":
+            toks, sl = list(node[1]), int(node[2])
+            distinct = sorted(set(toks))
+            m = np.zeros(span, dtype=bool)
+            if any(t not in by_term for t in distinct):
+                return m
+            conj = None
+            for t in distinct:
+                mt = bool_mask(("term", t))
+                conj = mt if conj is None else (conj & mt)
+                if not conj.any():
+                    return m
+            cand_docs = np.flatnonzero(conj)
+            if sl == 0:
+                ok = np.fromiter(
+                    (phrase_match(toks, int(c + base)) for c in cand_docs),
+                    dtype=bool,
+                    count=len(cand_docs),
+                )
+            else:
+                ok = np.fromiter(
+                    (near_match(distinct, int(c + base), sl) for c in cand_docs),
+                    dtype=bool,
+                    count=len(cand_docs),
+                )
+            m[cand_docs[ok]] = True
+            return m
+        if kind == "and":
+            m = None
+            for c in node[1]:
+                mc = bool_mask(c)
+                m = mc if m is None else (m & mc)
+                if not m.any():
+                    return m
+            for c in node[2]:
+                m &= ~bool_mask(c)
+                if not m.any():
+                    return m
+            return m
+        # "or"
+        m = np.zeros(span, dtype=bool)
+        for c in node[1]:
+            m |= bool_mask(c)
+        return m
+
     acc = np.zeros(span, dtype=np.float64)
     acc2 = np.zeros(span, dtype=np.float64)  # MaxScore phase-2 (ascending) fold
     cnt = np.zeros(span, dtype=np.int32) if conjunctive else None
@@ -432,7 +491,29 @@ def _score_shard_multi(
         if not present:
             continue
 
-        if conjunctive:
+        if mode == "boolean":
+            # membership first (the selective step — no block pruning),
+            # then the standard ascending-term disjunctive fold over the
+            # query's POSITIVE terms, output restricted to matched docs.
+            # Every matched doc satisfies >= 1 positive leaf (the parser
+            # rejects pure negation), so its score has >= 1 contribution
+            # and the fold is bit-identical to the oracle's.
+            mask = bool_mask(q.ast)
+            full = np.flatnonzero(mask)
+            if len(full) == 0:
+                continue
+            idx_parts = []
+            for term, idf in present:
+                d, tf, denom = term_arrays(term)
+                li = d - base
+                acc[li] += idf * tf * (K1 + 1.0) / denom
+                idx_parts.append(li)
+            doc_ids = full + base
+            scores = acc[full].copy()
+            if idx_parts:
+                touched = np.unique(np.concatenate(idx_parts))
+                acc[touched] = 0.0
+        elif conjunctive:
             # AND semantics: a doc qualifies iff ALL nq distinct query
             # tokens hit it. The intersection is shard-LOCAL and still
             # globally exact: a doc's postings for every term live in its
@@ -633,10 +714,21 @@ def wand_topk(
     stays exact). Composes with ``deletes`` (tombstones are removed from
     the allow-list before it ships) and with every mode.
 
+    mode="boolean" evaluates each query ``text`` as a boolean tree
+    (query/boolean.py: AND/OR/NOT over term, "exact phrase" and
+    "proximity"~slop leaves). Membership is computed shard-locally over
+    boolean masks (exact — a doc's postings all live in its own
+    segment); scoring is the standard disjunctive BM25 fold over the
+    query's distinct POSITIVE terms, restricted to the matched docs.
+    OOV leaves are simplified out DRIVER-side, so a dead query (or a
+    dead AND arm) ships no candidate blocks; negated leaves' posting
+    lists ARE shipped (exclusion needs them) but never scored. Needs a
+    positional index only when a phrase/proximity leaf is present.
+
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and", "phrase", "near"):
+    if mode not in ("or", "and", "phrase", "near", "boolean"):
         raise ValueError(
-            f"mode must be 'or', 'and', 'phrase' or 'near', got {mode!r}"
+            f"mode must be 'or', 'and', 'phrase', 'near' or 'boolean', got {mode!r}"
         )
     if mode in ("phrase", "near") and not getattr(meta, "positional", False):
         raise ValueError(
@@ -645,6 +737,66 @@ def wand_topk(
         )
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
+    keep_positions = mode in ("phrase", "near")
+    if mode == "boolean":
+        from angle_spark.query.boolean import (
+            needs_positions,
+            parse_query,
+            query_terms,
+            simplify,
+        )
+
+        if isinstance(queries, pd.DataFrame):
+            qsrc = [
+                (q.query_id, int(q.k), q.text)
+                for q in queries.itertuples(index=False)
+            ]
+        else:
+            qsrc = [
+                (r["query_id"], int(r["k"]), r["text"])
+                for r in queries.select(
+                    "query_id", F.col("k").cast("int").alias("k"), "text"
+                ).collect()
+            ]
+        asts = [(qid, k, parse_query(text)) for qid, k, text in qsrc]
+        all_terms = sorted(
+            {t for _, _, a in asts for t in query_terms(a)[1]}
+        )
+        ts_pdf = query_term_stats(tstats, all_terms)
+        df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
+        tokenized = [(qid, k, None, None) for qid, k, _ in asts]
+        rows = []
+        cand_set: set[str] = set()
+        for qid, k, ast in asts:
+            s = simplify(ast, df_map)
+            if s is None:
+                continue  # provably matches nothing: ship no blocks
+            pos_terms, allt = query_terms(s)
+            if needs_positions(s):
+                if not getattr(meta, "positional", False):
+                    raise ValueError(
+                        "boolean query has a phrase/proximity leaf but the "
+                        "index is not positional — rebuild with "
+                        "build_index(..., positional=True)"
+                    )
+                keep_positions = True
+            cand_set.update(allt)
+            rows.append(
+                (
+                    qid,
+                    k,
+                    pos_terms,
+                    [idf_value(meta.live_docs, int(df_map[t])) for t in pos_terms],
+                    0,
+                    [],
+                    s,
+                )
+            )
+        cand_terms = sorted(cand_set)
+        return _shard_and_rank(
+            spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
+            prune, shard_segments, deletes, mode, slop, doc_filter,
+        )
     if isinstance(queries, pd.DataFrame):
         from angle_spark.functions.tokenizer import tokenize_py
 
@@ -670,7 +822,12 @@ def wand_topk(
     ts_pdf = query_term_stats(tstats, all_terms)
     df_map = dict(zip(ts_pdf["term"], ts_pdf["df"]))
 
-    conjunctive = mode in ("and", "phrase")
+    # "near" included (round-3 verdict): an OOV token makes a NEAR query
+    # dead by definition, and dropping it HERE keeps its surviving terms
+    # out of the candidate-block In(term) filter — shards already
+    # returned nothing, but they were shipped blocks that could produce
+    # no result
+    conjunctive = mode in ("and", "phrase", "near")
     rows = []
     for query_id, k, qterms, phrase in tokenized:
         terms = [t for t in qterms if t in df_map]
@@ -687,12 +844,38 @@ def wand_topk(
                     [idf_value(meta.live_docs, int(df_map[t])) for t in terms],
                     len(qterms),
                     phrase if mode == "phrase" else [],
+                    None,
                 )
             )
+    cand_terms = sorted({t for r in rows for t in r[2]})
+    return _shard_and_rank(
+        spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
+        prune, shard_segments, deletes, mode, slop, doc_filter,
+    )
+
+
+def _shard_and_rank(
+    spark: SparkSession,
+    merged: DataFrame,
+    meta: IndexMeta,
+    tokenized: list,
+    rows: list,
+    cand_terms: list[str],
+    keep_positions: bool,
+    prune: bool,
+    shard_segments: int | None,
+    deletes: DataFrame | None,
+    mode: str,
+    slop: int,
+    doc_filter: DataFrame | None,
+) -> DataFrame:
+    """shared execution tail for every mode: candidate-block In(term)
+    pushdown -> one shuffle by shard -> shard-local batch scoring ->
+    global per-query window top-k. See wand_topk's docstring."""
     if not rows:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
-        rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase"]
+        rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
     )
     b_qt = spark.sparkContext.broadcast(grouped)
 
@@ -702,9 +885,8 @@ def wand_topk(
         n_segments = max(1, (meta.n_docs + meta.segment_docs - 1) // meta.segment_docs)
         par = spark.sparkContext.defaultParallelism
         shard_segments = max(1, n_segments // (par * 4))
-    terms = sorted({t for ts in grouped["terms"] for t in ts})
-    cand = merged.filter(F.col("term").isin(terms))
-    if mode not in ("phrase", "near") and "pos_bin" in cand.columns:
+    cand = merged.filter(F.col("term").isin(cand_terms))
+    if not keep_positions and "pos_bin" in cand.columns:
         # positions roughly double a positional index's block bytes and
         # only phrase verification reads them — drop the column BEFORE
         # the shard shuffle so or/and queries never ship it (the

@@ -51,14 +51,14 @@ def append_micro_batch(
     rows = batch_df.select("conv_id", "turn_idx", "text").dropDuplicates(
         ["conv_id", "turn_idx"]
     )
-    # micro-batches are bounded: a single-partition window is fine here
-    # (this is per-batch data, not the corpus)
-    from pyspark.sql import Window
+    # docIDs via the two-pass offset-prefix assigner (operators/docids.py)
+    # shifted above the high-water mark — a large backfill micro-batch
+    # parallelizes like the batch build instead of serializing on one
+    # unpartitioned-window task (round-3 verdict item)
+    from angle_spark.operators.docids import assign_doc_ids
 
-    w = Window.orderBy("conv_id", "turn_idx")
-    ids = rows.withColumn(
-        "doc_id",
-        F.row_number().over(w) - F.lit(1) + F.lit(high_water_doc).cast("long"),
+    ids = assign_doc_ids(rows).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(high_water_doc)).cast("long")
     )
     docs = with_tokens(ids).select("doc_id", "tokens", "dl")
     n_new = docs.count()

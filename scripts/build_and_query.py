@@ -124,6 +124,11 @@ def main() -> None:
                 spark.read.parquet(args.transcripts), 0, args.index, meta.n_docs
             )
             print(f"appended {hw - meta.n_docs} turns (delta, no merge)")
+            # advance the n_docs watermark NOW: a combined --append
+            # --delete invocation must let tombstones target the docs it
+            # just appended (delete_docs drops ids >= the stale watermark
+            # silently; round-3 ADVICE)
+            refresh_corpus_stats(spark, args.index)
         if args.delete:
             from angle_spark.index.deletes import delete_docs
 

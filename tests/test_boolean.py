@@ -1,0 +1,276 @@
+"""Boolean query trees (AND/OR/NOT, phrase + proximity leaves) vs a
+naive Python golden over the synth corpus.
+
+Contracts (query/boolean.py + query/wand.py mode="boolean"):
+membership == the tree evaluated over per-doc truth; scores == the
+disjunctive BM25 fold over the query's distinct POSITIVE terms
+(bit-identical to the oracle fold); OOV leaves simplify out driver-side
+(a dead AND arm ships no candidate blocks); pure negation rejected;
+composes with tombstones and doc_filter.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from angle_spark.functions.tokenizer import tokenize_py
+from angle_spark.index.build import build_index, load_index
+from angle_spark.index.stats import with_tokens
+from angle_spark.operators.docids import assign_doc_ids
+from angle_spark.oracle import Bm25Oracle
+from angle_spark.query.boolean import BooleanQueryError, parse_query
+from angle_spark.query.wand import wand_topk
+from angle_spark.synth import transcripts_df, transcripts_pdf
+
+N_CONVS = 40
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    tp = transcripts_pdf(N_CONVS, seed=SEED)
+    ordered = tp.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    toks = [tokenize_py(t if isinstance(t, str) else "") for t in ordered["text"]]
+    return ordered, toks, Bm25Oracle(ordered)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    docs = (
+        with_tokens(assign_doc_ids(transcripts_df(spark, N_CONVS, seed=SEED, partitions=4)))
+        .select("doc_id", "tokens", "dl")
+    )
+    out = str(tmp_path_factory.mktemp("boolean") / "idx")
+    build_index(spark, docs, out, segment_docs=128, block_size=16, positional=True)
+    return out
+
+
+def _matches(node, tk: list[str]) -> bool:
+    """per-doc truth: evaluate the AST against one doc's token list."""
+    kind = node[0]
+    if kind == "term":
+        return node[1] in tk
+    if kind == "phrase":
+        toks, slop = list(node[1]), int(node[2])
+        if slop == 0:
+            m = len(toks)
+            return any(tk[i : i + m] == toks for i in range(len(tk) - m + 1))
+        distinct = sorted(set(toks))
+        pos = {t: [i for i, x in enumerate(tk) if x == t] for t in distinct}
+        if any(not p for p in pos.values()):
+            return False
+        import itertools
+
+        for combo in itertools.product(*(pos[t] for t in distinct)):
+            if max(combo) - min(combo) <= slop:
+                return True
+        return False
+    if kind == "and":
+        return all(_matches(c, tk) for c in node[1]) and not any(
+            _matches(c, tk) for c in node[2]
+        )
+    return any(_matches(c, tk) for c in node[1])  # or
+
+
+def _golden(corpus, queries, drop=frozenset()) -> pd.DataFrame:
+    """score with the SAME disjunctive fold over positive terms the
+    oracle uses, restricted to tree-matching docs."""
+    from angle_spark.query.boolean import query_terms
+
+    _, toks, oracle = corpus
+    rows = []
+    for qid, text, k in queries:
+        ast = parse_query(text)
+        pos_terms, _ = query_terms(ast)
+        matched = {
+            d
+            for d, tk in enumerate(toks)
+            if d not in drop and _matches(ast, tk)
+        }
+        ranked = [
+            (d, s)
+            for d, s in oracle.score_query(" ".join(pos_terms), oracle.n_docs)
+            if d in matched
+        ]
+        for rank, (doc_id, score) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _frame(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .astype({"doc_id": "int64", "rank": "int64"})
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _qdf(spark, queries):
+    return spark.createDataFrame(queries, schema="query_id string, text string, k int")
+
+
+def _mixed_queries(corpus):
+    """trees whose answer sets provably differ from any single-mode call.
+    The synth vocabulary is Zipf-skewed, so operands are picked by
+    DOCUMENT FREQUENCY: a NOT over a near-stopword empties every set,
+    and an OR with one matches everything — mid-frequency tokens keep
+    each tree discriminative."""
+    _, toks, oracle = corpus
+    n = oracle.n_docs
+    a, b = toks[0][3], toks[0][4]     # an adjacent bigram (phrase leaf)
+
+    def pick(lo, hi, taken):
+        return next(
+            t
+            for t, df in sorted(oracle.df.items())
+            if lo * n <= df <= hi * n and t not in taken
+        )
+
+    c = pick(0.15, 0.45, {a, b})
+    d = pick(0.05, 0.30, {a, b, c})
+    return [
+        ("m1", f'("{a} {b}" AND {c}) OR {d}', 1000),
+        ("m2", f"{a} AND NOT {b}", 1000),
+        ("m3", f"({a} OR {b}) AND {c} AND NOT {d}", 1000),
+        ("m4", f'"{b} {a}"~4 AND {c}', 1000),
+        ("m5", f"zzznever OR {d}", 1000),
+        ("m6", f"zzznever AND {a}", 10),
+        ("m7", f"{a} AND ({b} OR NOT {c} AND {d})", 1000),
+    ]
+
+
+def test_boolean_matches_golden(spark, index_dir, corpus):
+    queries = _mixed_queries(corpus)
+    merged, tstats, meta = load_index(spark, index_dir)
+    got = _frame(
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, queries), mode="boolean")
+    )
+    want = _golden(corpus, queries)
+    assert len(want) > 0 and want["query_id"].nunique() >= 5  # non-degenerate
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_boolean_differs_from_single_modes(spark, index_dir, corpus):
+    """the mixed tree's answer set differs from OR, AND and phrase over
+    the same tokens — a mode mix-up cannot pass."""
+    _, toks, _ = corpus
+    a, b = toks[0][3], toks[0][4]
+    q = [("x", f'"{a} {b}" OR {toks[7][0]}', 1000)]
+    merged, tstats, meta = load_index(spark, index_dir)
+    boolean = set(
+        _frame(
+            wand_topk(spark, merged, tstats, meta, _qdf(spark, q), mode="boolean")
+        )["doc_id"]
+    )
+    plain = [(f"x", f"{a} {b} {toks[7][0]}", 1000)]
+    disj = set(
+        _frame(wand_topk(spark, merged, tstats, meta, _qdf(spark, plain)))["doc_id"]
+    )
+    conj = set(
+        _frame(
+            wand_topk(spark, merged, tstats, meta, _qdf(spark, plain), mode="and")
+        )["doc_id"]
+    )
+    assert boolean != disj and boolean != conj
+    assert boolean <= disj  # matched docs all carry >= 1 positive term
+
+
+def test_boolean_oov_and_drops_candidates(spark, index_dir, corpus):
+    """an AND arm with an OOV term kills the query driver-side: its
+    live sibling terms must not reach the candidate In(term) pushdown."""
+    import re
+
+    _, toks, _ = corpus
+    a = toks[0][3]
+    partner = next(t for t in toks[9] if t != a)
+    queries = [
+        ("ok", f"{a}", 10),
+        ("dead", f"zzznever AND {partner}", 10),
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    out = wand_topk(spark, merged, tstats, meta, _qdf(spark, queries), mode="boolean")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"term#\d+ IN \(([^)]*)\)", plan)
+    if m is None:  # single-term queries compile to EqualTo, not In
+        assert f"term#" in plan and partner not in plan
+    else:
+        in_list = {t.strip() for t in m.group(1).split(",")}
+        assert a in in_list and partner not in in_list
+    got = _frame(out)
+    assert set(got["query_id"]) <= {"ok"}
+
+
+def test_boolean_composes_with_deletes(spark, index_dir, corpus, tmp_path_factory):
+    import shutil
+
+    from angle_spark.index.deletes import delete_docs, load_deletes
+
+    d2 = str(tmp_path_factory.mktemp("bool_del") / "idx")
+    shutil.copytree(index_dir, d2)
+    _, toks, oracle = corpus
+    drop = {d for d in range(oracle.n_docs) if d % 4 == 0}
+    delete_docs(
+        spark,
+        d2,
+        spark.createDataFrame([(i,) for i in sorted(drop)], "doc_id long"),
+    )
+    queries = _mixed_queries(corpus)[:4]
+    merged, tstats, meta = load_index(spark, d2)
+    got = _frame(
+        wand_topk(
+            spark,
+            merged,
+            tstats,
+            meta,
+            _qdf(spark, queries),
+            mode="boolean",
+            deletes=load_deletes(spark, d2),
+        )
+    )
+    want = _golden(corpus, queries, drop=frozenset(drop))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_boolean_rejects_pure_negation(spark, index_dir):
+    merged, tstats, meta = load_index(spark, index_dir)
+    q = _qdf(spark, [("n1", "NOT anything", 10)])
+    with pytest.raises(BooleanQueryError):
+        wand_topk(spark, merged, tstats, meta, q, mode="boolean")
+
+
+def test_boolean_phrase_leaf_requires_positional(spark, corpus, tmp_path_factory):
+    docs = (
+        with_tokens(
+            assign_doc_ids(transcripts_df(spark, 10, seed=SEED, partitions=2))
+        ).select("doc_id", "tokens", "dl")
+    )
+    out = str(tmp_path_factory.mktemp("bool_nopos") / "idx")
+    build_index(spark, docs, out, segment_docs=128, block_size=16)
+    _, toks, _ = corpus
+    a, b = toks[0][3], toks[0][4]
+    merged, tstats, meta = load_index(spark, out)
+    with pytest.raises(ValueError, match="positional"):
+        wand_topk(
+            spark,
+            merged,
+            tstats,
+            meta,
+            _qdf(spark, [("p", f'"{a} {b}" AND {a}', 10)]),
+            mode="boolean",
+        )
+    # term-only trees run fine on a non-positional index
+    got = _frame(
+        wand_topk(
+            spark,
+            merged,
+            tstats,
+            meta,
+            _qdf(spark, [("t", f"{a} AND NOT {b}", 10)]),
+            mode="boolean",
+        )
+    )
+    assert (got["query_id"] == "t").all()

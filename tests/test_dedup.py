@@ -108,3 +108,29 @@ def test_near_pairs_sane(spark):
     rows = simhash_near_pairs(sh, max_hamming=3).collect()
     assert 0 < len(rows) < (n * (n - 1) // 2) * 0.25
     assert all(r["doc1"] < r["doc2"] and r["hamming"] <= 3 for r in rows)
+
+
+def test_embedding_lsh_derives_dim_and_rejects_mixed(spark):
+    """round-3 ADVICE: hyperplane dim comes from the data, not a
+    hardcoded 64 — non-64-dim corpora hash real dot products, and mixed
+    lengths raise instead of silently nulling band signatures."""
+    import numpy as np
+    import pytest as _pytest
+
+    from angle_spark.operators.dedup import embedding_near_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    # a planted near-duplicate of row 0 in 16-dim space
+    rows.append((6, [float(x) for x in base[0] * 1.01 + 0.001]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_pairs_lsh(emb, threshold=0.95).toPandas()
+    assert (0, 6) in set(zip(got["id1"], got["id2"]))
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="lengths vary"):
+        embedding_near_pairs_lsh(mixed)

@@ -263,3 +263,30 @@ def test_refresh_stats_preserves_live_values(spark, purged_dir):
     assert after.n_docs == before.n_docs  # docID-space bound unchanged
     assert after.purged_docs == before.purged_docs
     assert after.avgdl == before.avgdl  # lineage-sum minus counters == live
+
+
+def test_purge_reads_segments_once(spark, docs, tmp_path_factory, monkeypatch):
+    """Token accounting no longer scans segments/ (round-3 verdict item
+    7): lineage supplies the pre-purge live total, the journal carries
+    the post-rewrite one, so the deletes module reads segments/ exactly
+    once — as the rewrite input — plus one scan of the rewritten _tmp."""
+    import angle_spark.index.deletes as del_mod
+
+    out = _build(spark, docs, tmp_path_factory, "scan_count")
+    delete_docs(spark, out, docs.select("doc_id").filter(f"doc_id % {DEL_MOD} = 0"))
+    seg_dir = os.path.join(out, "segments")
+    real = del_mod._read_table
+    reads: list[str] = []
+
+    def spy(spark_, path, fmt):
+        reads.append(path)
+        return real(spark_, path, fmt)
+
+    monkeypatch.setattr(del_mod, "_read_table", spy)
+    meta = purge_deletes(spark, out)
+    assert meta.purged_docs > 0
+    assert [p for p in reads if p.rstrip("/") == seg_dir] == [seg_dir]
+    assert len([p for p in reads if p.endswith("segments_tmp")]) == 1
+    # and the accounting still lands on the exact live values
+    after = refresh_corpus_stats(spark, out)
+    assert after.avgdl == meta.avgdl and after.purged_tokens == meta.purged_tokens

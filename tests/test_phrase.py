@@ -249,3 +249,35 @@ def test_positions_survive_streamed_append(spark, tmp_path, corpus):
     want = _golden(corpus, phrase_q)
     assert tail_doc in set(want.doc_id)  # the phrase really lives in the tail
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_near_oov_query_dropped_driver_side(spark, index_dir, corpus):
+    """A NEAR query with an OOV token is dead by definition; round-3
+    verdict: it must be dropped DRIVER-side so its surviving terms never
+    inflate the candidate-block In(term) pushdown (shards already
+    returned nothing, but blocks were shipped for no possible result)."""
+    import re
+
+    _, toks, _ = corpus
+    live_terms = sorted(set(tokenize_py(" ".join(toks[0][3:5]))))
+    # a term that appears ONLY in the dead query (and in the corpus)
+    dead_partner = next(
+        t for t in toks[9] if t not in live_terms
+    )
+    queries = [
+        ("ok", " ".join(live_terms), 10),
+        ("dead", f"zzznever {dead_partner}", 10),
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    out = wand_topk(
+        spark, merged, tstats, meta, _qdf(spark, queries), mode="near", slop=3
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"term#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    in_list = {t.strip() for t in m.group(1).split(",")}
+    for t in live_terms:
+        assert t in in_list
+    assert dead_partner not in in_list
+    got = _frame(out)
+    assert set(got["query_id"]) <= {"ok"}

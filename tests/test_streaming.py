@@ -115,27 +115,106 @@ def test_streamed_deltas_queryable_without_merge(spark, tmp_path):
 def test_incremental_merge_is_o_delta(spark, tmp_path):
     out, hw = _build_then_stream(spark, tmp_path)
     before = _snapshot(os.path.join(out, "merged"))
+    tstats_before = _snapshot(os.path.join(out, "term_stats"))
 
     meta2 = refresh_corpus_stats(spark, out)
     merge_index(spark, out, meta2, incremental=True)
 
-    after = _snapshot(os.path.join(out, "merged"))
-    # old layout files byte-identical; delta blocks appended as new files
-    assert set(before) <= set(after)
-    for p in before:
-        assert after[p] == before[p], f"incremental merge rewrote {p}"
-    assert len(after) > len(before)
+    # merged/ AND term_stats/ byte-identical: the delta landed as a run
+    # dir and stats for it are aggregated at load (no swap, no crash
+    # window — round-3 ADVICE)
+    assert _snapshot(os.path.join(out, "merged")) == before
+    assert _snapshot(os.path.join(out, "term_stats")) == tstats_before
 
     merged, tstats, meta3 = load_index(spark, out)
     assert meta3.merged_docs == meta3.n_docs  # watermark advanced: no delta
+    assert len(meta3.delta_runs) == 1
+    assert _snapshot(os.path.join(out, "delta_runs", meta3.delta_runs[0]))
     _assert_matches_oracle(spark, out)
 
     # incremental term_stats == what a full compaction merge produces
     inc = sorted(map(tuple, tstats.collect()))
     merge_index(spark, out, meta3, incremental=False)
-    _, full_tstats, _ = load_index(spark, out)
+    _, full_tstats, meta4 = load_index(spark, out)
     assert sorted(map(tuple, full_tstats.collect())) == inc
+    assert meta4.delta_runs == []  # compaction folded the runs away
+    assert not os.path.exists(os.path.join(out, "delta_runs"))
     _assert_matches_oracle(spark, out)  # post-compaction answers unchanged
+
+
+def test_tiered_merge_bounds_runs(spark, tmp_path):
+    """repeated append+incremental-merge cycles: when the run count
+    exceeds max_delta_runs the middle tier folds them into ONE combined
+    run — merged/ still untouched, answers unchanged, no stray dirs."""
+    from angle_spark.streaming.maintain import append_micro_batch
+
+    out = str(tmp_path / "idx")
+    splits = [20, 25, 30, 34, 37, N_ALL]
+    batch = transcripts_df(spark, splits[0], seed=42)
+    docs = with_tokens(assign_doc_ids(batch)).select("doc_id", "tokens", "dl")
+    hw = build_index(spark, docs, out, segment_docs=256, block_size=32).n_docs
+    merged_before = _snapshot(os.path.join(out, "merged"))
+
+    full = transcripts_df(spark, N_ALL, seed=42)
+    for i, (lo, hi) in enumerate(zip(splits, splits[1:])):
+        part = full.filter(
+            (full.conv_id >= f"conv_{lo:08d}") & (full.conv_id < f"conv_{hi:08d}")
+        )
+        hw = append_micro_batch(part, i, out, hw)
+        meta = refresh_corpus_stats(spark, out)
+        merge_index(spark, out, meta, incremental=True, max_delta_runs=2)
+
+    _, _, meta = load_index(spark, out)
+    assert meta.merged_docs == meta.n_docs
+    assert 1 <= len(meta.delta_runs) <= 2, meta.delta_runs
+    # on-disk run dirs == exactly the referenced ones (sweep works)
+    assert sorted(os.listdir(os.path.join(out, "delta_runs"))) == sorted(
+        meta.delta_runs
+    )
+    assert _snapshot(os.path.join(out, "merged")) == merged_before
+    _assert_matches_oracle(spark, out)
+
+
+def test_incremental_merge_crash_idempotent(spark, tmp_path, monkeypatch):
+    """kill the incremental merge BETWEEN the run write and the meta
+    commit: readers still see the old consistent state (no double
+    count), and a rerun converges to the committed state."""
+    from angle_spark import fsio as fsio_mod
+
+    out, hw = _build_then_stream(spark, tmp_path)
+    meta2 = refresh_corpus_stats(spark, out)
+    n_docs, avgdl = meta2.n_docs, meta2.avgdl
+
+    real = fsio_mod.write_text
+
+    def boom(spark_, path, content):
+        if path.endswith("corpus_stats.json"):
+            raise RuntimeError("injected kill")
+        return real(spark_, path, content)
+
+    import angle_spark.index.build as build_mod
+
+    import pytest as _pytest
+
+    meta_fresh = refresh_corpus_stats(spark, out)
+    monkeypatch.setattr(build_mod.fsio, "write_text", boom)
+    with _pytest.raises(RuntimeError, match="injected kill"):
+        merge_index(spark, out, meta_fresh, incremental=True)
+    monkeypatch.setattr(build_mod.fsio, "write_text", real)
+
+    # the orphan run dir exists but is UNREFERENCED -> readers unaffected
+    _, _, m = load_index(spark, out)
+    assert m.delta_runs == [] and m.merged_docs == hw
+    assert os.listdir(os.path.join(out, "delta_runs"))
+    _assert_matches_oracle(spark, out)
+
+    # rerun: same delta recomputed, committed once, answers identical
+    merge_index(spark, out, refresh_corpus_stats(spark, out), incremental=True)
+    _, _, m2 = load_index(spark, out)
+    assert len(m2.delta_runs) == 1 and m2.merged_docs == m2.n_docs
+    assert (m2.n_docs, m2.avgdl) == (n_docs, avgdl)
+    assert sorted(os.listdir(os.path.join(out, "delta_runs"))) == sorted(m2.delta_runs)
+    _assert_matches_oracle(spark, out)
 
 
 def test_multi_append_visibility_without_merge(spark, tmp_path):
