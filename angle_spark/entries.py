@@ -654,6 +654,216 @@ def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid (sparse + dense) rendition: each query carries BOTH a BM25 text
+# and a dense anchor (its query vector = the anchor vec_id's embedding,
+# oracle-replicable from the embeddings table; vec_id aligns with
+# doc_id). Per-side depth 50, fused depth 10.
+HYBRID_QUERY_SET: list[tuple[str, str, int]] = [
+    ("h1", "join hash", 1),
+    ("h2", "scan filter merge", 2),
+    ("h3", "dup", 3),
+    ("h4", "customer order line", 4),
+]
+HYBRID_K_SIDE = 50
+HYBRID_K_FUSED = 10
+
+
+# --- HYBRID retrieval: BM25 over the compressed index + embedding-
+#     cosine, fused by Reciprocal Rank Fusion (query/hybrid.py — the
+#     marriage of this engine's sparse side with the reference's dense
+#     retrieval, reference README.md:119-128). Both per-side rankings
+#     use the rounded-score + doc_id key so the oracle's tie order is
+#     deterministic; fusion itself is exact rank arithmetic.
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.hybrid import dense_topk, rrf_fuse
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    queries = spark.createDataFrame(
+        [(qid, text, 1_000_000) for qid, text, _ in HYBRID_QUERY_SET],
+        schema="query_id string, text string, k int",
+    )
+    sp = wand_topk(spark, merged, tstats, meta, queries, prune=True)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    sp = (
+        sp.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= HYBRID_K_SIDE)
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = spark.createDataFrame(
+        [(qid, a) for qid, _, a in HYBRID_QUERY_SET],
+        schema="query_id string, anchor long",
+    )
+    qvecs = anchors.join(emb, anchors.anchor == emb.vec_id).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    dn = dense_topk(emb, qvecs, HYBRID_K_SIDE, rank_on_rounded=True)
+    out = rrf_fuse(sp, dn, HYBRID_K_FUSED)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("rrf_score", 9).alias("rrf_score"),
+    )
+
+
+def _hybrid_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t, _ in HYBRID_QUERY_SET)
+    anchors = ", ".join(f"('{q}', {a})" for q, _, a in HYBRID_QUERY_SET)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM (VALUES {qvals}) AS q(query_id, text)
+), bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+), branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS srank
+  FROM bm
+), anch AS (
+  SELECT * FROM (VALUES {anchors}) AS a(query_id, anchor)
+), qv AS (
+  SELECT a.query_id, e.embedding::DOUBLE[] AS qv
+  FROM anch a JOIN embeddings e ON e.vec_id = a.anchor
+), dcos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_dot_product(e.embedding::DOUBLE[], qv.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv.qv, qv.qv))) AS cos_raw
+  FROM embeddings e CROSS JOIN qv
+), dranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos_raw, 6) DESC, doc_id ASC) AS drank
+  FROM dcos
+), fused AS (
+  SELECT coalesce(b.query_id, d.query_id) AS query_id,
+         coalesce(b.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0::DOUBLE / (60 + b.srank), 0.0::DOUBLE)
+         + coalesce(1.0::DOUBLE / (60 + d.drank), 0.0::DOUBLE) AS rrf
+  FROM (SELECT * FROM branked WHERE srank <= {HYBRID_K_SIDE}) b
+  FULL OUTER JOIN (SELECT * FROM dranked WHERE drank <= {HYBRID_K_SIDE}) d
+    ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, rnk AS rank, doc_id, round(rrf, 9) AS rrf_score
+FROM ranked WHERE rnk <= {HYBRID_K_FUSED}
+"""
+
+
+# Fielded (BM25F) rendition over (text w=1.0, source w=3.0): fd2-fd4
+# mix body terms with source-field keywords (srcN appears ONLY in the
+# source field), so a text-only scorer returns the wrong sets AND the
+# wrong scores — per-field length normalization must match exactly.
+FIELDED_QUERY_SET: list[tuple[str, str, int]] = [
+    ("fd1", "join hash", 10),
+    ("fd2", "src3 scan", 10),
+    ("fd3", "dup src7", 10),
+    ("fd4", "the fast src1", 10),
+]
+FIELDED_WEIGHTS = [("text", 1.0), ("source", 3.0)]
+
+
+# --- BM25F fielded retrieval (query/bm25f.py): per-field weights folded
+#     into tf BEFORE the saturation curve (Zaragoza et al. simple BM25F),
+#     idf over the combined document. The oracle rebuilds the exact
+#     per-field CTEs + weighted fold in SQL.
+def q_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.bm25f import bm25f_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = bm25f_topk(
+        docs, FIELDED_WEIGHTS, _doc_queries_df(spark, FIELDED_QUERY_SET)
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25f_oracle_sql() -> str:
+    ttoks = duckdb_tokens_sql("text")
+    stoks = duckdb_tokens_sql("source")
+    wt, ws = dict(FIELDED_WEIGHTS)["text"], dict(FIELDED_WEIGHTS)["source"]
+    return f"""
+WITH fdocs AS (
+  SELECT doc_id, {ttoks} AS ttoks, {stoks} AS stoks FROM documents
+), ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ttoks) AS term FROM fdocs) GROUP BY doc_id, term
+), stf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(stoks) AS term FROM fdocs) GROUP BY doc_id, term
+), fdl AS (
+  SELECT doc_id, len(ttoks)::BIGINT AS tdl, len(stoks)::BIGINT AS sdl FROM fdocs
+), fstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(tdl) AS tavg, avg(sdl) AS savg FROM fdl
+), tilde AS (
+  -- the same left-to-right two-term fold the engine runs: text field
+  -- contribution first, source second, each length-normalized by its
+  -- OWN (dl, avgdl)
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         coalesce(t.term, s.term) AS term,
+         coalesce({wt} * t.tf / (1.0 - 0.75 + 0.75 * fdl.tdl / st.tavg), 0.0)
+         + coalesce({ws} * s.tf / (1.0 - 0.75 + 0.75 * fdl.sdl / st.savg), 0.0) AS tft
+  FROM ttf t
+  FULL OUTER JOIN stf s ON t.doc_id = s.doc_id AND t.term = s.term
+  JOIN fdl ON fdl.doc_id = coalesce(t.doc_id, s.doc_id)
+  CROSS JOIN fstats st
+), fdft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tilde GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(FIELDED_QUERY_SET)}
+), scored AS (
+  SELECT qt.query_id, qt.k, ti.doc_id,
+         sum( ln((st.n_docs - fdft.df + 0.5) / (fdft.df + 0.5) + 1.0)
+              * 2.2 * ti.tft / (1.2 + ti.tft) ) AS raw
+  FROM qterms qt
+  JOIN fdft ON fdft.term = qt.term
+  JOIN tilde ti ON ti.term = qt.term
+  CROSS JOIN fstats st
+  GROUP BY qt.query_id, qt.k, ti.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- A9: document frequency per term (exact, grouped agg)
 def q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
@@ -1349,6 +1559,8 @@ QUERIES = {
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
     "bm25_filtered": q_bm25_filtered,
+    "hybrid_topk": q_hybrid_topk,
+    "bm25_fielded": q_bm25_fielded,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1423,6 +1635,8 @@ ORACLE_SQL = {
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
+    "hybrid_topk": _hybrid_oracle_sql(),
+    "bm25_fielded": _bm25f_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

@@ -1,0 +1,144 @@
+"""BM25F: fielded BM25 with per-field weights and length normalization.
+
+The north-rule transcript schema carries more text-bearing fields than
+``text`` alone (role, tool — input_hint in BASELINE.json), and classic
+retrieval weights a title/keyword field above the body. BM25F (Zaragoza
+et al., CIKM 2004 — the "simple BM25F" with per-field length
+normalization folded into tf) is the standard way to do that WITHOUT
+breaking the saturation curve (naive per-field BM25 sums saturate each
+field separately, so stuffing one field keeps paying; BM25F saturates
+the COMBINED evidence):
+
+    tf~(t, d) = sum_f  w_f * tf_f(t, d) / (1 - b + b * dl_f(d) / avgdl_f)
+    score(q, d) = sum_{t in q} idf(t) * (k1 + 1) * tf~ / (k1 + tf~)
+
+idf uses the document frequency over the combined document (term present
+in ANY field), so a term that only ever appears in a tiny keyword field
+is still properly rare.
+
+Shape: one tokenize+explode+groupBy per field (same map-side-combined
+aggregation the single-field path uses), the per-field tf frames
+combined by a full-outer equi-join on (doc_id, term) — deterministic
+left-to-right fold, so tf~ is bit-reproducible — then the usual
+query-term semi-join and per-query window top-k. Everything JVM-side;
+no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from angle_spark.codec import B, K1
+from angle_spark.functions.tokenizer import tokens_col
+
+
+def _field_tf(docs: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
+    """-> (tf: (doc_id, term, tf), dl: (doc_id, dl)) for one field.
+    Null/empty field values count as zero-length."""
+    toks = F.coalesce(tokens_col(col), F.array().cast("array<string>"))
+    based = docs.select("doc_id", toks.alias("toks"))
+    tf = (
+        based.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = based.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    return tf, dl
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    rank_on_rounded: bool = True,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score): BM25F top-k over ``docs``.
+
+    docs: (doc_id, <field columns>); fields: [(column, weight), ...] in
+    a FIXED order (the tf~ fold adds field contributions left to right,
+    so the float64 result is deterministic); queries: (query_id, text,
+    k) — query text is tokenized with the same tokenizer as every field.
+
+    rank_on_rounded (default): rank by round(score, 6) with the doc_id
+    tiebreak — the oracle-deterministic convention (two docs can differ
+    only by SQL-sum-order ULP noise)."""
+    if not fields:
+        raise ValueError("need at least one (column, weight) field")
+    n_docs = docs.count()
+
+    tilde = None
+    for col, w in fields:
+        tf, dl = _field_tf(docs, col)
+        avgdl = dl.agg(F.avg("dl")).collect()[0][0] or 0.0
+        contrib = (
+            F.lit(float(w))
+            * F.col(f"tf_{col}")
+            / (1.0 - b + b * F.col(f"dl_{col}") / F.lit(float(avgdl)))
+            if avgdl > 0
+            else F.lit(0.0)
+        )
+        part = (
+            tf.join(dl, "doc_id")
+            .select(
+                "doc_id",
+                "term",
+                F.col("tf").alias(f"tf_{col}"),
+                F.col("dl").alias(f"dl_{col}"),
+            )
+            .select("doc_id", "term", contrib.alias(f"c_{col}"))
+        )
+        if tilde is None:
+            tilde = part
+        else:
+            tilde = tilde.join(part, ["doc_id", "term"], "full_outer")
+    ccols = [f"c_{col}" for col, _ in fields]
+    tilde = tilde.select(
+        "doc_id",
+        "term",
+        sum(
+            (F.coalesce(F.col(c), F.lit(0.0)) for c in ccols[1:]),
+            F.coalesce(F.col(ccols[0]), F.lit(0.0)),
+        ).alias("tft"),
+    )
+
+    # df over the COMBINED document: tilde holds one row per (doc, term)
+    # present in any field
+    dft = tilde.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        queries.select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            F.explode(
+                F.array_distinct(
+                    F.coalesce(tokens_col("text"), F.array().cast("array<string>"))
+                )
+            ).alias("term"),
+        )
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    scored = (
+        qterms.join(dft, "term")
+        .withColumn("idf", idf)
+        .join(tilde, "term")
+        .groupBy("query_id", "k", "doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * (k1 + 1.0) * F.col("tft") / (k1 + F.col("tft"))
+            ).alias("score")
+        )
+    )
+    key = F.round("score", 6) if rank_on_rounded else F.col("score")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -29,11 +29,34 @@ where the reads happen.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from angle_spark.index.build import load_index, refresh_corpus_stats
 from angle_spark.index.deletes import load_deletes
 from angle_spark.query.wand import wand_topk
+
+
+def hydrate(
+    results: DataFrame,
+    corpus: DataFrame,
+    columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
+) -> DataFrame:
+    """join ranked (query_id, rank, doc_id, score) rows back to their
+    corpus metadata — what every serving caller does next, owned here so
+    nobody re-invents it with a corpus shuffle.
+
+    Scale shape: the RESULTS side is k * |queries| rows — broadcast it;
+    the corpus streams through one scan as the probe side of a broadcast
+    hash join. The corpus is NEVER shuffled and never collected: at
+    10^12 turns the only corpus-sized cost is the scan itself (and a
+    doc_id-clustered layout lets min/max row-group stats prune most of
+    it; the docID assigner writes in (conv_id, turn_idx) ~ doc_id order,
+    so that layout is the default one)."""
+    side = corpus.select(F.col("doc_id").cast("long").alias("doc_id"), *columns)
+    return side.join(F.broadcast(results), "doc_id").select(
+        *results.columns, *columns
+    )
 
 
 class Searcher:
@@ -85,14 +108,21 @@ class Searcher:
         mode: str = "or",
         slop: int = 0,
         doc_filter: DataFrame | None = None,
+        hydrate_with: DataFrame | None = None,
+        hydrate_columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
-        same contract as wand_topk (mode or/and/phrase/near, slop,
-        per-call doc_filter), which this delegates to with the session's
-        cached state."""
+        same contract as wand_topk (mode or/and/phrase/near/boolean,
+        slop, per-call doc_filter), which this delegates to with the
+        session's cached state.
+
+        hydrate_with: a corpus DataFrame carrying (doc_id, *hydrate_
+        columns) — when given, results come back hydrated with the
+        original turn metadata via a broadcast join of the small result
+        side (see ``hydrate``); the corpus is never shuffled."""
         if self._merged is None:
             raise RuntimeError("Searcher is closed")
-        return wand_topk(
+        out = wand_topk(
             self.spark,
             self._merged,
             self._tstats,
@@ -104,6 +134,9 @@ class Searcher:
             deletes=self.deletes,
             doc_filter=doc_filter,
         )
+        if hydrate_with is not None:
+            out = hydrate(out, hydrate_with, hydrate_columns)
+        return out
 
     def close(self) -> None:
         if self._merged is not None:

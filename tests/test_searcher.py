@@ -117,3 +117,44 @@ def test_close_releases_cache(spark, index_dir):
     assert _n_cached(spark) == before
     with pytest.raises(RuntimeError):
         s.search(queries_df(spark))
+
+
+def test_hydrate_returns_metadata_with_broadcast_join(spark, tmp_path_factory):
+    """search(hydrate_with=corpus) returns the original turn text for
+    every result doc, via a broadcast of the SMALL result side — the
+    corpus is never shuffled (no hashpartitioning exchange in the
+    hydration join plan)."""
+    from angle_spark.index.build import build_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.query.searcher import Searcher, hydrate
+    from angle_spark.synth import queries_df, transcripts_df
+
+    out = str(tmp_path_factory.mktemp("hydrate") / "idx")
+    corpus = assign_doc_ids(transcripts_df(spark, 12, seed=9))
+    docs = with_tokens(corpus).select("doc_id", "tokens", "dl")
+    build_index(spark, docs, out, segment_docs=128, block_size=16)
+
+    with Searcher(spark, out) as s:
+        plain = s.search(queries_df(spark)).toPandas()
+        hydrated = s.search(
+            queries_df(spark), hydrate_with=corpus
+        ).toPandas()
+    assert set(hydrated.columns) == {
+        "query_id", "rank", "doc_id", "score", "conv_id", "turn_idx", "text"
+    }
+    assert len(hydrated) == len(plain)
+    truth = corpus.select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    for _, r in hydrated.iterrows():
+        assert r["text"] == truth[r["doc_id"]]
+
+    # plan shape: hydration alone must broadcast the result side and
+    # never shuffle the corpus
+    res_df = spark.createDataFrame(
+        plain[["query_id", "rank", "doc_id", "score"]]
+    )
+    plan = (
+        hydrate(res_df, corpus)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
