@@ -1549,6 +1549,319 @@ def q_loss_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PREFIX (wildcard) retrieval over the compressed index: `stem*`
+#     leaves expand to the top-df vocabulary terms via a distributed
+#     startswith filter on term_stats (query/prefix.py), then score as a
+#     standard disjunction. max_expansions=3 is deliberately small: at
+#     sf0.01 's*' matches 6 vocabulary terms, so the (df DESC, term ASC)
+#     cap is load-bearing — an uncapped (or differently-ordered)
+#     expansion cannot pass this oracle.
+PREFIX_QUERY_SET: list[tuple[str, str, int]] = [
+    ("pf1", "jo*", 10),
+    ("pf2", "s*", 10),
+    ("pf3", "fil* merge", 10),
+    ("pf4", "zz* scan", 10),
+    ("pf5", "du* qu*", 10),
+    ("pf6", "the fast* key", 10),
+]
+PREFIX_MAX_EXPANSIONS = 3
+
+
+def q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, PREFIX_QUERY_SET),
+        mode="prefix",
+        max_expansions=PREFIX_MAX_EXPANSIONS,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_prefix_oracle_sql() -> str:
+    """The oracle re-derives the expansion independently: per (query,
+    stem), the top-PREFIX_MAX_EXPANSIONS terms by (df DESC, term ASC)
+    whose text LIKE 'stem%', unioned with the literal tokens, then the
+    standard BM25 CTEs. The parse (which chunk is a prefix) is shared
+    driver-side — trivial string syntax; the expansion RANKING and the
+    scoring are what the engine must match."""
+    from angle_spark.query.prefix import parse_prefix_text
+
+    lit_rows: list[tuple[str, int, str]] = []
+    stem_rows: list[tuple[str, int, str]] = []
+    for qid, text, k in PREFIX_QUERY_SET:
+        lits, stems = parse_prefix_text(text)
+        lit_rows += [(qid, k, t) for t in lits]
+        stem_rows += [(qid, k, s) for s in stems]
+
+    def values(rows, col3):
+        if not rows:
+            return (
+                "(SELECT NULL::VARCHAR, NULL::INT, NULL::VARCHAR WHERE false)"
+                f" AS t(query_id, k, {col3})"
+            )
+        body = ", ".join(f"('{q}', {k}, '{v}')" for q, k, v in rows)
+        return f"(VALUES {body}) AS t(query_id, k, {col3})"
+
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qliteral AS (
+  SELECT query_id, k, term FROM {values(lit_rows, "term")}
+), qprefix AS (
+  SELECT query_id, k, stem FROM {values(stem_rows, "stem")}
+), expanded AS (
+  SELECT query_id, k, term FROM (
+    SELECT qp.query_id, qp.k, dft.term,
+           row_number() OVER (PARTITION BY qp.query_id, qp.stem
+                              ORDER BY dft.df DESC, dft.term ASC) AS r
+    FROM qprefix qp JOIN dft ON dft.term LIKE qp.stem || '%'
+  ) WHERE r <= {PREFIX_MAX_EXPANSIONS}
+), qterms AS (
+  SELECT DISTINCT query_id, k, term FROM (
+    SELECT * FROM qliteral UNION ALL SELECT * FROM expanded
+  )
+), scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, qt.k, tf.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- ALTERNATIVE SCORERS over the same posting statistics
+#     (query/scorers.py): TF-IDF (SMART ltn) and query-likelihood with
+#     Dirichlet smoothing. The LM scorer consumes the cf statistic the
+#     index persists through merges (index/stats.py, A9).
+def q_tfidf_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.scorers import tfidf_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, _ = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    out = tfidf_topk(tf, tstats, _doc_queries_df(spark), n_docs)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _tfidf_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs FROM docs
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql()}
+), scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum( (1.0 + ln(tf.tf)) * ln(s.n_docs::DOUBLE / dft.df) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, qt.k, tf.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+LMD_MU = 2000.0
+
+
+def q_lmd_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.scorers import lmd_topk
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    out = lmd_topk(tf, _doc_queries_df(spark), mu=LMD_MU)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _lmd_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    mu = LMD_MU
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), cfs AS (
+  SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
+), tot AS (
+  SELECT sum(tf)::BIGINT AS c FROM tf
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql()}
+), qv AS (
+  SELECT query_id, count(DISTINCT qt.term)::INT AS qlen
+  FROM qterms qt JOIN cfs ON cfs.term = qt.term
+  GROUP BY query_id
+), scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id, dl.dl,
+         sum( ln(1.0 + tf.tf / ({mu} * cfs.cf / t.c)) ) AS part
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN cfs ON cfs.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot t
+  GROUP BY qt.query_id, qt.k, tf.doc_id, dl.dl
+), ranked AS (
+  SELECT s.query_id, s.k, s.doc_id,
+         s.part + qv.qlen * ln({mu} / (s.dl + {mu})) AS raw,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.part + qv.qlen * ln({mu} / (s.dl + {mu})) DESC,
+                    s.doc_id ASC
+         ) AS rnk
+  FROM scored s JOIN qv ON qv.query_id = s.query_id
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- FACETED COUNTS + SNIPPETS over the ranked results — the serving
+#     surface around the ranked list (query/facets.py, query/snippets.py)
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.facets import facet_counts
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    res = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark))
+    return facet_counts(res, _read(spark, sf_dir, "documents"), ("lang", "source"))
+
+
+def _bm25_facets_oracle_sql() -> str:
+    base = _bm25_oracle_sql()
+    return f"""
+WITH topk AS (
+  {base}
+)
+SELECT t.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+FROM topk t JOIN documents d USING (doc_id)
+GROUP BY t.query_id, d.lang, d.source
+"""
+
+
+SNIPPET_WIDTH = 3
+
+
+def q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.snippets import snippets
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    q = _doc_queries_df(spark)
+    res = wand_topk(spark, merged, tstats, meta, q)
+    out = snippets(
+        spark, res, _read(spark, sf_dir, "documents"), q, width=SNIPPET_WIDTH
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "snippet"
+    )
+
+
+def _bm25_snippets_oracle_sql() -> str:
+    """Snippet truth in SQL: smallest 1-based first-occurrence position
+    over the query's distinct terms (list_position returns 0 when
+    absent -> nullif), then an inclusive token slice clamped at the
+    document edges."""
+    w = SNIPPET_WIDTH
+    base = _bm25_oracle_sql()
+    return f"""
+WITH topk AS (
+  {base}
+), docs2 AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS tokens FROM documents
+), qt2 AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql()}
+), pos1 AS (
+  SELECT t.query_id, t.rank, t.doc_id,
+         min(nullif(list_position(d.tokens, qt.term), 0)) AS p
+  FROM topk t
+  JOIN docs2 d USING (doc_id)
+  JOIN qt2 qt ON qt.query_id = t.query_id
+  GROUP BY t.query_id, t.rank, t.doc_id
+)
+SELECT p1.query_id, p1.rank, p1.doc_id,
+       CASE WHEN p1.p IS NULL THEN ''
+            ELSE array_to_string(
+                   list_slice(d.tokens, greatest(1, p1.p - {w}), p1.p + {w}),
+                   ' ')
+       END AS snippet
+FROM pos1 p1 JOIN docs2 d USING (doc_id)
+"""
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
@@ -1561,6 +1874,11 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
     "bm25_fielded": q_bm25_fielded,
+    "bm25_prefix": q_bm25_prefix,
+    "tfidf_topk_documents": q_tfidf_topk_documents,
+    "lmd_topk_documents": q_lmd_topk_documents,
+    "bm25_facets": q_bm25_facets,
+    "bm25_snippets": q_bm25_snippets,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1637,6 +1955,11 @@ ORACLE_SQL = {
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "hybrid_topk": _hybrid_oracle_sql(),
     "bm25_fielded": _bm25f_oracle_sql(),
+    "bm25_prefix": _bm25_prefix_oracle_sql(),
+    "tfidf_topk_documents": _tfidf_oracle_sql(),
+    "lmd_topk_documents": _lmd_oracle_sql(),
+    "bm25_facets": _bm25_facets_oracle_sql(),
+    "bm25_snippets": _bm25_snippets_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

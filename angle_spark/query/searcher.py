@@ -110,11 +110,14 @@ class Searcher:
         doc_filter: DataFrame | None = None,
         hydrate_with: DataFrame | None = None,
         hydrate_columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
+        max_expansions: int = 64,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
-        same contract as wand_topk (mode or/and/phrase/near/boolean,
-        slop, per-call doc_filter), which this delegates to with the
-        session's cached state.
+        same contract as wand_topk (mode or/and/phrase/near/boolean/
+        prefix, slop, per-call doc_filter), which this delegates to with
+        the session's cached state. With ``cache_vocab=True`` prefix
+        expansion runs on the driver-side pandas vocabulary — zero extra
+        Spark jobs per batch.
 
         hydrate_with: a corpus DataFrame carrying (doc_id, *hydrate_
         columns) — when given, results come back hydrated with the
@@ -133,6 +136,7 @@ class Searcher:
             slop=slop,
             deletes=self.deletes,
             doc_filter=doc_filter,
+            max_expansions=max_expansions,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)

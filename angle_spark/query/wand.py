@@ -658,6 +658,7 @@ def wand_topk(
     mode: str = "or",
     slop: int = 0,
     doc_filter: DataFrame | None = None,
+    max_expansions: int = 64,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -725,11 +726,24 @@ def wand_topk(
     lists ARE shipped (exclusion needs them) but never scored. Needs a
     positional index only when a phrase/proximity leaf is present.
 
+    mode="prefix" is wildcard retrieval: each ``stem*`` chunk in the
+    query text expands to the top-``max_expansions`` vocabulary terms
+    (by df desc, term asc — Lucene's top-terms rewrite) matching the
+    stem, then the rewritten query runs as a standard disjunction. The
+    expansion is a distributed startswith filter on term_stats (pushed
+    into the term-sorted scan); see query/prefix.py.
+
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and", "phrase", "near", "boolean"):
+    if mode not in ("or", "and", "phrase", "near", "boolean", "prefix"):
         raise ValueError(
-            f"mode must be 'or', 'and', 'phrase', 'near' or 'boolean', got {mode!r}"
+            "mode must be 'or', 'and', 'phrase', 'near', 'boolean' or "
+            f"'prefix', got {mode!r}"
         )
+    if mode == "prefix":
+        from angle_spark.query.prefix import expand_prefixes
+
+        queries, _ = expand_prefixes(spark, tstats, queries, max_expansions)
+        mode = "or"
     if mode in ("phrase", "near") and not getattr(meta, "positional", False):
         raise ValueError(
             f"{mode} mode needs a positional index — rebuild with "
