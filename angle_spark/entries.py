@@ -1862,6 +1862,89 @@ FROM pos1 p1 JOIN docs2 d USING (doc_id)
 """
 
 
+# --- MORE-LIKE-THIS: document-as-query relevance feedback
+#     (query/mlt.py) — top tf·idf terms of each source doc run as a BM25
+#     disjunction, source excluded pre-ranking. The reference's dense
+#     twin is encode-doc-and-rank-by-cosine (reference README.md:119-128).
+MLT_SOURCE_DOCS = [0, 100, 200]
+MLT_MAX_TERMS = 5
+MLT_K = 10
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.mlt import more_like_this
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, avgdl = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    out = more_like_this(
+        tf, tstats, MLT_SOURCE_DOCS, n_docs, avgdl, k=MLT_K, max_terms=MLT_MAX_TERMS
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _mlt_oracle_sql() -> str:
+    """Term selection truth (top max_terms by tf·ln(N/df), term-asc
+    ties), then standard BM25 over the selected terms with the source
+    doc excluded BEFORE the rank window."""
+    toks = duckdb_tokens_sql("text")
+    srcs = ", ".join(f"({d})" for d in MLT_SOURCE_DOCS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), src AS (
+  SELECT src_id FROM (VALUES {srcs}) s(src_id)
+), sel AS (
+  SELECT src_id, term, df FROM (
+    SELECT s.src_id, tf.term, dft.df,
+           row_number() OVER (
+             PARTITION BY s.src_id
+             ORDER BY tf.tf * ln(st.n_docs::DOUBLE / dft.df) DESC,
+                      tf.term ASC
+           ) AS r
+    FROM src s
+    JOIN tf  ON tf.doc_id = s.src_id
+    JOIN dft ON dft.term = tf.term
+    CROSS JOIN stats st
+  ) WHERE r <= {MLT_MAX_TERMS}
+), scored AS (
+  SELECT 'mlt_' || sel.src_id AS query_id, tf.doc_id,
+         sum( ln((st.n_docs - sel.df + 0.5) / (sel.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) ) AS raw
+  FROM sel
+  JOIN tf ON tf.term = sel.term AND tf.doc_id <> sel.src_id
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY sel.src_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= {MLT_K}
+"""
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
@@ -1879,6 +1962,7 @@ QUERIES = {
     "lmd_topk_documents": q_lmd_topk_documents,
     "bm25_facets": q_bm25_facets,
     "bm25_snippets": q_bm25_snippets,
+    "more_like_this": q_more_like_this,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -1960,6 +2044,7 @@ ORACLE_SQL = {
     "lmd_topk_documents": _lmd_oracle_sql(),
     "bm25_facets": _bm25_facets_oracle_sql(),
     "bm25_snippets": _bm25_snippets_oracle_sql(),
+    "more_like_this": _mlt_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

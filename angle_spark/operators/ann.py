@@ -83,9 +83,63 @@ def brute_force_topk(
     )
 
 
+def with_rhp_signature(
+    df: DataFrame,
+    vec_col: str,
+    planes: np.ndarray,
+    band_bits: int = BAND_BITS,
+    out: str = "sig",
+) -> DataFrame:
+    """Attach the banded sign-bit signature as column ``out``.
+
+    The hyperplanes ride in as ONE broadcast data row (array<array<
+    double>>) folded with higher-order functions — a constant-size
+    expression tree regardless of n_planes x dim. The literal-array
+    rendition below (rhp_signature_col) inlines n_planes * dim literals
+    into the plan; at 24x64 that is ~1.5k constants whose analysis +
+    codegen cost dominated the whole ANN bench leg at small scale and
+    is pure waste at any scale. Arithmetic is IDENTICAL (same
+    sequential zip_with/aggregate fold over the same doubles), so
+    signatures — and therefore buckets, candidates and the oracle-
+    checked results — are bit-identical between the two renditions
+    (asserted in tests/test_ann.py).
+
+    _bits is materialized in its own projection so the 12 band folds
+    reference one computed array; CollapseProject keeps multiply-
+    referenced non-cheap expressions out of line, so the 24 dot
+    products run once per row, not once per band."""
+    spark = df.sparkSession
+    n_planes = planes.shape[0]
+    n_bands = n_planes // band_bits
+    pdf = spark.createDataFrame(
+        [([[float(x) for x in row] for row in planes],)],
+        "planes array<array<double>>",
+    )
+    with_bits = df.crossJoin(F.broadcast(pdf)).withColumn(
+        "_bits",
+        F.transform(
+            "planes", lambda p: (_dot(F.col(vec_col), p) > F.lit(0.0)).cast("int")
+        ),
+    )
+    bands = F.array(
+        *[
+            F.aggregate(
+                F.slice("_bits", band * band_bits + 1, band_bits),
+                F.lit(0),
+                lambda acc, x: acc * 2 + x,
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return with_bits.withColumn(out, bands).drop("_bits", "planes")
+
+
 def rhp_signature_col(vec: Column, planes: np.ndarray, band_bits: int = BAND_BITS) -> Column:
     """sign-bit signature of a vector column against fixed hyperplanes,
-    as one integer per band (band_bits bits each)."""
+    as one integer per band (band_bits bits each). Literal-array
+    rendition — kept as the reference implementation the broadcast-
+    planes rendition (with_rhp_signature) is equivalence-tested
+    against; production paths use with_rhp_signature."""
     bands = []
     n_bands = planes.shape[0] // band_bits
     for band in range(n_bands):
@@ -127,16 +181,16 @@ def lsh_topk(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    e_sig = e.withColumn(
-        "sig", rhp_signature_col(F.col("v"), planes, band_bits)
-    ).select("vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val"))
+    e_sig = with_rhp_signature(e, "v", planes, band_bits).select(
+        "vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val")
+    )
     q = queries.select(
         "query_id",
         F.transform("qvec", lambda x: x.cast("double")).alias("qv"),
     )
-    q_sig = q.withColumn(
-        "sig", rhp_signature_col(F.col("qv"), planes, band_bits)
-    ).select("query_id", "qv", F.posexplode("sig").alias("band_idx", "band_val"))
+    q_sig = with_rhp_signature(q, "qv", planes, band_bits).select(
+        "query_id", "qv", F.posexplode("sig").alias("band_idx", "band_val")
+    )
     cand = (
         e_sig.join(F.broadcast(q_sig), ["band_idx", "band_val"])
         .select("query_id", "qv", "vec_id", "v")

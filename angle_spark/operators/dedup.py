@@ -281,7 +281,12 @@ def embedding_near_pairs_lsh(
     structure, high-cosine pairs share sign bits w.h.p.).
 
     -> (id1, id2, cosine)."""
-    from angle_spark.operators.ann import _dot, _hyperplanes, _norm, rhp_signature_col
+    from angle_spark.operators.ann import (
+        _dot,
+        _hyperplanes,
+        _norm,
+        with_rhp_signature,
+    )
 
     if dim is None:
         # derive from the data; MIXED lengths would silently truncate/null
@@ -303,10 +308,15 @@ def embedding_near_pairs_lsh(
         else:
             dim = int(lo)
     planes = _hyperplanes(dim, n_planes=n_planes, seed=seed)
-    v = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("sig", rhp_signature_col(F.col("v"), planes, band_bits))
+    v = with_rhp_signature(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
+        "v",
+        planes,
+        band_bits,
+    )
     keyed = v.select(
         "vec_id", "v", F.posexplode("sig").alias("band_idx", "band_val")
     )

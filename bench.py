@@ -191,6 +191,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "simhash_near_pairs",
         "hybrid_topk",
         "bm25_fielded",
+        "bm25_prefix",
+        "lmd_topk_documents",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()

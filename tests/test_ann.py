@@ -123,3 +123,32 @@ def test_contract_entry_recall_gate(spark):
     )
     r = recall_at_k(approx, exact, k=ANN_K)
     assert r >= 0.9, f"contract-config recall {r}"
+
+
+def test_broadcast_planes_signature_bit_identical(spark):
+    """with_rhp_signature (broadcast planes row, constant-size plan) must
+    produce byte-identical band signatures to the literal-array
+    rendition it replaced — same sequential fold over the same doubles."""
+    from angle_spark.operators.ann import (
+        _hyperplanes,
+        rhp_signature_col,
+        with_rhp_signature,
+    )
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("v", F.col("embedding"))
+    planes = _hyperplanes(16, n_planes=8, seed=99)
+    lit = {
+        r["vec_id"]: r["sig"]
+        for r in emb.withColumn(
+            "sig", rhp_signature_col(F.col("v"), planes, band_bits=2)
+        ).collect()
+    }
+    bcast = {
+        r["vec_id"]: r["sig"]
+        for r in with_rhp_signature(emb, "v", planes, band_bits=2).collect()
+    }
+    assert lit == bcast
