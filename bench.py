@@ -313,10 +313,34 @@ def run_scale_leg(cpus: int) -> dict:
     }
 
 
+def _alu_probe() -> dict | None:
+    """8s/level pure-CPU probe (scripts/membw_probe.py) — the per-window
+    hardware ceiling each Spark leg should be normalized against."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "membw_probe.py")],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        d = json.loads(line)
+        return {
+            "alu_8_to_32": d["alu_scaling_8_to_32"],
+            "copy_8_to_32": d["copy_scaling_8_to_32"],
+        }
+    except Exception:
+        return None
+
+
 def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
     """Same job at N and 4N cores in fresh JVMs (sequential, isolated);
-    efficiency = throughput_4N / (4 * throughput_N)."""
+    efficiency = throughput_4N / (4 * throughput_N). Each leg is
+    bracketed by the ALU probe so every reading carries the ceiling the
+    VM offered AT THAT MOMENT (the weather swings faster than a run —
+    see BENCH.md round-4 runs 1-5)."""
     results = {}
+    probes = {"start": _alu_probe()}
     for cpus in levels:
         out = subprocess.run(
             [sys.executable, __file__, "--scale-leg", str(cpus)],
@@ -326,6 +350,7 @@ def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        probes[f"after_{cpus}"] = _alu_probe()
     lo, hi = levels
     ratio = hi / lo
     eff_index = results[hi]["turns_per_sec"] / (ratio * results[lo]["turns_per_sec"])
@@ -349,6 +374,7 @@ def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
         "efficiency_indexing": round(eff_index, 3),
         "efficiency_spimi": round(eff_spimi, 3),
         "efficiency_query": round(eff_query, 3),
+        "alu_probes": probes,
         "raw": {str(c): results[c] for c in levels},
     }
 

@@ -58,16 +58,23 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode",
-        choices=["or", "and", "phrase", "near"],
+        choices=["or", "and", "phrase", "near", "boolean", "prefix"],
         default="or",
         help="disjunctive BM25 (default), conjunctive AND, exact phrase, "
-        "or unordered proximity (see --slop)",
+        "unordered proximity (see --slop), boolean trees, or prefix "
+        "wildcards (stem*, see --max-expansions)",
     )
     ap.add_argument(
         "--slop",
         type=int,
         default=4,
         help="near mode: max window (max pos - min pos) in tokens",
+    )
+    ap.add_argument(
+        "--max-expansions",
+        type=int,
+        default=64,
+        help="prefix mode: max vocabulary terms per stem (top-df)",
     )
     ap.add_argument("--demo", action="store_true", help="self-contained local demo")
     ap.add_argument(
@@ -170,6 +177,7 @@ def main() -> None:
                 deletes=load_deletes(spark, args.index),
                 mode=args.mode,
                 slop=args.slop,
+                max_expansions=args.max_expansions,
             ).write.mode("overwrite").parquet(args.out)
             print(f"wrote results -> {args.out}")
         return
@@ -207,7 +215,8 @@ def main() -> None:
 
     merged, tstats, meta = load_index(spark, args.index)
     results = wand_topk(
-        spark, merged, tstats, meta, queries, mode=args.mode, slop=args.slop
+        spark, merged, tstats, meta, queries, mode=args.mode, slop=args.slop,
+        max_expansions=args.max_expansions,
     )
     results.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
