@@ -135,3 +135,37 @@ def test_searcher_prefix_with_cached_vocab(spark, index_dir):
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_prefix_composes_with_deletes(spark, index_dir, tmp_path):
+    """Prefix expansion rides the or-mode machinery, so tombstone masking
+    must compose: deleted docs vanish, survivors keep their full-corpus
+    scores (pre-purge delete semantics)."""
+    import shutil
+
+    from angle_spark.index.deletes import delete_docs, load_deletes
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(index_dir, idx2)
+    merged, tstats, meta = load_index(spark, idx2)
+    q = pd.DataFrame([("p1", "w00*", 100000)], columns=["query_id", "text", "k"])
+    base = wand_topk(spark, merged, tstats, meta, q, mode="prefix").toPandas()
+    victims = sorted(base.doc_id)[:5]
+    delete_docs(
+        spark,
+        idx2,
+        spark.createDataFrame([(int(d),) for d in victims], "doc_id long"),
+    )
+    masked = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        q,
+        mode="prefix",
+        deletes=load_deletes(spark, idx2),
+    ).toPandas()
+    assert set(masked.doc_id) == set(base.doc_id) - set(victims)
+    m = masked.set_index("doc_id")["score"]
+    b = base.set_index("doc_id")["score"]
+    assert all(abs(m[d] - b[d]) < 1e-12 for d in m.index)
