@@ -493,7 +493,19 @@ BOOL_QUERY_SET: list[tuple[str, str, int]] = [
     ("bl5", "zzzz OR dup", 1000),
     ("bl6", "zzzz AND scan", 10),
     ("bl7", "group AND (batch OR NOT window AND sort)", 1000),
+    # prefix leaves inside trees (round 4): positive prefix under AND
+    # (bl8), prefix arm in OR with a NOT (bl9), NEGATED prefix (bl10 —
+    # expansion terms are excluded, never scored), dead prefix killing
+    # an AND (bl11)
+    ("bl8", "fil* AND merge", 1000),
+    ("bl9", "(du* OR spark) AND NOT batch", 1000),
+    ("bl10", "merge AND NOT fil*", 1000),
+    ("bl11", "zz* AND scan", 10),
 ]
+
+# prefix-in-boolean expansion cap: wand_topk's default max_expansions —
+# the entry calls it with the default, the oracle replicates the same cap
+BOOL_PREFIX_CAP = 64
 
 
 def _bool_match_sql(node) -> str:
@@ -505,6 +517,11 @@ def _bool_match_sql(node) -> str:
     kind = node[0]
     if kind == "term":
         return f"SELECT doc_id FROM tf WHERE term = '{node[1]}'"
+    if kind == "prefix":
+        return (
+            "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
+            f"{_prefix_expansion_sql(node[1])})"
+        )
     if kind == "phrase":
         toks, slop = list(node[1]), int(node[2])
         if any("'" in t for t in toks):  # defensive; tokenizer is [a-z0-9]
@@ -539,22 +556,47 @@ def _bool_match_sql(node) -> str:
     return " UNION ".join(f"({_bool_match_sql(c)})" for c in node[1])  # or
 
 
-def _bm25_boolean_oracle_sql() -> str:
-    from angle_spark.query.boolean import parse_query, query_terms
+def _prefix_expansion_sql(stem: str, cap: int = BOOL_PREFIX_CAP) -> str:
+    """Top-``cap`` vocabulary terms for a stem by (df DESC, term ASC) —
+    the same capped top-terms rewrite the engine applies driver-side
+    (query/prefix.expand_stems), re-derived from the dft CTE."""
+    return (
+        "SELECT term FROM ("
+        "SELECT dft.term, row_number() OVER "
+        "(ORDER BY dft.df DESC, dft.term ASC) AS r "
+        f"FROM dft WHERE dft.term LIKE '{stem}%'"
+        f") WHERE r <= {cap}"
+    )
 
-    matches_parts, qterm_rows = [], []
+
+def _bm25_boolean_oracle_sql() -> str:
+    from angle_spark.query.boolean import parse_query, positive_leaves
+
+    matches_parts, qterm_rows, qterm_subqueries = [], [], []
     for qid, text, k in BOOL_QUERY_SET:
         ast = parse_query(text)
         matches_parts.append(
             f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM ({_bool_match_sql(ast)})"
         )
-        for t in query_terms(ast)[0]:  # distinct POSITIVE terms score
+        terms, stems = positive_leaves(ast)  # distinct POSITIVE leaves score
+        for t in terms:
             qterm_rows.append(f"('{qid}', '{t}')")
+        for s in stems:
+            qterm_subqueries.append(
+                f"SELECT '{qid}' AS query_id, term FROM ({_prefix_expansion_sql(s)})"
+            )
     matches = "\n  UNION ALL\n  ".join(matches_parts)
-    qterms = (
+    parts = [
         "SELECT query_id, term FROM (VALUES "
         + ", ".join(qterm_rows)
         + ") AS qt(query_id, term)"
+    ] + qterm_subqueries
+    # positive literal terms and positive prefix expansions can overlap —
+    # DISTINCT keeps the scoring join from double-counting a term
+    qterms = (
+        "SELECT DISTINCT query_id, term FROM ("
+        + "\n  UNION ALL\n  ".join(parts)
+        + ")"
     )
     return _bm25_matches_scored_sql(matches, qterms, rank_on_rounded=True)
 

@@ -27,9 +27,17 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
   its answer set is "every document except…", which cannot be produced
   from the query terms' posting lists — and is never what a user means.
 
+- ``stem*``    prefix leaf (round 4): expands driver-side to the
+               top-``max_expansions`` vocabulary terms (df DESC, term
+               ASC — the same capped top-terms rewrite as
+               query/prefix.py) and becomes an OR of them; a matchless
+               stem matches nothing, folding through AND/OR/NOT exactly
+               like an out-of-vocabulary term.
+
 AST nodes are plain picklable tuples (they ride the query broadcast):
 
     ("term",   token)
+    ("prefix", stem)                  # driver-side only; expanded before shipping
     ("phrase", [tokens], slop)        # slop 0 = exact ordered phrase
     ("and",    [positives], [negatives])
     ("or",     [children])
@@ -164,7 +172,16 @@ class _Parser:
         if kind == "word":
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
-            toks = tokenize_py(str(val))
+            word = str(val)
+            if word.endswith("*"):
+                stem = tokenize_py(word[:-1])
+                if len(stem) != 1:
+                    raise BooleanQueryError(
+                        f"prefix {word!r}: stem must tokenize to exactly one "
+                        "token"
+                    )
+                return ("prefix", stem[0])
+            toks = tokenize_py(word)
             if not toks:
                 raise BooleanQueryError(f"word tokenizes to nothing: {val!r}")
             if len(toks) == 1:
@@ -191,6 +208,92 @@ def parse_query(text: str):
     return node
 
 
+def prefix_stems(node) -> set[str]:
+    """All prefix-leaf stems in the tree (positive or negated)."""
+    kind = node[0]
+    if kind == "prefix":
+        return {node[1]}
+    if kind == "and":
+        out: set[str] = set()
+        for c in node[1] + node[2]:
+            out |= prefix_stems(c)
+        return out
+    if kind == "or":
+        out = set()
+        for c in node[1]:
+            out |= prefix_stems(c)
+        return out
+    return set()
+
+
+def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
+    """Replace every ("prefix", stem) leaf with the OR of its expansion
+    terms (from query/prefix.expand_stems). A matchless stem matches
+    nothing, so it propagates exactly like simplify()'s OOV folding:
+    dead positive AND arm kills the group, dead OR arm drops, dead NOT
+    child is a no-op. Returns None when the whole tree cannot match."""
+    kind = node[0]
+    if kind == "prefix":
+        terms = expansions.get(node[1], [])
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind in ("term", "phrase"):
+        return node
+    if kind == "and":
+        pos = [expand_prefixes_ast(c, expansions) for c in node[1]]
+        if any(p is None for p in pos):
+            return None
+        neg = [
+            s
+            for c in node[2]
+            if (s := expand_prefixes_ast(c, expansions)) is not None
+        ]
+        if len(pos) == 1 and not neg:
+            return pos[0]
+        return ("and", pos, neg)
+    if kind == "or":
+        arms = [
+            s for c in node[1] if (s := expand_prefixes_ast(c, expansions)) is not None
+        ]
+        if not arms:
+            return None
+        if len(arms) == 1:
+            return arms[0]
+        return ("or", arms)
+    raise BooleanQueryError(f"unknown node kind {kind!r}")
+
+
+def positive_leaves(node) -> tuple[list[str], list[str]]:
+    """-> (sorted positive literal terms incl. phrase tokens, sorted
+    positive prefix stems) of an UNEXPANDED tree — what the SQL oracle
+    needs to rebuild the scoring term set independently."""
+    terms: set[str] = set()
+    stems: set[str] = set()
+
+    def walk(n, positive):
+        kind = n[0]
+        if kind == "term" and positive:
+            terms.add(n[1])
+        elif kind == "prefix" and positive:
+            stems.add(n[1])
+        elif kind == "phrase" and positive:
+            terms.update(n[1])
+        elif kind == "and":
+            for c in n[1]:
+                walk(c, positive)
+            for c in n[2]:
+                walk(c, False)
+        elif kind == "or":
+            for c in n[1]:
+                walk(c, positive)
+
+    walk(node, True)
+    return sorted(terms), sorted(stems)
+
+
 def simplify(node, vocab) -> object | None:
     """Fold out-of-vocabulary leaves driver-side (round-3 verdict item 6
     generalized): an OOV term/phrase can match nothing, so an AND
@@ -198,6 +301,11 @@ def simplify(node, vocab) -> object | None:
     child is a no-op. Returns None when the whole node cannot match —
     the caller drops the query and ships NO candidate blocks for it."""
     kind = node[0]
+    if kind == "prefix":
+        raise BooleanQueryError(
+            "prefix leaf must be expanded before simplify "
+            "(expand_prefixes_ast; wand_topk mode='boolean' does this)"
+        )
     if kind == "term":
         return node if node[1] in vocab else None
     if kind == "phrase":
@@ -222,6 +330,10 @@ def simplify(node, vocab) -> object | None:
 
 def _walk(node, positive: bool, pos_out: set, all_out: set) -> None:
     kind = node[0]
+    if kind == "prefix":
+        raise BooleanQueryError(
+            "prefix leaf must be expanded before query_terms"
+        )
     if kind == "term":
         all_out.add(node[1])
         if positive:

@@ -773,6 +773,21 @@ def wand_topk(
                 ).collect()
             ]
         asts = [(qid, k, parse_query(text)) for qid, k, text in qsrc]
+        # prefix leaves (round 4): expand driver-side against the index
+        # vocabulary BEFORE simplify — a dead stem folds through the tree
+        # exactly like an OOV term (see boolean.expand_prefixes_ast)
+        from angle_spark.query.boolean import expand_prefixes_ast, prefix_stems
+
+        stems = sorted(set().union(*(prefix_stems(a) for _, _, a in asts)))
+        if stems:
+            from angle_spark.query.prefix import expand_stems
+
+            expansions = expand_stems(spark, tstats, stems, max_expansions)
+            asts = [
+                (qid, k, e)
+                for qid, k, a in asts
+                if (e := expand_prefixes_ast(a, expansions)) is not None
+            ]
         all_terms = sorted(
             {t for _, _, a in asts for t in query_terms(a)[1]}
         )

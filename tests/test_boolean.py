@@ -274,3 +274,50 @@ def test_boolean_phrase_leaf_requires_positional(spark, corpus, tmp_path_factory
         )
     )
     assert (got["query_id"] == "t").all()
+
+
+def test_prefix_leaf_parse_and_fold():
+    from angle_spark.query.boolean import expand_prefixes_ast, prefix_stems
+
+    ast = parse_query("(jo* OR spark) AND NOT zz*")
+    assert prefix_stems(ast) == {"jo", "zz"}
+    with pytest.raises(BooleanQueryError):
+        parse_query("a-b*")  # stem tokenizes to two tokens
+    exp = {"jo": ["join", "jolt"], "zz": []}
+    folded = expand_prefixes_ast(ast, exp)
+    # dead NOT child is a no-op; jo* becomes an OR of its expansions,
+    # then the single-positive AND collapses to that OR
+    assert folded == ("or", [("or", [("term", "join"), ("term", "jolt")]),
+                             ("term", "spark")])
+    # dead positive arm kills an AND group
+    assert expand_prefixes_ast(parse_query("zz* AND spark"), exp) is None
+    # dead OR arm drops
+    assert expand_prefixes_ast(parse_query("zz* OR spark"), exp) == ("term", "spark")
+
+
+def test_prefix_in_boolean_end_to_end(spark, index_dir):
+    """mode='boolean' with a prefix leaf == the same tree with the
+    expansion written out literally."""
+    merged, tstats, meta = load_index(spark, index_dir)
+    from angle_spark.query.prefix import expand_stems
+
+    exp = expand_stems(spark, tstats, ["w00"], max_expansions=4)["w00"]
+    assert 1 < len(exp) <= 4
+    lit = " OR ".join(exp)
+    q = pd.DataFrame(
+        [("b1", "w00* AND NOT w0137", 1000), ("b2", "zzqq* OR w0137", 1000)],
+        columns=["query_id", "text", "k"],
+    )
+    q_lit = pd.DataFrame(
+        [("b1", f"({lit}) AND NOT w0137", 1000), ("b2", "w0137", 1000)],
+        columns=["query_id", "text", "k"],
+    )
+    got = wand_topk(
+        spark, merged, tstats, meta, q, mode="boolean", max_expansions=4
+    ).toPandas()
+    want = wand_topk(spark, merged, tstats, meta, q_lit, mode="boolean").toPandas()
+    key = ["query_id", "rank", "doc_id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
