@@ -68,6 +68,10 @@ def tfidf_topk(
     """
     spark = tf.sparkSession
     qt_pdf = query_terms(queries).join(tstats.select("term", "df"), "term").toPandas()
+    if qt_pdf.empty:  # every query term out-of-vocabulary
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
     qt_pdf["idf"] = [math.log(n_docs / int(d)) for d in qt_pdf["df"]]
     qt = spark.createDataFrame(
         qt_pdf[["query_id", "k", "term", "idf"]],
@@ -113,6 +117,10 @@ def lmd_topk(
     spark = tf.sparkSession
     cfd = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     qt_pdf = query_terms(queries).join(cfd, "term").toPandas()
+    if qt_pdf.empty:  # every query term out-of-vocabulary
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
     total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
     qlen = qt_pdf.groupby("query_id")["term"].nunique().to_dict()
     qt_pdf["pc"] = [float(mu) * int(cf) / total for cf in qt_pdf["cf"]]

@@ -145,3 +145,15 @@ def test_lmd_oov_shrinks_qlen(spark, corpus):
     )
     want = _collect(lmd_topk(tf, solo))["j"]
     assert [(d, s) for _, d, s in out["q3"]] == [(d, s) for _, d, s in want]
+
+
+def test_all_oov_batch_is_empty(spark, corpus):
+    from angle_spark.index.stats import term_stats
+
+    _, tf = corpus
+    q = spark.createDataFrame(
+        [("q", "zzzz qqqq", 5)], "query_id string, text string, k int"
+    )
+    n = 6
+    assert tfidf_topk(tf, term_stats(tf, n), q, n).count() == 0
+    assert lmd_topk(tf, q).count() == 0
