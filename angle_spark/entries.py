@@ -1987,6 +1987,62 @@ FROM ranked WHERE rnk <= {MLT_K}
 """
 
 
+# --- SPELL SUGGESTION over the vocabulary (query/suggest.py): nearest
+#     terms by (levenshtein ASC, df DESC, term ASC). 'zzzzzz' is beyond
+#     max_dist of everything -> contributes no rows; 'scann' is 1 edit
+#     from both 'scan' and 'scans'-like terms so the df tiebreak is
+#     load-bearing at sf0.01.
+SUGGEST_WORDS = ["joinn", "mrege", "scann", "windoww", "zzzzzz"]
+SUGGEST_MAX_DIST = 2
+SUGGEST_K = 3
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.suggest import suggest_terms
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, _ = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    return suggest_terms(
+        spark, tstats, SUGGEST_WORDS, max_dist=SUGGEST_MAX_DIST, k=SUGGEST_K
+    )
+
+
+def _spell_suggest_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    words = ", ".join(f"('{w}')" for w in sorted(set(SUGGEST_WORDS)))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), words AS (
+  SELECT word FROM (VALUES {words}) w(word)
+), cand AS (
+  SELECT w.word, dft.term, dft.df,
+         levenshtein(w.word, dft.term)::INT AS dist
+  FROM words w CROSS JOIN dft
+  WHERE abs(len(dft.term) - len(w.word)) <= {SUGGEST_MAX_DIST}
+    AND levenshtein(w.word, dft.term) <= {SUGGEST_MAX_DIST}
+), ranked AS (
+  SELECT word, term, df, dist,
+         row_number() OVER (
+           PARTITION BY word ORDER BY dist ASC, df DESC, term ASC
+         ) AS r
+  FROM cand
+)
+SELECT word, r AS rank, term, dist, df
+FROM ranked WHERE r <= {SUGGEST_K}
+"""
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
@@ -2005,6 +2061,7 @@ QUERIES = {
     "bm25_facets": q_bm25_facets,
     "bm25_snippets": q_bm25_snippets,
     "more_like_this": q_more_like_this,
+    "spell_suggest": q_spell_suggest,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -2087,6 +2144,7 @@ ORACLE_SQL = {
     "bm25_facets": _bm25_facets_oracle_sql(),
     "bm25_snippets": _bm25_snippets_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
+    "spell_suggest": _spell_suggest_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

@@ -1,0 +1,64 @@
+"""Spell suggestion ("did you mean"): nearest vocabulary terms by edit
+distance — what a search box offers when a query term matches nothing.
+
+The reference sidesteps typos with subword embeddings (a misspelled
+word still lands near its neighbors in embedding space — reference
+angle_emb/angle.py:208-214 tokenizer); an inverted index has no such
+grace: an OOV term matches nothing (by contract, see wand_topk), so
+the engine owns the recovery step instead.
+
+Ranking is Lucene DirectSpellChecker-shaped and fully deterministic:
+(edit distance ASC, df DESC, term ASC), capped at ``k`` per word.
+
+Scale shape: the candidate words broadcast into ONE scan of term_stats;
+a length-band predicate (|len(term) - len(word)| <= max_dist, a cheap
+necessary condition for edit distance) prunes before the levenshtein
+evaluation, and the per-word top-k window returns |words| x k rows.
+The vocabulary never reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def suggest_terms(
+    spark: SparkSession,
+    tstats: DataFrame,
+    words: list[str],
+    max_dist: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """-> (word, rank, term, dist, df): up to ``k`` vocabulary terms
+    within ``max_dist`` edits of each input word. A word with no
+    near-enough term (or an exact vocabulary hit at dist 0 — callers
+    usually pass only the OOV terms) simply yields fewer/no rows."""
+    if not words:
+        return spark.createDataFrame(
+            [], "word string, rank long, term string, dist int, df long"
+        )
+    w = spark.createDataFrame([(x,) for x in sorted(set(words))], "word string")
+    cand = (
+        tstats.select("term", "df")
+        .crossJoin(F.broadcast(w))
+        .filter(
+            F.abs(F.length("term") - F.length("word")) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein("word", "term"))
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+    win = Window.partitionBy("word").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "word",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )

@@ -1,0 +1,38 @@
+"""Spell suggestion (query/suggest.py): (dist ASC, df DESC, term ASC)
+ranking, length-band pruning never loses a candidate, no-match words
+yield nothing."""
+
+from __future__ import annotations
+
+from angle_spark.query.suggest import suggest_terms
+
+
+def test_suggest_ranking_and_edges(spark):
+    tstats = spark.createDataFrame(
+        [("join", 50), ("joins", 40), ("joint", 60), ("merge", 30), ("x", 1)],
+        "term string, df long",
+    )
+    out = suggest_terms(spark, tstats, ["joinn", "qqqqqq"], max_dist=2, k=3)
+    rows = [
+        (r["word"], r["rank"], r["term"], r["dist"])
+        for r in out.orderBy("word", "rank").collect()
+    ]
+    # dist 1: join/joins/joint -> df DESC: joint(60), join(50), joins(40)
+    assert rows == [
+        ("joinn", 1, "joint", 1),
+        ("joinn", 2, "join", 1),
+        ("joinn", 3, "joins", 1),
+    ]
+    # empty input -> empty typed frame
+    assert suggest_terms(spark, tstats, []).count() == 0
+
+
+def test_suggest_exact_hit_ranks_first(spark):
+    tstats = spark.createDataFrame(
+        [("scan", 10), ("scans", 99)], "term string, df long"
+    )
+    out = suggest_terms(spark, tstats, ["scan"], max_dist=1, k=2).collect()
+    assert [(r["rank"], r["term"], r["dist"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, "scan", 0),
+        (2, "scans", 1),
+    ]
