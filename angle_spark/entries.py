@@ -124,6 +124,8 @@ def _bm25_oracle_sql(
     candidate_where: str = "",
     conjunctive: bool = False,
     query_set: list[tuple[str, str, int]] = DOC_QUERY_SET,
+    min_match: int | None = None,
+    rank_on_rounded: bool = False,
 ) -> str:
     """ANSI-SQL BM25 over the documents table; rank identity with this is
     the engine's core claim, for every index path (declarative,
@@ -136,14 +138,22 @@ def _bm25_oracle_sql(
     full-corpus (the pre-purge tombstone-mask semantic: Lucene deletes
     before a merge).
     conjunctive: AND semantics — only docs matching every distinct query
-    token are ranked (tokens absent from the corpus match nothing)."""
+    token are ranked (tokens absent from the corpus match nothing).
+    min_match: minimum-should-match — docs matching >= m distinct query
+    tokens rank (m=1 is plain OR, m=|tokens| is AND).
+    rank_on_rounded: rank on round(raw, 6) for full-answer-set queries
+    (see _bm25_matches_scored_sql)."""
     toks = duckdb_tokens_sql("text")
-    conj_filter = (
-        "JOIN (SELECT query_id, count(*) AS nt FROM qterms GROUP BY query_id) qn"
-        " USING (query_id) WHERE matched = qn.nt"
-        if conjunctive
-        else ""
-    )
+    if conjunctive:
+        conj_filter = (
+            "JOIN (SELECT query_id, count(*) AS nt FROM qterms GROUP BY query_id) qn"
+            " USING (query_id) WHERE matched = qn.nt"
+        )
+    elif min_match is not None:
+        conj_filter = f"WHERE matched >= {min_match}"
+    else:
+        conj_filter = ""
+    rank_key = "round(raw, 6)" if rank_on_rounded else "raw"
     return f"""
 WITH docs AS (
   SELECT doc_id, {toks} AS tokens FROM documents {docs_where}
@@ -175,12 +185,56 @@ WITH docs AS (
   GROUP BY qt.query_id, qt.k, tf.doc_id
 ), ranked AS (
   SELECT query_id, k, doc_id, raw,
-         row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY {rank_key} DESC, doc_id ASC) AS rnk
   FROM scored {conj_filter}
 )
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
 FROM ranked WHERE rnk <= k
 """
+
+
+# --- MINIMUM-SHOULD-MATCH retrieval (query/wand.py mode="mm"): docs
+#     matching >= MM_MIN_MATCH distinct query tokens rank — the Lucene
+#     minimumShouldMatch continuum between OR and AND. k > corpus so
+#     FULL answer sets discriminate: m1/m2/m5 sizes sit strictly between
+#     their OR and AND counts; m3's OOV token still leaves 2 in-vocab
+#     tokens (both required); m4 has only 1 in-vocab token < floor ->
+#     dead query.
+MM_QUERY_SET: list[tuple[str, str, int]] = [
+    ("m1", "scan filter merge", 100000),
+    ("m2", "dup spark batch", 100000),
+    ("m3", "zzzz scan filter", 100000),
+    ("m4", "zzzz scan", 10),
+    ("m5", "customer order line the", 100000),
+]
+MM_MIN_MATCH = 2
+
+
+def q_bm25_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, MM_QUERY_SET),
+        mode="mm",
+        min_match=MM_MIN_MATCH,
+    )
+    # FULL answer sets: re-rank on the rounded score (same contract and
+    # reasoning as q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 # --- THE ENGINE CORE under the driver oracle: SPIMI segment build ->
@@ -2062,6 +2116,7 @@ QUERIES = {
     "bm25_snippets": q_bm25_snippets,
     "more_like_this": q_more_like_this,
     "spell_suggest": q_spell_suggest,
+    "bm25_min_match": q_bm25_min_match,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -2133,6 +2188,9 @@ ORACLE_SQL = {
     "bm25_delete_mask": _bm25_oracle_sql(candidate_where="WHERE tf.doc_id % 7 <> 0"),
     "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
+    "bm25_min_match": _bm25_oracle_sql(
+        min_match=MM_MIN_MATCH, query_set=MM_QUERY_SET, rank_on_rounded=True
+    ),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),

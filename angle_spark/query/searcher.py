@@ -111,6 +111,7 @@ class Searcher:
         hydrate_with: DataFrame | None = None,
         hydrate_columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
         max_expansions: int = 64,
+        min_match: int | None = None,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -137,6 +138,7 @@ class Searcher:
             deletes=self.deletes,
             doc_filter=doc_filter,
             max_expansions=max_expansions,
+            min_match=min_match,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)

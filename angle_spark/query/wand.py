@@ -332,7 +332,7 @@ def _score_shard_multi(
             term_cache[term] = hit
         return hit
 
-    conjunctive = mode in ("and", "phrase", "near")
+    conjunctive = mode in ("and", "phrase", "near", "mm")
 
     pos_cache: dict[str, tuple] = {}
 
@@ -523,6 +523,12 @@ def _score_shard_multi(
             # the same ascending-term exhaustive accumulate (bit-identity
             # with the oracle) plus a matched-term counter; no block
             # pruning — the intersection itself is the selective step.
+            # q.nq carries the REQUIRED matched-term count: all nq
+            # distinct tokens for and/phrase/near, the caller's
+            # min_match for mode="mm" (Lucene minimumShouldMatch — the
+            # continuum between OR and AND). Exact shard-locally either
+            # way: a doc's postings all live in its own shard, so cnt
+            # is the doc's true matched count.
             nq = int(q.nq)
             if len(present) < nq:
                 continue
@@ -535,7 +541,7 @@ def _score_shard_multi(
                 cnt[li] += 1  # (term, doc) unique -> one bump per term
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
-            full = hit[cnt[hit] == nq]
+            full = hit[cnt[hit] >= nq] if mode == "mm" else hit[cnt[hit] == nq]
             if mode in ("phrase", "near") and len(full):
                 # positional verification over the conjunctive survivors
                 # only — the candidate set is already small, and position
@@ -659,6 +665,7 @@ def wand_topk(
     slop: int = 0,
     doc_filter: DataFrame | None = None,
     max_expansions: int = 64,
+    min_match: int | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -733,12 +740,27 @@ def wand_topk(
     expansion is a distributed startswith filter on term_stats (pushed
     into the term-sorted scan); see query/prefix.py.
 
+    mode="mm" with ``min_match=m`` is minimum-should-match (Lucene's
+    minimumShouldMatch): only docs matching at least m of the query's
+    distinct tokens are ranked — the continuum between OR (m=1) and AND
+    (m = all) — still BM25-scored by the same ascending-term fold. The
+    matched-term count is shard-local and exact for the same reason
+    conjunctive mode is; a query with fewer than m in-vocabulary tokens
+    can match nothing and is dropped driver-side.
+
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and", "phrase", "near", "boolean", "prefix"):
+    if mode not in ("or", "and", "phrase", "near", "boolean", "prefix", "mm"):
         raise ValueError(
-            "mode must be 'or', 'and', 'phrase', 'near', 'boolean' or "
-            f"'prefix', got {mode!r}"
+            "mode must be 'or', 'and', 'phrase', 'near', 'boolean', "
+            f"'prefix' or 'mm', got {mode!r}"
         )
+    if mode == "mm":
+        if min_match is None or min_match < 1:
+            raise ValueError(
+                f"mode='mm' needs min_match >= 1, got {min_match!r}"
+            )
+    elif min_match is not None:
+        raise ValueError("min_match is only valid with mode='mm'")
     if mode == "prefix":
         from angle_spark.query.prefix import expand_prefixes
 
@@ -862,6 +884,8 @@ def wand_topk(
         terms = [t for t in qterms if t in df_map]
         if conjunctive and len(terms) < len(qterms):
             continue  # AND/phrase with an out-of-vocab token matches nothing
+        if mode == "mm" and len(terms) < min_match:
+            continue  # fewer in-vocab tokens than the floor: dead query
         if terms:
             rows.append(
                 (
@@ -871,7 +895,10 @@ def wand_topk(
                     # live_docs == n_docs until a purge; after one, idf
                     # reflects the post-compaction corpus (deletes.py)
                     [idf_value(meta.live_docs, int(df_map[t])) for t in terms],
-                    len(qterms),
+                    # the REQUIRED matched-term count the shard filter
+                    # applies: every distinct token for the conjunctive
+                    # family, the caller's floor for mode="mm"
+                    min_match if mode == "mm" else len(qterms),
                     phrase if mode == "phrase" else [],
                     None,
                 )
