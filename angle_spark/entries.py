@@ -562,19 +562,25 @@ BOOL_QUERY_SET: list[tuple[str, str, int]] = [
 BOOL_PREFIX_CAP = 64
 
 
-def _bool_match_sql(node) -> str:
+def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
     """AST -> a DuckDB set expression of matching doc_ids, built from
     membership primitives the engine does NOT use: term membership from
-    the tf CTE, phrase/proximity from positional self-joins, and the
-    tree composed with INTERSECT / UNION / EXCEPT — algorithm-
-    independent truth for the shard-local mask evaluation."""
+    the tf CTE, phrase/proximity from positional self-joins, prefix and
+    fuzzy leaves from their capped vocabulary rewrites, and the tree
+    composed with INTERSECT / UNION / EXCEPT — algorithm-independent
+    truth for the shard-local mask evaluation."""
     kind = node[0]
     if kind == "term":
         return f"SELECT doc_id FROM tf WHERE term = '{node[1]}'"
     if kind == "prefix":
         return (
             "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
-            f"{_prefix_expansion_sql(node[1])})"
+            f"{_prefix_expansion_sql(node[1], cap)})"
+        )
+    if kind == "fuzzy":
+        return (
+            "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
+            f"{_fuzzy_expansion_sql(node[1], node[2], cap)})"
         )
     if kind == "phrase":
         toks, slop = list(node[1]), int(node[2])
@@ -623,28 +629,63 @@ def _prefix_expansion_sql(stem: str, cap: int = BOOL_PREFIX_CAP) -> str:
     )
 
 
-def _bm25_boolean_oracle_sql() -> str:
+def _fuzzy_expansion_sql(word: str, max_dist: int, cap: int = BOOL_PREFIX_CAP) -> str:
+    """Top-``cap`` vocabulary terms within ``max_dist`` edits of a word,
+    by (edit distance ASC, df DESC, term ASC) — the same capped
+    FuzzyQuery rewrite the engine applies driver-side
+    (query/fuzzy.expand_fuzzy), re-derived from the dft CTE. DuckDB's
+    ``levenshtein`` and Spark's agree exactly (both plain unit-cost DP;
+    the spell_suggest oracle already leans on this), so the rewrite is
+    replicated term-for-term. The engine's length-band prefilter is a
+    necessary condition for the distance bound, so it never changes the
+    match set and the oracle omits it."""
+    return (
+        "SELECT term FROM ("
+        "SELECT dft.term, row_number() OVER "
+        f"(ORDER BY levenshtein('{word}', dft.term) ASC, dft.df DESC, "
+        "dft.term ASC) AS r "
+        f"FROM dft WHERE levenshtein('{word}', dft.term) <= {max_dist}"
+        f") WHERE r <= {cap}"
+    )
+
+
+def _bm25_boolean_oracle_sql(
+    query_set: list[tuple[str, str, int]] = BOOL_QUERY_SET,
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
     from angle_spark.query.boolean import parse_query, positive_leaves
 
     matches_parts, qterm_rows, qterm_subqueries = [], [], []
-    for qid, text, k in BOOL_QUERY_SET:
+    for qid, text, k in query_set:
         ast = parse_query(text)
         matches_parts.append(
-            f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM ({_bool_match_sql(ast)})"
+            f"SELECT '{qid}' AS query_id, {k} AS k, doc_id "
+            f"FROM ({_bool_match_sql(ast, cap)})"
         )
-        terms, stems = positive_leaves(ast)  # distinct POSITIVE leaves score
+        # distinct POSITIVE leaves score
+        terms, stems, fuzz = positive_leaves(ast)
         for t in terms:
             qterm_rows.append(f"('{qid}', '{t}')")
         for s in stems:
             qterm_subqueries.append(
-                f"SELECT '{qid}' AS query_id, term FROM ({_prefix_expansion_sql(s)})"
+                f"SELECT '{qid}' AS query_id, term "
+                f"FROM ({_prefix_expansion_sql(s, cap)})"
+            )
+        for w, d in fuzz:
+            qterm_subqueries.append(
+                f"SELECT '{qid}' AS query_id, term "
+                f"FROM ({_fuzzy_expansion_sql(w, d, cap)})"
             )
     matches = "\n  UNION ALL\n  ".join(matches_parts)
-    parts = [
-        "SELECT query_id, term FROM (VALUES "
-        + ", ".join(qterm_rows)
-        + ") AS qt(query_id, term)"
-    ] + qterm_subqueries
+    parts = (
+        [
+            "SELECT query_id, term FROM (VALUES "
+            + ", ".join(qterm_rows)
+            + ") AS qt(query_id, term)"
+        ]
+        if qterm_rows
+        else []
+    ) + qterm_subqueries
     # positive literal terms and positive prefix expansions can overlap —
     # DISTINCT keeps the scoring join from double-counting a term
     qterms = (
@@ -683,6 +724,68 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key makes that tie order deterministic on both sides. Safe exactly
     # because no query here truncates (the raw and rounded top-k SETS are
     # identical when everything is kept).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Fuzzy rendition (Lucene FuzzyQuery): ``word~d`` leaves expand to the
+# nearest vocabulary terms (edit distance ASC, df DESC, term ASC, capped)
+# and score as their disjunction — the sparse engine's answer to typos,
+# composable with every boolean operator. Cases: single fuzzy leaf (fz1),
+# multi-expansion at distance 1 (fz2: sow -> slow|row), default
+# fuzziness ``~`` = 2 (fz3: jion -> join), CAP LOAD-BEARING (fz4: pat~2
+# has 4 vocabulary terms within 2 edits, cap 3 drops 'fast'), dead fuzzy
+# killing an AND (fz5), NEGATED fuzzy — expansions excluded, never
+# scored (fz6), phrase + fuzzy composition (fz7), dead fuzzy OR arm
+# dropping while the query survives (fz8: jion has no distance-1 match).
+FUZZY_QUERY_SET: list[tuple[str, str, int]] = [
+    ("fz1", "scal~1", 1000),
+    ("fz2", "sow~1 AND hash", 1000),
+    ("fz3", "jion~ OR dup", 1000),
+    ("fz4", "pat~2 OR dup", 1000),
+    ("fz5", "zzzzzz~1 AND scan", 10),
+    ("fz6", "merge AND NOT filtr~1", 1000),
+    ("fz7", '"hash join" AND sot~2', 1000),
+    ("fz8", "jion~1 OR dup", 1000),
+]
+
+# fuzzy expansion cap: deliberately small so it BINDS at sf0.01 (fz4);
+# the entry passes it to wand_topk, the oracle replicates the same cap
+FUZZY_CAP = 3
+
+
+# --- FUZZY retrieval over the positional compressed index: ``word~d``
+#     leaves rewrite driver-side to the nearest vocabulary terms
+#     (query/fuzzy.py — one distributed levenshtein pass over
+#     term_stats, length-band pruned) and evaluate as boolean trees
+#     (query/wand.py mode="boolean"). The oracle re-derives the same
+#     capped rewrite with DuckDB's levenshtein over the dft CTE.
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, FUZZY_QUERY_SET),
+        mode="boolean",
+        max_expansions=FUZZY_CAP,
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract and reasoning
+    # as q_bm25_boolean)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
     )
@@ -2106,6 +2209,7 @@ QUERIES = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
+    "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
     "bm25_fielded": q_bm25_fielded,
@@ -2194,6 +2298,7 @@ ORACLE_SQL = {
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
+    "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),
     "hybrid_topk": _hybrid_oracle_sql(),
     "bm25_fielded": _bm25f_oracle_sql(),
     "bm25_prefix": _bm25_prefix_oracle_sql(),

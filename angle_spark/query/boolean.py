@@ -34,10 +34,19 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                stem matches nothing, folding through AND/OR/NOT exactly
                like an out-of-vocabulary term.
 
+- ``word~d``   fuzzy leaf (round 4): expands driver-side to the top
+               vocabulary terms within ``d`` edits of ``word`` (edit
+               distance ASC, df DESC, term ASC — query/fuzzy.py,
+               Lucene's FuzzyQuery rewrite) and becomes an OR of them.
+               ``~`` with no digit means d=2 (Lucene's default
+               fuzziness); d is capped at 2; ``word~0`` is just the
+               exact term. A matchless word folds like an OOV term.
+
 AST nodes are plain picklable tuples (they ride the query broadcast):
 
     ("term",   token)
     ("prefix", stem)                  # driver-side only; expanded before shipping
+    ("fuzzy",  token, max_dist)       # driver-side only; expanded before shipping
     ("phrase", [tokens], slop)        # slop 0 = exact ordered phrase
     ("and",    [positives], [negatives])
     ("or",     [children])
@@ -173,6 +182,24 @@ class _Parser:
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
             word = str(val)
+            fz = re.fullmatch(r"(?P<body>[^~]+)~(?P<d>\d*)", word)
+            if fz is not None:
+                body = tokenize_py(fz.group("body"))
+                if len(body) != 1:
+                    raise BooleanQueryError(
+                        f"fuzzy {word!r}: word must tokenize to exactly one "
+                        "token"
+                    )
+                dist = int(fz.group("d")) if fz.group("d") else 2
+                if dist > 2:
+                    raise BooleanQueryError(
+                        f"fuzzy {word!r}: max edit distance is 2 (Lucene's "
+                        "FuzzyQuery cap — larger distances stop meaning "
+                        "'the same word mistyped')"
+                    )
+                if dist == 0:
+                    return ("term", body[0])
+                return ("fuzzy", body[0], dist)
             if word.endswith("*"):
                 stem = tokenize_py(word[:-1])
                 if len(stem) != 1:
@@ -231,7 +258,9 @@ def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
     terms (from query/prefix.expand_stems). A matchless stem matches
     nothing, so it propagates exactly like simplify()'s OOV folding:
     dead positive AND arm kills the group, dead OR arm drops, dead NOT
-    child is a no-op. Returns None when the whole tree cannot match."""
+    child is a no-op. Returns None when the whole tree cannot match.
+    ("fuzzy", ...) leaves pass through untouched (expand_fuzzy_ast owns
+    them; the two expanders run in sequence in wand_topk)."""
     kind = node[0]
     if kind == "prefix":
         terms = expansions.get(node[1], [])
@@ -240,7 +269,7 @@ def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
         if len(terms) == 1:
             return ("term", terms[0])
         return ("or", [("term", t) for t in terms])
-    if kind in ("term", "phrase"):
+    if kind in ("term", "phrase", "fuzzy"):
         return node
     if kind == "and":
         pos = [expand_prefixes_ast(c, expansions) for c in node[1]]
@@ -266,12 +295,76 @@ def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
     raise BooleanQueryError(f"unknown node kind {kind!r}")
 
 
-def positive_leaves(node) -> tuple[list[str], list[str]]:
+def fuzzy_pairs(node) -> set[tuple[str, int]]:
+    """All fuzzy (word, max_dist) leaves in the tree (positive or
+    negated) — the expansion work list for query/fuzzy.expand_fuzzy."""
+    kind = node[0]
+    if kind == "fuzzy":
+        return {(node[1], node[2])}
+    if kind == "and":
+        out: set[tuple[str, int]] = set()
+        for c in node[1] + node[2]:
+            out |= fuzzy_pairs(c)
+        return out
+    if kind == "or":
+        out = set()
+        for c in node[1]:
+            out |= fuzzy_pairs(c)
+        return out
+    return set()
+
+
+def expand_fuzzy_ast(node, expansions: dict[tuple[str, int], list[str]]):
+    """Replace every ("fuzzy", word, d) leaf with the OR of its
+    expansion terms (from query/fuzzy.expand_fuzzy). A word with no
+    near-enough vocabulary term matches nothing and folds exactly like
+    expand_prefixes_ast's matchless stem / simplify()'s OOV term.
+    Returns None when the whole tree cannot match. ("prefix", ...)
+    leaves pass through untouched (expand_prefixes_ast owns them)."""
+    kind = node[0]
+    if kind == "fuzzy":
+        terms = expansions.get((node[1], node[2]), [])
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind in ("term", "phrase", "prefix"):
+        return node
+    if kind == "and":
+        pos = [expand_fuzzy_ast(c, expansions) for c in node[1]]
+        if any(p is None for p in pos):
+            return None
+        neg = [
+            s
+            for c in node[2]
+            if (s := expand_fuzzy_ast(c, expansions)) is not None
+        ]
+        if len(pos) == 1 and not neg:
+            return pos[0]
+        return ("and", pos, neg)
+    if kind == "or":
+        arms = [
+            s for c in node[1] if (s := expand_fuzzy_ast(c, expansions)) is not None
+        ]
+        if not arms:
+            return None
+        if len(arms) == 1:
+            return arms[0]
+        return ("or", arms)
+    raise BooleanQueryError(f"unknown node kind {kind!r}")
+
+
+def positive_leaves(
+    node,
+) -> tuple[list[str], list[str], list[tuple[str, int]]]:
     """-> (sorted positive literal terms incl. phrase tokens, sorted
-    positive prefix stems) of an UNEXPANDED tree — what the SQL oracle
-    needs to rebuild the scoring term set independently."""
+    positive prefix stems, sorted positive fuzzy (word, max_dist)
+    pairs) of an UNEXPANDED tree — what the SQL oracle needs to rebuild
+    the scoring term set independently."""
     terms: set[str] = set()
     stems: set[str] = set()
+    fuzz: set[tuple[str, int]] = set()
 
     def walk(n, positive):
         kind = n[0]
@@ -279,6 +372,8 @@ def positive_leaves(node) -> tuple[list[str], list[str]]:
             terms.add(n[1])
         elif kind == "prefix" and positive:
             stems.add(n[1])
+        elif kind == "fuzzy" and positive:
+            fuzz.add((n[1], n[2]))
         elif kind == "phrase" and positive:
             terms.update(n[1])
         elif kind == "and":
@@ -291,7 +386,7 @@ def positive_leaves(node) -> tuple[list[str], list[str]]:
                 walk(c, positive)
 
     walk(node, True)
-    return sorted(terms), sorted(stems)
+    return sorted(terms), sorted(stems), sorted(fuzz)
 
 
 def simplify(node, vocab) -> object | None:
@@ -301,10 +396,11 @@ def simplify(node, vocab) -> object | None:
     child is a no-op. Returns None when the whole node cannot match —
     the caller drops the query and ships NO candidate blocks for it."""
     kind = node[0]
-    if kind == "prefix":
+    if kind in ("prefix", "fuzzy"):
         raise BooleanQueryError(
-            "prefix leaf must be expanded before simplify "
-            "(expand_prefixes_ast; wand_topk mode='boolean' does this)"
+            f"{kind} leaf must be expanded before simplify "
+            "(expand_prefixes_ast/expand_fuzzy_ast; wand_topk "
+            "mode='boolean' does this)"
         )
     if kind == "term":
         return node if node[1] in vocab else None
@@ -330,9 +426,9 @@ def simplify(node, vocab) -> object | None:
 
 def _walk(node, positive: bool, pos_out: set, all_out: set) -> None:
     kind = node[0]
-    if kind == "prefix":
+    if kind in ("prefix", "fuzzy"):
         raise BooleanQueryError(
-            "prefix leaf must be expanded before query_terms"
+            f"{kind} leaf must be expanded before query_terms"
         )
     if kind == "term":
         all_out.add(node[1])

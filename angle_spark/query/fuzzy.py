@@ -1,0 +1,111 @@
+"""Fuzzy term expansion: ``jion~2`` retrieves via every indexed term
+within an edit distance of the (misspelled) word.
+
+The reference tolerates typos implicitly — its subword tokenizer puts a
+misspelled word near its neighbors in embedding space (reference
+angle_emb/angle.py:208-214), so dense retrieval degrades gracefully. An
+inverted index has no such grace: an OOV term matches nothing by
+contract. query/suggest.py offers the interactive recovery ("did you
+mean"); this module is the in-query form — Lucene's FuzzyQuery: the
+leaf rewrites to the nearest vocabulary terms and scores as their
+disjunction.
+
+Expansion ranks (edit distance ASC, df DESC, term ASC) — Lucene
+DirectSpellChecker order, identical to suggest_terms — capped at
+``max_expansions`` terms per (word, max_dist) leaf. Distance is capped
+at 2 the way Lucene caps FuzzyQuery fuzziness: levenshtein cost over a
+100 TB vocabulary grows with allowed distance, and beyond 2 edits the
+matches stop meaning "the same word mistyped".
+
+Scale shape: mirror of query/prefix.expand_stems — the candidate words
+broadcast into ONE scan of term_stats, a length-band predicate
+(|len(term) - len(word)| <= max_dist, a cheap necessary condition for
+edit distance) prunes before the levenshtein evaluation, and a
+per-(word, dist) top-``max_expansions`` window bounds what reaches the
+driver to |leaves| x max_expansions rows. The vocabulary itself never
+does. Spark's ``levenshtein`` and DuckDB's agree exactly (both plain
+unit-cost DP; verified in the spell_suggest oracle), which is what lets
+the SQL oracle replicate the rewrite term-for-term.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MAX_FUZZY_DIST = 2
+
+
+def levenshtein_py(a: str, b: str) -> int:
+    """Plain unit-cost edit distance — the pandas-tstats (cached-vocab
+    Searcher) twin of Spark/DuckDB ``levenshtein``."""
+    m, n = len(a), len(b)
+    if m == 0:
+        return n
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    tstats: DataFrame | pd.DataFrame,
+    pairs: list[tuple[str, int]],
+    max_expansions: int = 64,
+) -> dict[tuple[str, int], list[str]]:
+    """(word, max_dist) -> matching vocabulary terms, top
+    ``max_expansions`` by (edit distance ASC, df DESC, term ASC). A word
+    with no near-enough term maps to []. An exact vocabulary hit ranks
+    first (distance 0) — the common case where the "typo" wasn't one.
+
+    tstats: the index term_stats (term, df, ...) — Spark DataFrame on
+    the scale path (length-band prefilter + one distributed levenshtein
+    pass), or the cached-pandas vocabulary a bounded-vocab Searcher
+    holds (same opt-in contract as query/prefix.expand_stems).
+    """
+    out: dict[tuple[str, int], list[str]] = {p: [] for p in pairs}
+    if not pairs:
+        return out
+    uniq = sorted(set(pairs))
+    for _, d in uniq:
+        if not (1 <= d <= MAX_FUZZY_DIST):
+            raise ValueError(
+                f"fuzzy max_dist must be in 1..{MAX_FUZZY_DIST}, got {d}"
+            )
+    if isinstance(tstats, pd.DataFrame):
+        for w, d in uniq:
+            m = tstats[["term", "df"]].copy()
+            m = m[(m["term"].str.len() - len(w)).abs() <= d]
+            m["dist"] = [levenshtein_py(w, t) for t in m["term"]]
+            m = m[m["dist"] <= d]
+            m = m.sort_values(
+                ["dist", "df", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            ).head(max_expansions)
+            out[(w, d)] = [str(t) for t in m["term"]]
+        return out
+    pair_df = spark.createDataFrame(uniq, "word string, max_dist int")
+    w = Window.partitionBy("word", "max_dist").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    rows = (
+        tstats.select("term", "df")
+        .crossJoin(F.broadcast(pair_df))
+        .filter(F.abs(F.length("term") - F.length("word")) <= F.col("max_dist"))
+        .withColumn("dist", F.levenshtein("word", "term"))
+        .filter(F.col("dist") <= F.col("max_dist"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_expansions)
+        .select("word", "max_dist", "term", "r")
+        .collect()  # bounded: <= |pairs| * max_expansions rows
+    )
+    for row in sorted(rows, key=lambda x: (x["word"], x["max_dist"], x["r"])):
+        out[(row["word"], row["max_dist"])].append(row["term"])
+    return out

@@ -810,6 +810,22 @@ def wand_topk(
                 for qid, k, a in asts
                 if (e := expand_prefixes_ast(a, expansions)) is not None
             ]
+        # fuzzy leaves (round 4): same driver-side rewrite, ranked by
+        # (edit distance, df, term) against the index vocabulary — a
+        # word with no near-enough term folds like a matchless stem
+        # (see boolean.expand_fuzzy_ast, query/fuzzy.py)
+        from angle_spark.query.boolean import expand_fuzzy_ast, fuzzy_pairs
+
+        fuzz = sorted(set().union(*(fuzzy_pairs(a) for _, _, a in asts)))
+        if fuzz:
+            from angle_spark.query.fuzzy import expand_fuzzy
+
+            fz_exp = expand_fuzzy(spark, tstats, fuzz, max_expansions)
+            asts = [
+                (qid, k, e)
+                for qid, k, a in asts
+                if (e := expand_fuzzy_ast(a, fz_exp)) is not None
+            ]
         all_terms = sorted(
             {t for _, _, a in asts for t in query_terms(a)[1]}
         )
