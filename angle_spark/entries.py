@@ -360,7 +360,10 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_matches_scored_sql(
-    matches_sql: str, qterms_sql: str, rank_on_rounded: bool = False
+    matches_sql: str,
+    qterms_sql: str,
+    rank_on_rounded: bool = False,
+    boosted: bool = False,
 ) -> str:
     """Shared scoring skeleton for every membership-then-score oracle
     (phrase / near / boolean): a `matches` CTE of (query_id, k, doc_id)
@@ -371,8 +374,15 @@ def _bm25_matches_scored_sql(
     for FULL-answer-set queries (k > corpus) where two distinct docs can
     land within SQL-sum-order ULP noise of each other; the engine side
     then ranks on its rounded scores too, making the tie order
-    deterministic on both sides."""
+    deterministic on both sides.
+
+    boosted: qterms carries a third DOUBLE column ``boost`` (the
+    query-time ^w weight, max over leaves) and each term's contribution
+    is ln(idf-arg) * boost * tf * 2.2 / denom — the same left-to-right
+    association as the engine's (idf * boost) * tf * (k1+1) / denom, so
+    per-element products stay bit-identical."""
     rank_key = "round(raw, 6)" if rank_on_rounded else "raw"
+    boost_factor = " * qt.boost" if boosted else ""
     toks = duckdb_tokens_sql("text")
     return f"""
 WITH docs AS (
@@ -396,7 +406,7 @@ WITH docs AS (
   {qterms_sql}
 ), scored AS (
   SELECT m.query_id, m.k, m.doc_id,
-         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
               * tf.tf * 2.2
               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
   FROM matches m
@@ -568,8 +578,11 @@ def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
     the tf CTE, phrase/proximity from positional self-joins, prefix and
     fuzzy leaves from their capped vocabulary rewrites, and the tree
     composed with INTERSECT / UNION / EXCEPT — algorithm-independent
-    truth for the shard-local mask evaluation."""
+    truth for the shard-local mask evaluation. Boost wrappers are
+    scoring-only and transparent to membership."""
     kind = node[0]
+    if kind == "boost":
+        return _bool_match_sql(node[1], cap)
     if kind == "term":
         return f"SELECT doc_id FROM tf WHERE term = '{node[1]}'"
     if kind == "prefix":
@@ -653,47 +666,61 @@ def _bm25_boolean_oracle_sql(
     query_set: list[tuple[str, str, int]] = BOOL_QUERY_SET,
     cap: int = BOOL_PREFIX_CAP,
 ) -> str:
-    from angle_spark.query.boolean import parse_query, positive_leaves
+    from angle_spark.query.boolean import parse_query, positive_leaves_boosted
 
     matches_parts, qterm_rows, qterm_subqueries = [], [], []
+    boosted = False
     for qid, text, k in query_set:
         ast = parse_query(text)
         matches_parts.append(
             f"SELECT '{qid}' AS query_id, {k} AS k, doc_id "
             f"FROM ({_bool_match_sql(ast, cap)})"
         )
-        # distinct POSITIVE leaves score
-        terms, stems, fuzz = positive_leaves(ast)
-        for t in terms:
-            qterm_rows.append(f"('{qid}', '{t}')")
-        for s in stems:
+        # distinct POSITIVE leaves score; each row/subquery carries its
+        # leaf's ^w boost (1.0 unboosted — prefix/fuzzy expansion terms
+        # inherit their leaf's weight)
+        terms, stems, fuzz = positive_leaves_boosted(ast)
+        boosted = boosted or any(
+            b != 1.0
+            for b in [w for _, w in terms]
+            + [w for _, w in stems]
+            + [w for _, _, w in fuzz]
+        )
+        for t, b in terms:
+            qterm_rows.append(f"('{qid}', '{t}', {b!r}::DOUBLE)")
+        for s, b in stems:
             qterm_subqueries.append(
-                f"SELECT '{qid}' AS query_id, term "
+                f"SELECT '{qid}' AS query_id, term, {b!r}::DOUBLE AS boost "
                 f"FROM ({_prefix_expansion_sql(s, cap)})"
             )
-        for w, d in fuzz:
+        for w, d, b in fuzz:
             qterm_subqueries.append(
-                f"SELECT '{qid}' AS query_id, term "
+                f"SELECT '{qid}' AS query_id, term, {b!r}::DOUBLE AS boost "
                 f"FROM ({_fuzzy_expansion_sql(w, d, cap)})"
             )
     matches = "\n  UNION ALL\n  ".join(matches_parts)
     parts = (
         [
-            "SELECT query_id, term FROM (VALUES "
+            "SELECT query_id, term, boost FROM (VALUES "
             + ", ".join(qterm_rows)
-            + ") AS qt(query_id, term)"
+            + ") AS qt(query_id, term, boost)"
         ]
         if qterm_rows
         else []
     ) + qterm_subqueries
     # positive literal terms and positive prefix expansions can overlap —
-    # DISTINCT keeps the scoring join from double-counting a term
+    # the GROUP BY keeps the scoring join from double-counting a term,
+    # and max(boost) is the engine's rule when one term is reached
+    # through several positive leaves (a boost declares importance;
+    # importance doesn't cancel)
     qterms = (
-        "SELECT DISTINCT query_id, term FROM ("
+        "SELECT query_id, term, max(boost) AS boost FROM ("
         + "\n  UNION ALL\n  ".join(parts)
-        + ")"
+        + ") GROUP BY query_id, term"
     )
-    return _bm25_matches_scored_sql(matches, qterms, rank_on_rounded=True)
+    return _bm25_matches_scored_sql(
+        matches, qterms, rank_on_rounded=True, boosted=boosted
+    )
 
 
 # --- BOOLEAN query trees over the positional compressed index: AND/OR/
@@ -724,6 +751,68 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key makes that tie order deterministic on both sides. Safe exactly
     # because no query here truncates (the raw and rounded top-k SETS are
     # identical when everything is kept).
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Boosted rendition (Lucene's ``^``): leaf^w multiplies the leaf's BM25
+# contribution by w — membership NEVER changes, only scoring weight, and
+# a term reached through several positive leaves scores with the MAX of
+# their boosts. Cases: boosted OR arm reranks (bs1), boosted phrase
+# (bs2), prefix expansions inherit the leaf boost (bs3), max rule with
+# the same term at two weights (bs4), fractional demote (bs5), boosted
+# fuzzy (bs6), boost under NOT is membership-only and never scored (bs7
+# scores exactly like the unboosted query), multi-token bare word
+# distributes its boost (bs8), boosted proximity leaf (bs9), boosted
+# dead OR arm drops while the query survives (bs10).
+BOOST_QUERY_SET: list[tuple[str, str, int]] = [
+    ("bs1", "dup^3 OR spark", 1000),
+    ("bs2", '"hash join"^2 OR scan', 1000),
+    ("bs3", "fil*^2 AND merge", 1000),
+    ("bs4", "dup^2 OR (dup^3 AND spark)", 1000),
+    ("bs5", "scan^0.5 OR merge", 1000),
+    ("bs6", "sow~1^2 AND hash", 1000),
+    ("bs7", "merge AND NOT filter^2", 1000),
+    ("bs8", "hash-join^2 OR dup", 1000),
+    ("bs9", '"join hash"~3^2 AND scan', 1000),
+    ("bs10", "zzzz^2 OR dup", 1000),
+]
+
+
+# --- BOOSTED retrieval over the positional compressed index: query-time
+#     ^w weights fold into each term's idf driver-side (one float
+#     multiply — the shard fold is unchanged and stays bit-identical to
+#     the oracle's ln(idf-arg) * boost * tf * 2.2 / denom association).
+#     The oracle rebuilds per-term weights independently: every positive
+#     leaf emits (term, boost) rows — expansion terms inherit their
+#     leaf's weight — and max(boost) GROUP BY applies the engine's
+#     max-over-leaves rule (query/boolean.py, query/wand.py
+#     mode="boolean").
+def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, BOOST_QUERY_SET),
+        mode="boolean",
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract and reasoning
+    # as q_bm25_boolean)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("score", 6)), F.asc("doc_id")
     )
@@ -2210,6 +2299,7 @@ QUERIES = {
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
     "bm25_fuzzy": q_bm25_fuzzy,
+    "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
     "bm25_fielded": q_bm25_fielded,
@@ -2299,6 +2389,7 @@ ORACLE_SQL = {
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),
+    "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
     "hybrid_topk": _hybrid_oracle_sql(),
     "bm25_fielded": _bm25f_oracle_sql(),
     "bm25_prefix": _bm25_prefix_oracle_sql(),

@@ -63,6 +63,26 @@ class Bm25Oracle:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def score_weighted(
+        self, weights: dict[str, float], k: int = 10
+    ) -> list[tuple[int, float]]:
+        """Boost-aware fold: each term's idf is multiplied by its weight
+        BEFORE the per-posting product — the same driver-side
+        idf * boost the engine applies (query/wand.py mode="boolean"),
+        so per-element products stay bit-identical. Terms iterate in
+        sorted order like score_query."""
+        acc: dict[int, float] = defaultdict(float)
+        for term in sorted(weights):
+            postings = self.tf.get(term)
+            if not postings:
+                continue
+            idf = self.idf(term) * weights[term]
+            for doc_id, tf in postings.items():
+                denom = tf + K1 * (1.0 - B + B * self.dl[doc_id] / self.avgdl)
+                acc[doc_id] += idf * tf * (K1 + 1.0) / denom
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def golden(self, queries: pd.DataFrame) -> pd.DataFrame:
         """queries: (query_id, text, k) -> (query_id, rank, doc_id, score)."""
         rows = []

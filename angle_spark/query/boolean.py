@@ -42,12 +42,25 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                fuzziness); d is capped at 2; ``word~0`` is just the
                exact term. A matchless word folds like an OOV term.
 
+- ``leaf^w``   query-time boost (round 4, Lucene's ``^``): multiplies
+               the leaf's BM25 score contribution by ``w`` (> 0; ``<1``
+               demotes). Valid on word, ``"phrase"``, ``"prox"~n``,
+               ``stem*`` and ``word~d`` leaves; a prefix/fuzzy leaf's
+               expansion terms inherit its boost. Boost NEVER changes
+               membership — only the scoring weight of the leaf's
+               positive terms. A term reached through several positive
+               leaves scores with the MAX of their boosts (a boost
+               declares importance; importance doesn't cancel), which
+               keeps weights well-defined under the distinct-term
+               disjunctive fold the oracle asserts.
+
 AST nodes are plain picklable tuples (they ride the query broadcast):
 
     ("term",   token)
     ("prefix", stem)                  # driver-side only; expanded before shipping
     ("fuzzy",  token, max_dist)       # driver-side only; expanded before shipping
     ("phrase", [tokens], slop)        # slop 0 = exact ordered phrase
+    ("boost",  child, weight)         # scoring-only wrapper on a leaf
     ("and",    [positives], [negatives])
     ("or",     [children])
 
@@ -72,7 +85,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
-        (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
         (?P<word>[^\s()"]+)
     )""",
     re.VERBOSE,
@@ -83,6 +96,21 @@ _OPS = {"AND", "OR", "NOT"}
 
 class BooleanQueryError(ValueError):
     pass
+
+
+def _boosted(node, weight, text: str):
+    """Wrap a parsed leaf in ("boost", node, w). ``^1`` (and no boost)
+    is the identity and adds no wrapper; ``^0`` is rejected — a
+    zero-weight positive leaf would still gate membership while
+    contributing nothing, which is never what a user means (Lucene
+    rejects it too)."""
+    if weight is None or weight == 1.0:
+        return node
+    if weight <= 0.0:
+        raise BooleanQueryError(
+            f"boost must be > 0, got {weight} in: {text!r}"
+        )
+    return ("boost", node, weight)
 
 
 def _lex(text: str) -> list[tuple[str, object]]:
@@ -101,7 +129,14 @@ def _lex(text: str) -> list[tuple[str, object]]:
             out.append((")", None))
         elif m.group("quoted") is not None:
             out.append(
-                ("phrase", (m.group("qbody"), int(m.group("slop") or 0)))
+                (
+                    "phrase",
+                    (
+                        m.group("qbody"),
+                        int(m.group("slop") or 0),
+                        float(m.group("qboost")) if m.group("qboost") else None,
+                    ),
+                )
             )
         else:
             w = m.group("word")
@@ -171,17 +206,21 @@ class _Parser:
                 raise BooleanQueryError(f"missing ')': {self.text!r}")
             return node
         if kind == "phrase":
-            body, slop = val
+            body, slop, boost = val
             toks = tokenize_py(body)
             if not toks:
                 raise BooleanQueryError(f"empty phrase in: {self.text!r}")
-            if len(toks) == 1:
-                return ("term", toks[0])
-            return ("phrase", toks, slop)
+            node = ("term", toks[0]) if len(toks) == 1 else ("phrase", toks, slop)
+            return _boosted(node, boost, self.text)
         if kind == "word":
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
             word = str(val)
+            boost = None
+            bm = re.fullmatch(r"(?P<body>.+)\^(?P<w>\d+(?:\.\d+)?)", word)
+            if bm is not None:
+                word = bm.group("body")
+                boost = float(bm.group("w"))
             fz = re.fullmatch(r"(?P<body>[^~]+)~(?P<d>\d*)", word)
             if fz is not None:
                 body = tokenize_py(fz.group("body"))
@@ -198,8 +237,8 @@ class _Parser:
                         "'the same word mistyped')"
                     )
                 if dist == 0:
-                    return ("term", body[0])
-                return ("fuzzy", body[0], dist)
+                    return _boosted(("term", body[0]), boost, self.text)
+                return _boosted(("fuzzy", body[0], dist), boost, self.text)
             if word.endswith("*"):
                 stem = tokenize_py(word[:-1])
                 if len(stem) != 1:
@@ -207,14 +246,20 @@ class _Parser:
                         f"prefix {word!r}: stem must tokenize to exactly one "
                         "token"
                     )
-                return ("prefix", stem[0])
+                return _boosted(("prefix", stem[0]), boost, self.text)
             toks = tokenize_py(word)
             if not toks:
                 raise BooleanQueryError(f"word tokenizes to nothing: {val!r}")
             if len(toks) == 1:
-                return ("term", toks[0])
-            # a multi-token bare word (hash-join) is an AND of its tokens
-            return ("and", [("term", t) for t in toks], [])
+                return _boosted(("term", toks[0]), boost, self.text)
+            # a multi-token bare word (hash-join) is an AND of its tokens;
+            # a boost on it distributes onto each token (the group's
+            # membership is unchanged either way — boost is scoring-only)
+            return (
+                "and",
+                [_boosted(("term", t), boost, self.text) for t in toks],
+                [],
+            )
         raise BooleanQueryError(f"unexpected token {kind!r} in: {self.text!r}")
 
 
@@ -238,6 +283,8 @@ def parse_query(text: str):
 def prefix_stems(node) -> set[str]:
     """All prefix-leaf stems in the tree (positive or negated)."""
     kind = node[0]
+    if kind == "boost":
+        return prefix_stems(node[1])
     if kind == "prefix":
         return {node[1]}
     if kind == "and":
@@ -260,8 +307,13 @@ def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
     dead positive AND arm kills the group, dead OR arm drops, dead NOT
     child is a no-op. Returns None when the whole tree cannot match.
     ("fuzzy", ...) leaves pass through untouched (expand_fuzzy_ast owns
-    them; the two expanders run in sequence in wand_topk)."""
+    them; the two expanders run in sequence in wand_topk). A boost
+    wrapper survives expansion — the expansion OR inherits the leaf's
+    weight — and propagates its child's death."""
     kind = node[0]
+    if kind == "boost":
+        e = expand_prefixes_ast(node[1], expansions)
+        return None if e is None else ("boost", e, node[2])
     if kind == "prefix":
         terms = expansions.get(node[1], [])
         if not terms:
@@ -299,6 +351,8 @@ def fuzzy_pairs(node) -> set[tuple[str, int]]:
     """All fuzzy (word, max_dist) leaves in the tree (positive or
     negated) — the expansion work list for query/fuzzy.expand_fuzzy."""
     kind = node[0]
+    if kind == "boost":
+        return fuzzy_pairs(node[1])
     if kind == "fuzzy":
         return {(node[1], node[2])}
     if kind == "and":
@@ -320,8 +374,12 @@ def expand_fuzzy_ast(node, expansions: dict[tuple[str, int], list[str]]):
     near-enough vocabulary term matches nothing and folds exactly like
     expand_prefixes_ast's matchless stem / simplify()'s OOV term.
     Returns None when the whole tree cannot match. ("prefix", ...)
-    leaves pass through untouched (expand_prefixes_ast owns them)."""
+    leaves pass through untouched (expand_prefixes_ast owns them); a
+    boost wrapper survives expansion and propagates its child's death."""
     kind = node[0]
+    if kind == "boost":
+        e = expand_fuzzy_ast(node[1], expansions)
+        return None if e is None else ("boost", e, node[2])
     if kind == "fuzzy":
         terms = expansions.get((node[1], node[2]), [])
         if not terms:
@@ -355,38 +413,106 @@ def expand_fuzzy_ast(node, expansions: dict[tuple[str, int], list[str]]):
     raise BooleanQueryError(f"unknown node kind {kind!r}")
 
 
+def positive_leaves_boosted(
+    node,
+) -> tuple[
+    list[tuple[str, float]],
+    list[tuple[str, float]],
+    list[tuple[str, int, float]],
+]:
+    """-> (sorted positive (term, boost) pairs incl. phrase tokens,
+    sorted positive (stem, boost) pairs, sorted positive
+    (word, max_dist, boost) triples) of an UNEXPANDED tree — what the
+    SQL oracle needs to rebuild the scoring term set (and its per-term
+    weights: max over leaves, unboosted leaves weigh 1.0)
+    independently. Duplicate pairs collapse; duplicate KEYS with
+    different boosts survive — the oracle's max(boost) GROUP BY applies
+    the same max rule the engine does."""
+    terms: set[tuple[str, float]] = set()
+    stems: set[tuple[str, float]] = set()
+    fuzz: set[tuple[str, int, float]] = set()
+
+    def walk(n, positive, w):
+        kind = n[0]
+        if kind == "boost":
+            walk(n[1], positive, n[2])
+        elif kind == "term":
+            if positive:
+                terms.add((n[1], w))
+        elif kind == "prefix":
+            if positive:
+                stems.add((n[1], w))
+        elif kind == "fuzzy":
+            if positive:
+                fuzz.add((n[1], n[2], w))
+        elif kind == "phrase":
+            if positive:
+                terms.update((t, w) for t in n[1])
+        elif kind == "and":
+            for c in n[1]:
+                walk(c, positive, w)
+            for c in n[2]:
+                walk(c, False, w)
+        elif kind == "or":
+            for c in n[1]:
+                walk(c, positive, w)
+
+    walk(node, True, 1.0)
+    return sorted(terms), sorted(stems), sorted(fuzz)
+
+
 def positive_leaves(
     node,
 ) -> tuple[list[str], list[str], list[tuple[str, int]]]:
     """-> (sorted positive literal terms incl. phrase tokens, sorted
     positive prefix stems, sorted positive fuzzy (word, max_dist)
-    pairs) of an UNEXPANDED tree — what the SQL oracle needs to rebuild
-    the scoring term set independently."""
-    terms: set[str] = set()
-    stems: set[str] = set()
-    fuzz: set[tuple[str, int]] = set()
+    pairs) of an UNEXPANDED tree, boosts stripped."""
+    terms, stems, fuzz = positive_leaves_boosted(node)
+    return (
+        sorted({t for t, _ in terms}),
+        sorted({s for s, _ in stems}),
+        sorted({(w, d) for w, d, _ in fuzz}),
+    )
 
-    def walk(n, positive):
+
+def positive_boosts(node) -> dict[str, float]:
+    """term -> scoring weight over an EXPANDED tree (prefix/fuzzy
+    leaves already rewritten): the max boost over the positive leaves
+    that carry the term, 1.0 for a term only reached unboosted. The
+    engine folds this into idf driver-side (idf * boost is ONE Python
+    float multiply, so the oracle's ln(..) * boost reproduces it
+    bit-for-bit)."""
+    out: dict[str, float] = {}
+
+    def note(t, w):
+        out[t] = max(out[t], w) if t in out else w
+
+    def walk(n, positive, w):
         kind = n[0]
-        if kind == "term" and positive:
-            terms.add(n[1])
-        elif kind == "prefix" and positive:
-            stems.add(n[1])
-        elif kind == "fuzzy" and positive:
-            fuzz.add((n[1], n[2]))
-        elif kind == "phrase" and positive:
-            terms.update(n[1])
+        if kind == "boost":
+            walk(n[1], positive, n[2])
+        elif kind in ("prefix", "fuzzy"):
+            raise BooleanQueryError(
+                f"{kind} leaf must be expanded before positive_boosts"
+            )
+        elif kind == "term":
+            if positive:
+                note(n[1], w)
+        elif kind == "phrase":
+            if positive:
+                for t in n[1]:
+                    note(t, w)
         elif kind == "and":
             for c in n[1]:
-                walk(c, positive)
+                walk(c, positive, w)
             for c in n[2]:
-                walk(c, False)
+                walk(c, False, w)
         elif kind == "or":
             for c in n[1]:
-                walk(c, positive)
+                walk(c, positive, w)
 
-    walk(node, True)
-    return sorted(terms), sorted(stems), sorted(fuzz)
+    walk(node, True, 1.0)
+    return out
 
 
 def simplify(node, vocab) -> object | None:
@@ -396,6 +522,9 @@ def simplify(node, vocab) -> object | None:
     child is a no-op. Returns None when the whole node cannot match —
     the caller drops the query and ships NO candidate blocks for it."""
     kind = node[0]
+    if kind == "boost":
+        s = simplify(node[1], vocab)
+        return None if s is None else ("boost", s, node[2])
     if kind in ("prefix", "fuzzy"):
         raise BooleanQueryError(
             f"{kind} leaf must be expanded before simplify "
@@ -426,6 +555,9 @@ def simplify(node, vocab) -> object | None:
 
 def _walk(node, positive: bool, pos_out: set, all_out: set) -> None:
     kind = node[0]
+    if kind == "boost":
+        _walk(node[1], positive, pos_out, all_out)
+        return
     if kind in ("prefix", "fuzzy"):
         raise BooleanQueryError(
             f"{kind} leaf must be expanded before query_terms"
@@ -460,6 +592,8 @@ def query_terms(node) -> tuple[list[str], list[str]]:
 
 def needs_positions(node) -> bool:
     kind = node[0]
+    if kind == "boost":
+        return needs_positions(node[1])
     if kind == "phrase":
         return True
     if kind == "and":

@@ -421,8 +421,11 @@ def _score_shard_multi(
         "boolean"). Exact shard-locally for the same reason conjunctive
         mode is: every posting of a doc lives in its own segment.
         Leaves reuse the shared decode caches; phrase/NEAR leaves verify
-        positions only over their own conjunctive survivors."""
+        positions only over their own conjunctive survivors. Boost
+        wrappers are scoring-only and transparent to membership."""
         kind = node[0]
+        if kind == "boost":
+            return bool_mask(node[1])
         if kind == "term":
             t = node[1]
             m = np.zeros(span, dtype=bool)
@@ -778,6 +781,7 @@ def wand_topk(
         from angle_spark.query.boolean import (
             needs_positions,
             parse_query,
+            positive_boosts,
             query_terms,
             simplify,
         )
@@ -848,12 +852,22 @@ def wand_topk(
                     )
                 keep_positions = True
             cand_set.update(allt)
+            # query-time boosts (leaf^w) fold into the per-term idf
+            # driver-side: idf * boost is one float multiply, so the
+            # shard fold is unchanged and the oracle's ln(..) * boost
+            # reproduces it bit-for-bit. Terms reached only through
+            # unboosted leaves weigh 1.0 (multiplying by 1.0 is exact).
+            boosts = positive_boosts(s)
             rows.append(
                 (
                     qid,
                     k,
                     pos_terms,
-                    [idf_value(meta.live_docs, int(df_map[t])) for t in pos_terms],
+                    [
+                        idf_value(meta.live_docs, int(df_map[t]))
+                        * boosts.get(t, 1.0)
+                        for t in pos_terms
+                    ],
                     0,
                     [],
                     s,

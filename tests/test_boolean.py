@@ -51,6 +51,8 @@ def index_dir(spark, tmp_path_factory):
 def _matches(node, tk: list[str]) -> bool:
     """per-doc truth: evaluate the AST against one doc's token list."""
     kind = node[0]
+    if kind == "boost":
+        return _matches(node[1], tk)
     if kind == "term":
         return node[1] in tk
     if kind == "phrase":
@@ -293,6 +295,113 @@ def test_prefix_leaf_parse_and_fold():
     assert expand_prefixes_ast(parse_query("zz* AND spark"), exp) is None
     # dead OR arm drops
     assert expand_prefixes_ast(parse_query("zz* OR spark"), exp) == ("term", "spark")
+
+
+def test_boost_parse():
+    from angle_spark.query.boolean import positive_boosts
+
+    assert parse_query("dup^2") == ("boost", ("term", "dup"), 2.0)
+    assert parse_query('"a b"~3^1.5') == (
+        "boost",
+        ("phrase", ["a", "b"], 3),
+        1.5,
+    )
+    assert parse_query("fil*^2") == ("boost", ("prefix", "fil"), 2.0)
+    assert parse_query("sow~1^2") == ("boost", ("fuzzy", "sow", 1), 2.0)
+    # ^1 is the identity and adds no wrapper
+    assert parse_query("dup^1") == ("term", "dup")
+    assert parse_query("dup^1.0") == ("term", "dup")
+    with pytest.raises(BooleanQueryError, match="boost"):
+        parse_query("dup^0")
+    # a multi-token bare word distributes its boost onto each token
+    assert parse_query("hash-join^2") == (
+        "and",
+        [("boost", ("term", "hash"), 2.0), ("boost", ("term", "join"), 2.0)],
+        [],
+    )
+    # max rule: a term reached through several positive leaves scores
+    # with the MAX of their boosts
+    assert positive_boosts(parse_query("dup^2 OR (dup^3 AND spark)")) == {
+        "dup": 3.0,
+        "spark": 1.0,
+    }
+    # boost under NOT never scores
+    assert positive_boosts(parse_query("merge AND NOT filter^2")) == {
+        "merge": 1.0
+    }
+
+
+def test_boost_folds_through_simplify_and_expansion():
+    from angle_spark.query.boolean import (
+        expand_prefixes_ast,
+        positive_boosts,
+        simplify,
+    )
+
+    # OOV boosted leaf dies; its boost wrapper dies with it
+    assert simplify(parse_query("zzq^2 OR dup"), {"dup": 1}) == ("term", "dup")
+    assert simplify(parse_query("zzq^2 AND dup"), {"dup": 1}) is None
+    # boosted prefix: expansion OR inherits the wrapper; dead stem folds
+    exp = {"jo": ["join", "jolt"], "zz": []}
+    folded = expand_prefixes_ast(parse_query("jo*^2"), exp)
+    assert folded == ("boost", ("or", [("term", "join"), ("term", "jolt")]), 2.0)
+    assert positive_boosts(folded) == {"join": 2.0, "jolt": 2.0}
+    assert expand_prefixes_ast(parse_query("zz*^2 AND spark"), exp) is None
+
+
+def test_boost_matches_weighted_golden(spark, index_dir, corpus):
+    """boosted trees: membership unchanged, scores == the weighted
+    disjunctive fold (idf * boost, max over leaves) — bit-identical to
+    the Python oracle's weighted fold."""
+    from angle_spark.query.boolean import positive_boosts, query_terms
+
+    _, toks, oracle = corpus
+    a, b = toks[0][3], toks[0][4]
+    c = toks[7][0]
+    queries = [
+        ("w1", f"{a}^2 OR {c}", 1000),
+        ("w2", f'"{a} {b}"^3 OR {c}', 1000),
+        ("w3", f"{c}^0.5 AND NOT {b}", 1000),
+        ("w4", f"{a}^2 OR ({a}^3 AND {c})", 1000),
+        ("w5", f"{a}-{b}^2 OR {c}", 1000),
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    got = _frame(
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, queries), mode="boolean")
+    )
+    rows = []
+    for qid, text, k in queries:
+        ast = parse_query(text)
+        matched = {d for d, tk in enumerate(toks) if _matches(ast, tk)}
+        weights = positive_boosts(ast)
+        pos_terms, _ = query_terms(ast)
+        w = {t: weights.get(t, 1.0) for t in pos_terms}
+        ranked = [
+            (d, s)
+            for d, s in oracle.score_weighted(w, oracle.n_docs)
+            if d in matched
+        ]
+        for rank, (doc_id, score) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    assert len(want) > 0 and want["query_id"].nunique() == 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    # the boost must actually move scores vs the unboosted trees
+    plain = [(qid, text.replace("^2", "").replace("^3", "").replace("^0.5", ""), k)
+             for qid, text, k in queries]
+    unboosted = _frame(
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, plain), mode="boolean")
+    )
+    merged_scores = got.merge(
+        unboosted, on=["query_id", "doc_id"], suffixes=("_b", "_u")
+    )
+    assert (merged_scores["score_b"] != merged_scores["score_u"]).any()
+    # membership itself never changes
+    key = ["query_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        unboosted[key].sort_values(key).reset_index(drop=True),
+    )
 
 
 def test_prefix_in_boolean_end_to_end(spark, index_dir):
