@@ -84,6 +84,18 @@ BOOL_BENCH_SET: list[tuple[str, str, int]] = [
     ("b_08", "w0001 AND w0002 AND NOT w0003", 10),
 ]
 
+# boosted + fuzzy trees: the full round-4 leaf family (^w weights, ~d
+# edit-distance rewrites, prefix inheritance) — kept as a SEPARATE leg so
+# wand_boolean_queries stays timing-comparable across rounds
+BOOST_FUZZY_BENCH_SET: list[tuple[str, str, int]] = [
+    ("bf_01", "w0042^3 OR w0137", 10),
+    ("bf_02", "w0003^2 AND w0250 AND NOT w0001", 10),
+    ("bf_03", "w123~1 AND w0035", 10),
+    ("bf_04", "(w0011^0.5 OR w0023) AND w003*^2", 10),
+    ("bf_05", "w567~2^2 OR w0007", 10),
+    ("bf_06", "w0100^2 OR (w0100^3 AND w0200)", 10),
+]
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -149,6 +161,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         t0 = time.monotonic()
         searcher.search(bool_q, mode="boolean").count()
         timings["wand_boolean_queries"] = time.monotonic() - t0
+
+        # --- leg 2b3: boosted + fuzzy trees (full round-4 leaf family);
+        #     fuzzy leaves add a vocabulary-expansion scan per batch
+        bf_q = spark.createDataFrame(
+            BOOST_FUZZY_BENCH_SET, schema="query_id string, text string, k int"
+        )
+        t0 = time.monotonic()
+        searcher.search(bf_q, mode="boolean").count()
+        timings["wand_boost_fuzzy_queries"] = time.monotonic() - t0
 
         # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
         #     tombstone 1% of docs + cheap tombstone pickup + masked batch
