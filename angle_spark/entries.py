@@ -572,6 +572,24 @@ BOOL_QUERY_SET: list[tuple[str, str, int]] = [
 BOOL_PREFIX_CAP = 64
 
 
+def _regex_expansion_sql(pattern: str, cap: int = BOOL_PREFIX_CAP) -> str:
+    """Top-``cap`` vocabulary terms the pattern FULLY matches, by
+    (df DESC, term ASC) — the same capped top-terms rewrite the engine
+    applies driver-side (query/regex.expand_regex), re-derived from the
+    dft CTE. DuckDB's ``regexp_full_match`` (RE2) and Spark's anchored
+    ``rlike`` (Java regex) agree on the validated subset — divergent
+    constructs are rejected at parse time (query/regex.validate_pattern),
+    so the rewrite is replicated term-for-term."""
+    pat = pattern.replace("'", "''")
+    return (
+        "SELECT term FROM ("
+        "SELECT dft.term, row_number() OVER "
+        "(ORDER BY dft.df DESC, dft.term ASC) AS r "
+        f"FROM dft WHERE regexp_full_match(dft.term, '{pat}')"
+        f") WHERE r <= {cap}"
+    )
+
+
 def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
     """AST -> a DuckDB set expression of matching doc_ids, built from
     membership primitives the engine does NOT use: term membership from
@@ -594,6 +612,11 @@ def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
         return (
             "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
             f"{_fuzzy_expansion_sql(node[1], node[2], cap)})"
+        )
+    if kind == "regex":
+        return (
+            "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
+            f"{_regex_expansion_sql(node[1], cap)})"
         )
     if kind == "phrase":
         toks, slop = list(node[1]), int(node[2])
@@ -679,12 +702,13 @@ def _bm25_boolean_oracle_sql(
         # distinct POSITIVE leaves score; each row/subquery carries its
         # leaf's ^w boost (1.0 unboosted — prefix/fuzzy expansion terms
         # inherit their leaf's weight)
-        terms, stems, fuzz = positive_leaves_boosted(ast)
+        terms, stems, fuzz, rex = positive_leaves_boosted(ast)
         boosted = boosted or any(
             b != 1.0
             for b in [w for _, w in terms]
             + [w for _, w in stems]
             + [w for _, _, w in fuzz]
+            + [w for _, w in rex]
         )
         for t, b in terms:
             qterm_rows.append(f"('{qid}', '{t}', {b!r}::DOUBLE)")
@@ -697,6 +721,11 @@ def _bm25_boolean_oracle_sql(
             qterm_subqueries.append(
                 f"SELECT '{qid}' AS query_id, term, {b!r}::DOUBLE AS boost "
                 f"FROM ({_fuzzy_expansion_sql(w, d, cap)})"
+            )
+        for pat, b in rex:
+            qterm_subqueries.append(
+                f"SELECT '{qid}' AS query_id, term, {b!r}::DOUBLE AS boost "
+                f"FROM ({_regex_expansion_sql(pat, cap)})"
             )
     matches = "\n  UNION ALL\n  ".join(matches_parts)
     parts = (
@@ -871,6 +900,64 @@ def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_queries_df(spark, FUZZY_QUERY_SET),
         mode="boolean",
         max_expansions=FUZZY_CAP,
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract and reasoning
+    # as q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+REGEX_QUERY_SET: list[tuple[str, str, int]] = [
+    ("rx1", "/s.o./ AND hash", 1000),
+    ("rx2", "/(scan|sort|merge)/ OR dup", 1000),
+    ("rx3", "/.a../ OR dup", 1000),
+    ("rx4", "merge AND NOT /[bf]a(st|tch)/", 1000),
+    ("rx5", "/zz+/ AND scan", 10),
+    ("rx6", "/gr[aeiou]up/^2 OR window", 1000),
+    ("rx7", '/qu.*/ AND "hash join"', 1000),
+]
+
+# regex expansion cap: deliberately small so it BINDS at sf0.01 (rx3:
+# /.a../ full-matches 4 vocabulary terms — hash, data, part, fast — and
+# the df-ranked cap drops 'fast'); the entry passes it to wand_topk, the
+# oracle replicates the same cap
+REGEX_CAP = 3
+
+
+# --- REGEXP retrieval over the positional compressed index: ``/pat/``
+#     leaves rewrite driver-side to the capped top vocabulary terms the
+#     pattern FULLY matches (query/regex.py — one distributed anchored
+#     rlike pass over term_stats) and evaluate as boolean trees
+#     (query/wand.py mode="boolean"). Cases: basic class+dot (rx1),
+#     alternation (rx2), cap binding (rx3), NEGATED pattern — expansion
+#     terms excluded, never scored (rx4), dead pattern kills its AND
+#     (rx5), boosted regex leaf (rx6), regex AND phrase (rx7). The
+#     oracle re-derives the same capped rewrite with DuckDB's
+#     regexp_full_match over the dft CTE — dialects agree because
+#     validate_pattern rejects every divergent construct at parse time.
+def q_bm25_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, REGEX_QUERY_SET),
+        mode="boolean",
+        max_expansions=REGEX_CAP,
     )
     # FULL answer sets (k > corpus): rank on the rounded score with the
     # doc_id tiebreak, mirroring the oracle (same contract and reasoning
@@ -2299,6 +2386,7 @@ QUERIES = {
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
     "bm25_fuzzy": q_bm25_fuzzy,
+    "bm25_regex": q_bm25_regex,
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
@@ -2389,6 +2477,7 @@ ORACLE_SQL = {
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),
+    "bm25_regex": _bm25_boolean_oracle_sql(REGEX_QUERY_SET, cap=REGEX_CAP),
     "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
     "hybrid_topk": _hybrid_oracle_sql(),
     "bm25_fielded": _bm25f_oracle_sql(),

@@ -42,6 +42,20 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                fuzziness); d is capped at 2; ``word~0`` is just the
                exact term. A matchless word folds like an OOV term.
 
+- ``/re/``     regexp leaf (round 4, Lucene's RegexpQuery shape): the
+               pattern must match an ENTIRE vocabulary term; the leaf
+               expands driver-side to the top-``max_expansions``
+               matching terms (df DESC, term ASC — the same capped
+               top-terms rewrite as prefix leaves) and becomes an OR of
+               them. The supported syntax is the RE2-safe common subset
+               (literals, classes, ``.``, ``*``, ``+``, ``?``,
+               alternation, grouping, bounded repeats); backreferences
+               and lookaround are rejected up front so Spark's Java
+               regex and the DuckDB oracle's RE2 agree by construction.
+               A matchless pattern folds like an OOV term. ``/`` inside
+               the pattern is not supported (the body runs to the next
+               ``/``).
+
 - ``leaf^w``   query-time boost (round 4, Lucene's ``^``): multiplies
                the leaf's BM25 score contribution by ``w`` (> 0; ``<1``
                demotes). Valid on word, ``"phrase"``, ``"prox"~n``,
@@ -59,6 +73,7 @@ AST nodes are plain picklable tuples (they ride the query broadcast):
     ("term",   token)
     ("prefix", stem)                  # driver-side only; expanded before shipping
     ("fuzzy",  token, max_dist)       # driver-side only; expanded before shipping
+    ("regex",  pattern)               # driver-side only; expanded before shipping
     ("phrase", [tokens], slop)        # slop 0 = exact ordered phrase
     ("boost",  child, weight)         # scoring-only wrapper on a leaf
     ("and",    [positives], [negatives])
@@ -86,6 +101,7 @@ _TOKEN_RE = re.compile(
         (?P<lparen>\() |
         (?P<rparen>\)) |
         (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
+        (?P<regex>/(?P<rbody>[^/]*)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
         (?P<word>[^\s()"]+)
     )""",
     re.VERBOSE,
@@ -135,6 +151,16 @@ def _lex(text: str) -> list[tuple[str, object]]:
                         m.group("qbody"),
                         int(m.group("slop") or 0),
                         float(m.group("qboost")) if m.group("qboost") else None,
+                    ),
+                )
+            )
+        elif m.group("regex") is not None:
+            out.append(
+                (
+                    "regex",
+                    (
+                        m.group("rbody"),
+                        float(m.group("rboost")) if m.group("rboost") else None,
                     ),
                 )
             )
@@ -212,6 +238,17 @@ class _Parser:
                 raise BooleanQueryError(f"empty phrase in: {self.text!r}")
             node = ("term", toks[0]) if len(toks) == 1 else ("phrase", toks, slop)
             return _boosted(node, boost, self.text)
+        if kind == "regex":
+            pat, boost = val
+            from angle_spark.query.regex import validate_pattern
+
+            try:
+                validate_pattern(pat)
+            except ValueError as exc:
+                raise BooleanQueryError(
+                    f"regex leaf /{pat}/ in {self.text!r}: {exc}"
+                ) from exc
+            return _boosted(("regex", pat), boost, self.text)
         if kind == "word":
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
@@ -280,64 +317,68 @@ def parse_query(text: str):
     return node
 
 
-def prefix_stems(node) -> set[str]:
-    """All prefix-leaf stems in the tree (positive or negated)."""
+def _collect_leaves(node, leaf_kind: str, key) -> set:
+    """All ``leaf_kind`` leaf keys in the tree (positive or negated) —
+    the driver-side expansion work list. ``key`` maps a leaf node to its
+    dict key (stem / (word, dist) / pattern)."""
     kind = node[0]
     if kind == "boost":
-        return prefix_stems(node[1])
-    if kind == "prefix":
-        return {node[1]}
+        return _collect_leaves(node[1], leaf_kind, key)
+    if kind == leaf_kind:
+        return {key(node)}
     if kind == "and":
-        out: set[str] = set()
+        out: set = set()
         for c in node[1] + node[2]:
-            out |= prefix_stems(c)
+            out |= _collect_leaves(c, leaf_kind, key)
         return out
     if kind == "or":
         out = set()
         for c in node[1]:
-            out |= prefix_stems(c)
+            out |= _collect_leaves(c, leaf_kind, key)
         return out
     return set()
 
 
-def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
-    """Replace every ("prefix", stem) leaf with the OR of its expansion
-    terms (from query/prefix.expand_stems). A matchless stem matches
-    nothing, so it propagates exactly like simplify()'s OOV folding:
-    dead positive AND arm kills the group, dead OR arm drops, dead NOT
-    child is a no-op. Returns None when the whole tree cannot match.
-    ("fuzzy", ...) leaves pass through untouched (expand_fuzzy_ast owns
-    them; the two expanders run in sequence in wand_topk). A boost
-    wrapper survives expansion — the expansion OR inherits the leaf's
-    weight — and propagates its child's death."""
+def _expand_leaves_ast(node, leaf_kind: str, key, expansions: dict):
+    """Replace every ``leaf_kind`` leaf with the OR of its expansion
+    terms. A matchless leaf (empty expansion) matches nothing, so it
+    propagates exactly like simplify()'s OOV folding: dead positive AND
+    arm kills the group, dead OR arm drops, dead NOT child is a no-op.
+    Returns None when the whole tree cannot match. Other driver-side
+    leaf kinds pass through untouched (each expander owns its own kind;
+    they run in sequence in wand_topk). A boost wrapper survives
+    expansion — the expansion OR inherits the leaf's weight — and
+    propagates its child's death."""
     kind = node[0]
     if kind == "boost":
-        e = expand_prefixes_ast(node[1], expansions)
+        e = _expand_leaves_ast(node[1], leaf_kind, key, expansions)
         return None if e is None else ("boost", e, node[2])
-    if kind == "prefix":
-        terms = expansions.get(node[1], [])
+    if kind == leaf_kind:
+        terms = expansions.get(key(node), [])
         if not terms:
             return None
         if len(terms) == 1:
             return ("term", terms[0])
         return ("or", [("term", t) for t in terms])
-    if kind in ("term", "phrase", "fuzzy"):
+    if kind in ("term", "phrase", "prefix", "fuzzy", "regex"):
         return node
     if kind == "and":
-        pos = [expand_prefixes_ast(c, expansions) for c in node[1]]
+        pos = [_expand_leaves_ast(c, leaf_kind, key, expansions) for c in node[1]]
         if any(p is None for p in pos):
             return None
         neg = [
             s
             for c in node[2]
-            if (s := expand_prefixes_ast(c, expansions)) is not None
+            if (s := _expand_leaves_ast(c, leaf_kind, key, expansions)) is not None
         ]
         if len(pos) == 1 and not neg:
             return pos[0]
         return ("and", pos, neg)
     if kind == "or":
         arms = [
-            s for c in node[1] if (s := expand_prefixes_ast(c, expansions)) is not None
+            s
+            for c in node[1]
+            if (s := _expand_leaves_ast(c, leaf_kind, key, expansions)) is not None
         ]
         if not arms:
             return None
@@ -345,72 +386,44 @@ def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
             return arms[0]
         return ("or", arms)
     raise BooleanQueryError(f"unknown node kind {kind!r}")
+
+
+def prefix_stems(node) -> set[str]:
+    """All prefix-leaf stems in the tree (positive or negated)."""
+    return _collect_leaves(node, "prefix", lambda n: n[1])
+
+
+def expand_prefixes_ast(node, expansions: dict[str, list[str]]):
+    """Replace every ("prefix", stem) leaf with the OR of its expansion
+    terms (from query/prefix.expand_stems); see _expand_leaves_ast for
+    the dead-leaf folding contract."""
+    return _expand_leaves_ast(node, "prefix", lambda n: n[1], expansions)
 
 
 def fuzzy_pairs(node) -> set[tuple[str, int]]:
     """All fuzzy (word, max_dist) leaves in the tree (positive or
     negated) — the expansion work list for query/fuzzy.expand_fuzzy."""
-    kind = node[0]
-    if kind == "boost":
-        return fuzzy_pairs(node[1])
-    if kind == "fuzzy":
-        return {(node[1], node[2])}
-    if kind == "and":
-        out: set[tuple[str, int]] = set()
-        for c in node[1] + node[2]:
-            out |= fuzzy_pairs(c)
-        return out
-    if kind == "or":
-        out = set()
-        for c in node[1]:
-            out |= fuzzy_pairs(c)
-        return out
-    return set()
+    return _collect_leaves(node, "fuzzy", lambda n: (n[1], n[2]))
 
 
 def expand_fuzzy_ast(node, expansions: dict[tuple[str, int], list[str]]):
     """Replace every ("fuzzy", word, d) leaf with the OR of its
-    expansion terms (from query/fuzzy.expand_fuzzy). A word with no
-    near-enough vocabulary term matches nothing and folds exactly like
-    expand_prefixes_ast's matchless stem / simplify()'s OOV term.
-    Returns None when the whole tree cannot match. ("prefix", ...)
-    leaves pass through untouched (expand_prefixes_ast owns them); a
-    boost wrapper survives expansion and propagates its child's death."""
-    kind = node[0]
-    if kind == "boost":
-        e = expand_fuzzy_ast(node[1], expansions)
-        return None if e is None else ("boost", e, node[2])
-    if kind == "fuzzy":
-        terms = expansions.get((node[1], node[2]), [])
-        if not terms:
-            return None
-        if len(terms) == 1:
-            return ("term", terms[0])
-        return ("or", [("term", t) for t in terms])
-    if kind in ("term", "phrase", "prefix"):
-        return node
-    if kind == "and":
-        pos = [expand_fuzzy_ast(c, expansions) for c in node[1]]
-        if any(p is None for p in pos):
-            return None
-        neg = [
-            s
-            for c in node[2]
-            if (s := expand_fuzzy_ast(c, expansions)) is not None
-        ]
-        if len(pos) == 1 and not neg:
-            return pos[0]
-        return ("and", pos, neg)
-    if kind == "or":
-        arms = [
-            s for c in node[1] if (s := expand_fuzzy_ast(c, expansions)) is not None
-        ]
-        if not arms:
-            return None
-        if len(arms) == 1:
-            return arms[0]
-        return ("or", arms)
-    raise BooleanQueryError(f"unknown node kind {kind!r}")
+    expansion terms (from query/fuzzy.expand_fuzzy); see
+    _expand_leaves_ast for the dead-leaf folding contract."""
+    return _expand_leaves_ast(node, "fuzzy", lambda n: (n[1], n[2]), expansions)
+
+
+def regex_patterns(node) -> set[str]:
+    """All regex-leaf patterns in the tree (positive or negated) — the
+    expansion work list for query/regex.expand_regex."""
+    return _collect_leaves(node, "regex", lambda n: n[1])
+
+
+def expand_regex_ast(node, expansions: dict[str, list[str]]):
+    """Replace every ("regex", pattern) leaf with the OR of its
+    expansion terms (from query/regex.expand_regex); see
+    _expand_leaves_ast for the dead-leaf folding contract."""
+    return _expand_leaves_ast(node, "regex", lambda n: n[1], expansions)
 
 
 def positive_leaves_boosted(
@@ -419,18 +432,20 @@ def positive_leaves_boosted(
     list[tuple[str, float]],
     list[tuple[str, float]],
     list[tuple[str, int, float]],
+    list[tuple[str, float]],
 ]:
     """-> (sorted positive (term, boost) pairs incl. phrase tokens,
     sorted positive (stem, boost) pairs, sorted positive
-    (word, max_dist, boost) triples) of an UNEXPANDED tree — what the
-    SQL oracle needs to rebuild the scoring term set (and its per-term
-    weights: max over leaves, unboosted leaves weigh 1.0)
-    independently. Duplicate pairs collapse; duplicate KEYS with
-    different boosts survive — the oracle's max(boost) GROUP BY applies
-    the same max rule the engine does."""
+    (word, max_dist, boost) triples, sorted positive (pattern, boost)
+    pairs) of an UNEXPANDED tree — what the SQL oracle needs to rebuild
+    the scoring term set (and its per-term weights: max over leaves,
+    unboosted leaves weigh 1.0) independently. Duplicate pairs collapse;
+    duplicate KEYS with different boosts survive — the oracle's
+    max(boost) GROUP BY applies the same max rule the engine does."""
     terms: set[tuple[str, float]] = set()
     stems: set[tuple[str, float]] = set()
     fuzz: set[tuple[str, int, float]] = set()
+    rex: set[tuple[str, float]] = set()
 
     def walk(n, positive, w):
         kind = n[0]
@@ -445,6 +460,9 @@ def positive_leaves_boosted(
         elif kind == "fuzzy":
             if positive:
                 fuzz.add((n[1], n[2], w))
+        elif kind == "regex":
+            if positive:
+                rex.add((n[1], w))
         elif kind == "phrase":
             if positive:
                 terms.update((t, w) for t in n[1])
@@ -458,20 +476,22 @@ def positive_leaves_boosted(
                 walk(c, positive, w)
 
     walk(node, True, 1.0)
-    return sorted(terms), sorted(stems), sorted(fuzz)
+    return sorted(terms), sorted(stems), sorted(fuzz), sorted(rex)
 
 
 def positive_leaves(
     node,
-) -> tuple[list[str], list[str], list[tuple[str, int]]]:
+) -> tuple[list[str], list[str], list[tuple[str, int]], list[str]]:
     """-> (sorted positive literal terms incl. phrase tokens, sorted
     positive prefix stems, sorted positive fuzzy (word, max_dist)
-    pairs) of an UNEXPANDED tree, boosts stripped."""
-    terms, stems, fuzz = positive_leaves_boosted(node)
+    pairs, sorted positive regex patterns) of an UNEXPANDED tree,
+    boosts stripped."""
+    terms, stems, fuzz, rex = positive_leaves_boosted(node)
     return (
         sorted({t for t, _ in terms}),
         sorted({s for s, _ in stems}),
         sorted({(w, d) for w, d, _ in fuzz}),
+        sorted({p for p, _ in rex}),
     )
 
 
@@ -491,7 +511,7 @@ def positive_boosts(node) -> dict[str, float]:
         kind = n[0]
         if kind == "boost":
             walk(n[1], positive, n[2])
-        elif kind in ("prefix", "fuzzy"):
+        elif kind in ("prefix", "fuzzy", "regex"):
             raise BooleanQueryError(
                 f"{kind} leaf must be expanded before positive_boosts"
             )
@@ -525,7 +545,7 @@ def simplify(node, vocab) -> object | None:
     if kind == "boost":
         s = simplify(node[1], vocab)
         return None if s is None else ("boost", s, node[2])
-    if kind in ("prefix", "fuzzy"):
+    if kind in ("prefix", "fuzzy", "regex"):
         raise BooleanQueryError(
             f"{kind} leaf must be expanded before simplify "
             "(expand_prefixes_ast/expand_fuzzy_ast; wand_topk "
@@ -558,7 +578,7 @@ def _walk(node, positive: bool, pos_out: set, all_out: set) -> None:
     if kind == "boost":
         _walk(node[1], positive, pos_out, all_out)
         return
-    if kind in ("prefix", "fuzzy"):
+    if kind in ("prefix", "fuzzy", "regex"):
         raise BooleanQueryError(
             f"{kind} leaf must be expanded before query_terms"
         )

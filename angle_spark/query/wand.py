@@ -830,6 +830,22 @@ def wand_topk(
                 for qid, k, a in asts
                 if (e := expand_fuzzy_ast(a, fz_exp)) is not None
             ]
+        # regex leaves (round 4): the third vocabulary rewrite — the
+        # pattern full-matches terms, capped top-terms by (df, term);
+        # a matchless pattern folds like a matchless stem
+        # (see boolean.expand_regex_ast, query/regex.py)
+        from angle_spark.query.boolean import expand_regex_ast, regex_patterns
+
+        pats = sorted(set().union(*(regex_patterns(a) for _, _, a in asts)))
+        if pats:
+            from angle_spark.query.regex import expand_regex
+
+            rx_exp = expand_regex(spark, tstats, pats, max_expansions)
+            asts = [
+                (qid, k, e)
+                for qid, k, a in asts
+                if (e := expand_regex_ast(a, rx_exp)) is not None
+            ]
         all_terms = sorted(
             {t for _, _, a in asts for t in query_terms(a)[1]}
         )
