@@ -346,10 +346,16 @@ def _alu_probe() -> dict | None:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         d = json.loads(line)
-        return {
+        probe = {
             "alu_8_to_32": d["alu_scaling_8_to_32"],
             "copy_8_to_32": d["copy_scaling_8_to_32"],
         }
+        # present once membw_probe grew the 4-worker level; the ceiling a
+        # --levels 4 16 window must be normalized against
+        if "alu_scaling_4_to_16" in d:
+            probe["alu_4_to_16"] = d["alu_scaling_4_to_16"]
+            probe["copy_4_to_16"] = d["copy_scaling_4_to_16"]
+        return probe
     except Exception:
         return None
 
@@ -405,6 +411,16 @@ if __name__ == "__main__":
         cpus = int(sys.argv[sys.argv.index("--scale-leg") + 1])
         print(json.dumps(run_scale_leg(cpus)))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # optional "--levels N M" picks the N-vs-4N pair (default 8 32);
+        # 4 16 measures the same 4x fan-out BELOW the VM's >16-thread
+        # vCPU cliff (raw ALU scales 3.95x at 4->16 vs ~2.5-3.4x at
+        # 8->32 — see BENCH.md), isolating engine scaling from the
+        # hardware artifact
+        if "--levels" in sys.argv:
+            i = sys.argv.index("--levels")
+            levels = (int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        else:
+            levels = (8, 32)
+        print(json.dumps(run_scaling(levels)))
     else:
         print(json.dumps(run_bench(DEFAULT_SF_DIR, DEFAULT_CPUS)))
