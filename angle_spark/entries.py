@@ -2376,6 +2376,348 @@ FROM ranked WHERE r <= {SUGGEST_K}
 """
 
 
+# --- RETRIEVE-THEN-RERANK: BM25 top-C candidates, exact-cosine second
+#     stage over ONLY those candidates (query/rerank.py) — the
+#     production two-stage shape where the reference's dense scorer
+#     (reference README.md:119-128) is stage two instead of a full
+#     corpus scan. Same query+anchor set as hybrid_topk so the two
+#     marriages of sparse and dense are directly comparable.
+RERANK_C = 50  # stage-1 candidate depth
+RERANK_K = 10  # final depth
+
+
+def q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.rerank import rerank_dense
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    queries = spark.createDataFrame(
+        [(qid, text, 1_000_000) for qid, text, _ in HYBRID_QUERY_SET],
+        schema="query_id string, text string, k int",
+    )
+    sp = wand_topk(spark, merged, tstats, meta, queries, prune=True)
+    # candidate selection on the rounded key (oracle-deterministic tie
+    # order, same contract as q_hybrid_topk)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    cand = (
+        sp.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= RERANK_C)
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = spark.createDataFrame(
+        [(qid, a) for qid, _, a in HYBRID_QUERY_SET],
+        schema="query_id string, anchor long",
+    )
+    qvecs = anchors.join(emb, anchors.anchor == emb.vec_id).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    out = rerank_dense(cand, emb, qvecs, RERANK_K, rank_on_rounded=True)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.round("stage1_score", 6).alias("bm25_score"),
+    )
+
+
+def _rerank_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t, _ in HYBRID_QUERY_SET)
+    anchors = ", ".join(f"('{q}', {a})" for q, _, a in HYBRID_QUERY_SET)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM (VALUES {qvals}) AS q(query_id, text)
+), bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+), cand AS (
+  SELECT query_id, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS srank
+  FROM bm
+), anch AS (
+  SELECT * FROM (VALUES {anchors}) AS a(query_id, anchor)
+), qv AS (
+  SELECT a.query_id, e.embedding::DOUBLE[] AS qv
+  FROM anch a JOIN embeddings e ON e.vec_id = a.anchor
+), rer AS (
+  SELECT c.query_id, c.doc_id, c.raw,
+         list_dot_product(e.embedding::DOUBLE[], qv.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv.qv, qv.qv))) AS cos_raw
+  FROM (SELECT * FROM cand WHERE srank <= {RERANK_C}) c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN qv ON qv.query_id = c.query_id
+), ranked AS (
+  SELECT query_id, doc_id, cos_raw, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos_raw, 6) DESC, doc_id ASC) AS rnk
+  FROM rer
+)
+SELECT query_id, rnk AS rank, doc_id,
+       round(cos_raw, 6) AS cosine, round(raw, 6) AS bm25_score
+FROM ranked WHERE rnk <= {RERANK_K}
+"""
+
+
+# --- RESULT COLLAPSING (query/collapse.py): best hit per (query,
+#     source), re-ranked — "one result per site". k > corpus on the
+#     first stage so collapsing is what bounds the output: each query's
+#     full answer set (~400 docs at sf0.01) collapses to |sources| = 20
+#     groups, of which the top COLLAPSE_K survive.
+COLLAPSE_QUERY_SET: list[tuple[str, str, int]] = [
+    ("cl1", "hash join", 100000),
+    ("cl2", "dup", 100000),
+    ("cl3", "scan filter merge", 100000),
+]
+COLLAPSE_FIELD = "source"
+COLLAPSE_K = 10
+
+
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.collapse import collapse_topk
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    sp = wand_topk(
+        spark, merged, tstats, meta, _doc_queries_df(spark, COLLAPSE_QUERY_SET)
+    )
+    # full answer sets -> rank on the rounded key (q_bm25_boolean contract)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    ranked = sp.select("query_id", "doc_id", "score").withColumn(
+        "rank", F.row_number().over(ws)
+    )
+    out = collapse_topk(
+        ranked,
+        _read(spark, sf_dir, "documents"),
+        COLLAPSE_FIELD,
+        COLLAPSE_K,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        COLLAPSE_FIELD,
+    )
+
+
+def _collapse_oracle_sql() -> str:
+    base = _bm25_oracle_sql(
+        query_set=COLLAPSE_QUERY_SET, rank_on_rounded=True
+    )
+    return f"""
+WITH topk AS (
+  {base}
+), grouped AS (
+  SELECT t.query_id, t.rank, t.doc_id, t.score, d.{COLLAPSE_FIELD},
+         row_number() OVER (
+           PARTITION BY t.query_id, d.{COLLAPSE_FIELD} ORDER BY t.rank ASC
+         ) AS grn
+  FROM topk t JOIN documents d USING (doc_id)
+), winners AS (
+  SELECT query_id, rank, doc_id, score, {COLLAPSE_FIELD},
+         row_number() OVER (PARTITION BY query_id ORDER BY rank ASC) AS new_rank
+  FROM grouped WHERE grn = 1
+)
+SELECT query_id, new_rank AS rank, doc_id, score, {COLLAPSE_FIELD}
+FROM winners WHERE new_rank <= {COLLAPSE_K}
+"""
+
+
+# --- QUERY-TIME SYNONYM EXPANSION (query/synonyms.py): thesaurus terms
+#     join the query's token set before retrieval; the index never
+#     changes. sy1 is load-bearing: 'copy' alone is OOV (0 hits) but
+#     expands to 'dup' (25 docs at sf0.01) — results exist ONLY through
+#     expansion. sy4 has no synonym and stays dead.
+SYN_PAIRS: list[tuple[str, str]] = [
+    ("copy", "dup"),
+    ("join", "merge"),
+    ("lookup", "scan"),
+]
+SYN_QUERY_SET: list[tuple[str, str, int]] = [
+    ("sy1", "copy", 100000),
+    ("sy2", "fast join", 100000),
+    ("sy3", "lookup the", 100000),
+    ("sy4", "zzzz", 10),
+]
+
+
+def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.synonyms import expand_queries, synonyms_df
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    expanded = expand_queries(
+        _doc_queries_df(spark, SYN_QUERY_SET), synonyms_df(spark, SYN_PAIRS)
+    )
+    out = wand_topk(spark, merged, tstats, meta, expanded)
+    # full answer sets -> rank on the rounded key (q_bm25_boolean contract)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _synonyms_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    syn_vals = ", ".join(f"('{a}', '{b}')" for a, b in SYN_PAIRS)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), syn AS (
+  SELECT * FROM (VALUES {syn_vals}) s(term, syn)
+), qtok AS (
+  SELECT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(SYN_QUERY_SET)}
+), qterms AS (
+  SELECT DISTINCT query_id, k, term FROM (
+    SELECT query_id, k, term FROM qtok
+    UNION ALL
+    SELECT q.query_id, q.k, s.syn AS term FROM qtok q JOIN syn s USING (term)
+  )
+), scored AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, qt.k, tf.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
+# --- DISTRIBUTED K-MEANS (operators/kmeans.py): Lloyd iterations over
+#     the embeddings table — the topic-clustering / mixture-balancing
+#     step of a training-data pipeline, and the principled IVF
+#     quantizer trainer. Deterministic init (k smallest vec_ids),
+#     smallest-cluster tie-break, empty clusters keep their centroid —
+#     so the oracle replays the iterations exactly as unrolled CTEs.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.kmeans import kmeans_fit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(emb, KMEANS_K, KMEANS_ITERS)
+    return assign.select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("sqdist", 6).alias("sqdist"),
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    k, iters = KMEANS_K, KMEANS_ITERS
+    sqd = (
+        "list_sum(list_transform(list_zip(e.v, c.centroid), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC)::BIGINT AS cluster_id,
+         v AS centroid
+  FROM e ORDER BY vec_id ASC LIMIT {k}
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS (
+  SELECT vec_id, cluster_id, sqdist FROM (
+    SELECT e.vec_id, c.cluster_id, {sqd} AS sqdist,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {sqd} ASC, c.cluster_id ASC
+           ) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM (
+    SELECT a.cluster_id, u.dim, avg(u.val) AS m
+    FROM e JOIN a{i} a USING (vec_id),
+         LATERAL (SELECT unnest(e.v) AS val,
+                         generate_subscripts(e.v, 1) AS dim) u
+    GROUP BY a.cluster_id, u.dim
+  ) GROUP BY cluster_id
+), c{i} AS (
+  SELECT p.cluster_id, coalesce(m.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN m{i} m USING (cluster_id)
+)"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+SELECT vec_id, cluster_id, round(sqdist, 6) AS sqdist FROM (
+  SELECT e.vec_id, c.cluster_id, {sqd} AS sqdist,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {sqd} ASC, c.cluster_id ASC
+         ) AS rn
+  FROM e CROSS JOIN {prev} c
+) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
@@ -2399,6 +2741,10 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "spell_suggest": q_spell_suggest,
     "bm25_min_match": q_bm25_min_match,
+    "bm25_rerank": q_bm25_rerank,
+    "bm25_collapse": q_bm25_collapse,
+    "bm25_synonyms": q_bm25_synonyms,
+    "kmeans_clusters": q_kmeans_clusters,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -2473,6 +2819,10 @@ ORACLE_SQL = {
     "bm25_min_match": _bm25_oracle_sql(
         min_match=MM_MIN_MATCH, query_set=MM_QUERY_SET, rank_on_rounded=True
     ),
+    "bm25_rerank": _rerank_oracle_sql(),
+    "bm25_collapse": _collapse_oracle_sql(),
+    "bm25_synonyms": _synonyms_oracle_sql(),
+    "kmeans_clusters": _kmeans_oracle_sql(),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),

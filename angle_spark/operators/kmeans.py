@@ -1,0 +1,134 @@
+"""Distributed Lloyd k-means over an embedding column — the topic-
+clustering / corpus-partitioning step of an LLM training-data pipeline
+(and the principled trainer for an IVF coarse quantizer, cf.
+operators/ann.py ivf_topk whose demo quantizer is anchor-seeded).
+
+The reference's embeddings are exactly this operator's input: AnglE
+encodes text to vectors whose cosine/L2 geometry carries semantics
+(reference README.md:119-128); clustering them groups near-duplicate
+topics, balances training mixtures, and seeds ANN partitions.
+
+Everything is deterministic so a SQL oracle can replay it exactly:
+init = the embeddings of the k smallest vec_ids, assignment ties break
+toward the smallest cluster id, updates are the plain member mean, and
+an emptied cluster keeps its previous centroid.
+
+Scale shape (100 TB corpus, k in the thousands):
+- each iteration is ONE corpus scan: centroids (k × dim doubles)
+  broadcast in, the nearest-centroid argmin runs rowwise, and the
+  member mean leaves the scan as (cluster, dim, partial-avg) cells —
+  the only shuffle is k · dim cells per partition (map-side partial
+  agg). The corpus is never shuffled and never re-joined.
+- iterations run driver-side as a short loop over small plans;
+  centroids live in a k-row DataFrame materialized between iterations
+  (k · dim values — bounded, not corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sqdist(a, b):
+    """squared L2 between two array<double> columns — sequential fold,
+    same order as the DuckDB oracle's list reduction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster_id, sqdist): nearest centroid per vector,
+    carrying the vector through so consumers never re-join the corpus.
+    Centroids are always broadcast (k rows); ties break toward the
+    smallest cluster_id, so the output is deterministic."""
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    c = centroids.select(
+        "cluster_id",
+        F.transform("centroid", lambda x: x.cast("double")).alias("c"),
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id", "v", "cluster_id", _sqdist(F.col("v"), F.col("c")).alias("sqdist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("sqdist"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "cluster_id", "sqdist")
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, sqdist): nearest centroid per vector."""
+    return _nearest(emb, centroids).select("vec_id", "cluster_id", "sqdist")
+
+
+def _update_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """one fused assign+update pass: argmin against the broadcast
+    centroids, then member-mean per cluster; an emptied cluster keeps
+    its previous centroid. The mean runs as posexplode ->
+    groupBy(cluster, dim) avg (map-side partial agg; the shuffle is
+    k x dim cells, never corpus-sized) -> re-assembled in dim order."""
+    dims = _nearest(emb, centroids).select(
+        "cluster_id", F.posexplode("v").alias("dim", "val")
+    )
+    means = (
+        dims.groupBy("cluster_id", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    # left join against the incoming centroids: empty clusters survive
+    return centroids.select("cluster_id", F.col("centroid").alias("prev")).join(
+        means, "cluster_id", "left"
+    ).select(
+        "cluster_id", F.coalesce("centroid", "prev").alias("centroid")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` Lloyd iterations -> (centroids, assignment).
+
+    Deterministic: init = embeddings of the k smallest vec_ids. Each
+    iteration materializes the k-row centroid frame (localCheckpoint —
+    the plan would otherwise double per iteration and the blocks are
+    ContextCleaner-freed, nothing persists in the catalog cache). The
+    returned assignment is the nearest-centroid map under the FINAL
+    centroids — one extra scan, the convention k-means consumers
+    (IVF, partition routing) expect."""
+    init = (
+        emb.orderBy(F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.asc("vec_id")))
+            .cast("long")
+            .alias("cluster_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    # k rows: the single-partition init window is bounded by k, never
+    # corpus-sized (the corpus path below never uses it)
+    centroids = init.localCheckpoint()
+    for _ in range(iters):
+        centroids = _update_centroids(emb, centroids).localCheckpoint()
+    return centroids, kmeans_assign(emb, centroids)

@@ -214,6 +214,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_fielded",
         "bm25_prefix",
         "lmd_topk_documents",
+        "bm25_rerank",
+        "kmeans_clusters",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
