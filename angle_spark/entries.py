@@ -2718,6 +2718,87 @@ SELECT vec_id, cluster_id, round(sqdist, 6) AS sqdist FROM (
     return "".join(parts)
 
 
+# --- EXACT LENGTH QUANTILES per language: the corpus-profiling step a
+#     training mixture is tuned against (truncation budgets, batch
+#     shaping). Spark's exact `percentile` and DuckDB's quantile_cont
+#     share the linear-interpolation convention, so the oracle is exact
+#     to rounding.
+QUANTILE_PROBS = [0.5, 0.9, 0.99]
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_tokens(_read(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile(F.col("dl").cast("double"), QUANTILE_PROBS).alias("q"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avg_dl"),
+            F.max("dl").alias("max_dl"),
+        )
+        .select(
+            "lang",
+            F.round(F.col("q")[0], 6).alias("p50"),
+            F.round(F.col("q")[1], 6).alias("p90"),
+            F.round(F.col("q")[2], 6).alias("p99"),
+            "n_docs",
+            "avg_dl",
+            "max_dl",
+        )
+    )
+
+
+def _length_quantiles_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH d AS (
+  SELECT lang, len({toks})::BIGINT AS dl FROM documents
+), q AS (
+  SELECT lang, quantile_cont(dl, {QUANTILE_PROBS}) AS qs,
+         count(*)::BIGINT AS n_docs,
+         round(avg(dl), 6) AS avg_dl, max(dl) AS max_dl
+  FROM d GROUP BY lang
+)
+SELECT lang, round(qs[1], 6) AS p50, round(qs[2], 6) AS p90,
+       round(qs[3], 6) AS p99, n_docs, avg_dl, max_dl
+FROM q
+"""
+
+
+# --- DETERMINISTIC STRATIFIED SAMPLING: exactly n docs per stratum,
+#     chosen by md5(doc_id) order — reproducible across engines and
+#     runs (no RNG), the mixture-balancing primitive of a training-data
+#     pipeline. One window per stratum over the hash — a single
+#     shuffle keyed by the stratum column.
+STRATA_COL = "source"
+STRATA_N = 5
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", STRATA_COL)
+    w = Window.partitionBy(STRATA_COL).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= STRATA_N)
+        .select(STRATA_COL, F.col("pick").cast("long").alias("pick"), "doc_id")
+    )
+
+
+def _stratified_sample_oracle_sql() -> str:
+    return f"""
+SELECT {STRATA_COL}, pick, doc_id FROM (
+  SELECT {STRATA_COL}, doc_id,
+         row_number() OVER (
+           PARTITION BY {STRATA_COL}
+           ORDER BY md5(doc_id::VARCHAR), doc_id ASC
+         )::BIGINT AS pick
+  FROM documents
+) WHERE pick <= {STRATA_N}
+"""
+
+
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
@@ -2745,6 +2826,8 @@ QUERIES = {
     "bm25_collapse": q_bm25_collapse,
     "bm25_synonyms": q_bm25_synonyms,
     "kmeans_clusters": q_kmeans_clusters,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "stratified_sample": q_stratified_sample,
     "doc_term_df": q_doc_term_df,
     "doc_lengths": q_doc_lengths,
     "corpus_stats": q_corpus_stats,
@@ -2823,6 +2906,8 @@ ORACLE_SQL = {
     "bm25_collapse": _collapse_oracle_sql(),
     "bm25_synonyms": _synonyms_oracle_sql(),
     "kmeans_clusters": _kmeans_oracle_sql(),
+    "doc_length_quantiles": _length_quantiles_oracle_sql(),
+    "stratified_sample": _stratified_sample_oracle_sql(),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
