@@ -113,22 +113,23 @@ def kmeans_fit(
     returned assignment is the nearest-centroid map under the FINAL
     centroids — one extra scan, the convention k-means consumers
     (IVF, partition routing) expect."""
-    init = (
-        emb.orderBy(F.asc("vec_id"))
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.asc("vec_id")))
-            .cast("long")
-            .alias("cluster_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "centroid"
-            ),
+    # init centroids live driver-side by design — k rows of k·dim
+    # doubles that get broadcast every iteration anyway; collecting them
+    # here (TakeOrderedAndProject, no unpartitioned window) keeps every
+    # plan in this module free of single-partition WindowExec stages
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        .orderBy(F.asc("vec_id"))
+        .limit(k)
+        .collect()
     )
-    # k rows: the single-partition init window is bounded by k, never
-    # corpus-sized (the corpus path below never uses it)
-    centroids = init.localCheckpoint()
+    centroids = emb.sparkSession.createDataFrame(
+        [(i + 1, list(r["v"])) for i, r in enumerate(seed_rows)],
+        "cluster_id long, centroid array<double>",
+    ).localCheckpoint()
     for _ in range(iters):
         centroids = _update_centroids(emb, centroids).localCheckpoint()
     return centroids, kmeans_assign(emb, centroids)

@@ -112,6 +112,7 @@ class Searcher:
         hydrate_columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
         max_expansions: int = 64,
         min_match: int | None = None,
+        synonyms: DataFrame | None = None,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -126,6 +127,19 @@ class Searcher:
         side (see ``hydrate``); the corpus is never shuffled."""
         if self._merged is None:
             raise RuntimeError("Searcher is closed")
+        if synonyms is not None:
+            # expansion rewrites the query's token BAG, which is only
+            # meaningful for bag-of-words modes; structured query text
+            # (phrase/near/boolean/prefix grammar) must not be rewritten
+            if mode not in ("or", "and", "mm"):
+                raise ValueError(
+                    f"synonyms apply to bag-of-words modes (or/and/mm), not {mode!r}"
+                )
+            from angle_spark.query.synonyms import expand_queries
+
+            if not isinstance(queries, DataFrame):
+                queries = self.spark.createDataFrame(queries)
+            queries = expand_queries(queries, synonyms)
         out = wand_topk(
             self.spark,
             self._merged,

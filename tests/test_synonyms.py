@@ -80,3 +80,25 @@ def test_retrieval_through_expansion_only(spark, syn):
     assert {(r["doc_id"], r["score"]) for r in got} == {
         (r["doc_id"], r["score"]) for r in typed
     }
+
+
+def test_searcher_synonyms_passthrough(spark, syn, tmp_path_factory):
+    from angle_spark.index.build import build_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.query.searcher import Searcher
+
+    idx = str(tmp_path_factory.mktemp("syn_idx"))
+    raw = spark.createDataFrame(
+        [("c0", 0, "dup rows here"), ("c0", 1, "scan filter merge")],
+        "conv_id string, turn_idx int, text string",
+    )
+    docs = with_tokens(assign_doc_ids(raw)).select("doc_id", "tokens", "dl")
+    build_index(spark, docs, idx, segment_docs=8, block_size=4)
+    q = _queries(spark, [("q1", "copy", 10)])
+    with Searcher(spark, idx) as s:
+        assert s.search(q).count() == 0  # 'copy' is OOV
+        got = s.search(q, synonyms=syn).collect()
+        assert [r["doc_id"] for r in got] == [0]  # reached via 'dup'
+        with pytest.raises(ValueError, match="bag-of-words"):
+            s.search(q, mode="phrase", synonyms=syn)
