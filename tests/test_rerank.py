@@ -115,3 +115,51 @@ def test_candidates_broadcast_into_embedding_scan(spark, stage1, emb_df, qv_df):
     assert "BroadcastHashJoin" in text
     # the corpus-sized side must never be exchanged for the join
     assert "SortMergeJoin" not in text
+
+
+def test_rerank_fixes_keyword_stuffing(spark):
+    """Planted-relevance proof (the test shape test_hybrid.py uses for
+    RRF): a keyword-stuffed doc wins BM25 but the dense stage demotes
+    it below the semantically-close docs."""
+    from angle_spark.index.stats import (
+        corpus_stats,
+        term_frequencies,
+        term_stats,
+        with_tokens,
+    )
+    from angle_spark.query.bm25 import bm25_topk
+
+    texts = [
+        (0, "join join join join join join"),        # stuffed
+        (1, "join strategies for large tables"),     # relevant
+        (2, "join order and hash join planning"),    # relevant
+        (3, "filter window vector"),                 # off-topic
+    ]
+    # embeddings: relevant docs near the query vector, stuffed doc far
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0]),
+            (1, [1.0, 0.05]),
+            (2, [1.0, 0.1]),
+            (3, [0.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qv = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id string, qv array<double>"
+    )
+    docs = with_tokens(
+        spark.createDataFrame(texts, "doc_id long, text string")
+    ).select("doc_id", "tokens", "dl")
+    tf = term_frequencies(docs).localCheckpoint()
+    n, avgdl = corpus_stats(docs)
+    q = spark.createDataFrame(
+        [("q1", "join", 3)], "query_id string, text string, k int"
+    )
+    stage1 = bm25_topk(tf, term_stats(tf, n), q, n, avgdl)
+    bm25_first = next(r["doc_id"] for r in stage1.collect() if r["rank"] == 1)
+    assert bm25_first == 0  # stuffing wins the sparse stage
+    out = rerank_dense(stage1, emb, qv, k=3).collect()
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order[0] == 1 and order[1] == 2  # dense stage fixes it
+    assert order[-1] == 0
