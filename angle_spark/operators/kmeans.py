@@ -14,19 +14,36 @@ toward the smallest cluster id, updates are the plain member mean, and
 an emptied cluster keeps its previous centroid.
 
 Scale shape (100 TB corpus, k in the thousands):
-- each iteration is ONE corpus scan: centroids (k × dim doubles)
-  broadcast in, the nearest-centroid argmin runs rowwise, and the
-  member mean leaves the scan as (cluster, dim, partial-avg) cells —
-  the only shuffle is k · dim cells per partition (map-side partial
-  agg). The corpus is never shuffled and never re-joined.
+- each iteration is ONE corpus scan with ZERO corpus shuffle: the k
+  centroids ride in as ONE broadcast data row holding
+  array<struct<sqdist-slot, cluster_id>> (the operators/ann.py
+  hyperplane pattern), the nearest-centroid argmin is a rowwise
+  ``array_min`` fold over that array inside the scan's projection —
+  no join on vec_id, no Window, no Exchange of the embedding column.
+  The member mean leaves the scan as (cluster, dim, partial-avg)
+  cells — the only shuffle is k · dim cells per partition (map-side
+  partial agg).
 - iterations run driver-side as a short loop over small plans;
   centroids live in a k-row DataFrame materialized between iterations
   (k · dim values — bounded, not corpus).
+
+Determinism note (floating point): the argmin itself is exactly
+deterministic (sequential zip_with/aggregate fold per centroid, ties
+broken toward the smallest cluster_id by the struct comparison), but
+the member MEAN uses ``F.avg`` over doubles, whose partition fold
+order Spark does not fix — centroids can differ from a serial replay
+at ULP level, and a vector sitting within ~1 ULP of two centroids
+could flip assignment between runs. Consumers that compare against a
+serial oracle must therefore compare on rounded distances (the
+kmeans_clusters entry ranks on round(sqdist, 6)); we deliberately do
+NOT sort-fold the mean — a sorted collect per (cluster, dim) cell
+materializes every member value in one list, which is exactly the
+corpus-sized state this operator exists to avoid at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -43,26 +60,51 @@ def _sqdist(a, b):
 def _nearest(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, v, cluster_id, sqdist): nearest centroid per vector,
     carrying the vector through so consumers never re-join the corpus.
-    Centroids are always broadcast (k rows); ties break toward the
-    smallest cluster_id, so the output is deterministic."""
+
+    ZERO corpus shuffle: the k centroids collapse into ONE data row
+    (array<struct<cluster_id, c>>, sorted by cluster_id) that is
+    broadcast into the corpus scan; the argmin is a rowwise
+    ``array_min`` over per-centroid (sqdist, cluster_id) structs —
+    struct ordering compares sqdist first, then cluster_id, so ties
+    break toward the smallest cluster_id exactly like the previous
+    Window rendition (asserted against the serial replay in
+    tests/test_kmeans.py). No join key, no Window, no Exchange of the
+    embedding column — the plan is BroadcastNestedLoopJoin of a 1-row
+    side, constant-size regardless of k x dim."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    c = centroids.select(
-        "cluster_id",
-        F.transform("centroid", lambda x: x.cast("double")).alias("c"),
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id").cast("long").alias("cluster_id"),
+                    F.transform(
+                        "centroid", lambda x: x.cast("double")
+                    ).alias("c"),
+                )
+            )
+        ).alias("cents")
     )
-    scored = e.join(F.broadcast(c)).select(
-        "vec_id", "v", "cluster_id", _sqdist(F.col("v"), F.col("c")).alias("sqdist")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.asc("sqdist"), F.asc("cluster_id")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                _sqdist(F.col("v"), s.getField("c")).alias("sqdist"),
+                s.getField("cluster_id").alias("cluster_id"),
+            ),
+        )
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "cluster_id", "sqdist")
+        e.join(F.broadcast(cents))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "v",
+            F.col("_best.cluster_id").alias("cluster_id"),
+            F.col("_best.sqdist").alias("sqdist"),
+        )
     )
 
 

@@ -101,3 +101,22 @@ def test_assign_broadcasts_centroids(spark, emb):
     text = plan.getvalue()
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+
+
+def test_assign_never_shuffles_the_corpus(spark, emb):
+    """The round-4 scale-killer: the old Window.partitionBy(vec_id)
+    argmin re-shuffled the full embedding column once per Lloyd
+    iteration. The rowwise array_min rendition must produce a plan
+    with NO Exchange keyed on vec_id and NO Window at all — only the
+    1-row centroid-array broadcast reaches the corpus scan."""
+    cents, _ = kmeans_fit(emb, k=2, iters=1)
+    df = kmeans_assign(emb, cents)
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        df.explain("formatted")
+    df.collect()  # materialize so the executed plan below is final
+    text = plan.getvalue()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    for t in (text, executed):
+        assert "Exchange hashpartitioning(vec_id" not in t
+        assert "Window" not in t
