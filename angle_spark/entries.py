@@ -645,11 +645,11 @@ def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
             "GROUP BY p0.doc_id"
         )
     if kind == "and":
-        s = " INTERSECT ".join(f"({_bool_match_sql(c)})" for c in node[1])
+        s = " INTERSECT ".join(f"({_bool_match_sql(c, cap)})" for c in node[1])
         for c in node[2]:
-            s = f"({s}) EXCEPT ({_bool_match_sql(c)})"
+            s = f"({s}) EXCEPT ({_bool_match_sql(c, cap)})"
         return s
-    return " UNION ".join(f"({_bool_match_sql(c)})" for c in node[1])  # or
+    return " UNION ".join(f"({_bool_match_sql(c, cap)})" for c in node[1])  # or
 
 
 def _prefix_expansion_sql(stem: str, cap: int = BOOL_PREFIX_CAP) -> str:

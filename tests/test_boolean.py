@@ -430,3 +430,79 @@ def test_prefix_in_boolean_end_to_end(spark, index_dir):
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_expansion_cap_binds_under_and_and_not(spark, index_dir, corpus):
+    """regression for the round-4 oracle bug: _bool_match_sql dropped the
+    non-default expansion cap when recursing into AND / NOT children, so
+    nested prefix leaves expanded at the default 64 while the engine used
+    the entry's cap. Here the cap (2) BINDS — the stem matches more vocab
+    terms than the cap, and capped vs uncapped membership provably differ
+    — and the oracle must agree with the engine in BOTH positions."""
+    import duckdb
+
+    from angle_spark.entries import _bool_match_sql
+    from angle_spark.query.prefix import expand_stems
+
+    _, toks, oracle = corpus
+    merged, tstats, meta = load_index(spark, index_dir)
+    cap = 2
+
+    # a stem with more matches than the cap, whose capped doc set is a
+    # strict subset of the uncapped one (so a cap leak is observable)
+    exp_capped = expand_stems(spark, tstats, ["w0"], max_expansions=cap)["w0"]
+    exp_full = expand_stems(spark, tstats, ["w0"], max_expansions=64)["w0"]
+    assert len(exp_capped) == cap < len(exp_full)
+    docs_capped = {d for d, tk in enumerate(toks) if set(tk) & set(exp_capped)}
+    docs_full = {d for d, tk in enumerate(toks) if set(tk) & set(exp_full)}
+    assert docs_capped < docs_full  # the cap binds
+
+    # anchor: a token of a doc reachable ONLY through beyond-cap
+    # expansion terms — so a cap leak flips that doc's membership in
+    # BOTH tree positions, not just the NOT one
+    leak_doc, anchor = next(
+        (d, t)
+        for d in sorted(docs_full - docs_capped)
+        for t in toks[d]
+        if not t.startswith("w0")
+    )
+    queries = [
+        ("under_and", f"w0* AND {anchor}", 1000),
+        ("under_not", f"{anchor} AND NOT w0*", 1000),
+    ]
+
+    got = wand_topk(
+        spark, merged, tstats, meta, _qdf(spark, queries),
+        mode="boolean", max_expansions=cap,
+    ).toPandas()
+
+    # oracle membership from the same corpus, via the entry's SQL builder
+    tf_rows, pos_rows = [], []
+    for d, tk in enumerate(toks):
+        for p, t in enumerate(tk):
+            pos_rows.append((d, t, p))
+        for t in set(tk):
+            tf_rows.append((d, t))
+    con = duckdb.connect()
+    con.register("tf_src", pd.DataFrame(tf_rows, columns=["doc_id", "term"]))
+    con.register("pos_src", pd.DataFrame(pos_rows, columns=["doc_id", "term", "p"]))
+    con.sql("CREATE TABLE tf AS SELECT * FROM tf_src")
+    con.sql("CREATE TABLE pos AS SELECT * FROM pos_src")
+    con.sql(
+        "CREATE TABLE dft AS SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term"
+    )
+    for qid, text, _k in queries:
+        ast = parse_query(text)
+        want = {
+            r[0]
+            for r in con.sql(f"SELECT doc_id FROM ({_bool_match_sql(ast, cap)})").fetchall()
+        }
+        have = set(got.loc[got["query_id"] == qid, "doc_id"].astype(int))
+        assert have == want, qid
+        # and the default-cap oracle must DISAGREE here — i.e. this test
+        # would have caught the round-4 recursion bug
+        uncapped = {
+            r[0]
+            for r in con.sql(f"SELECT doc_id FROM ({_bool_match_sql(ast)})").fetchall()
+        }
+        assert uncapped != want, qid
