@@ -84,6 +84,16 @@ class IndexMeta:
     # the meta write is the single atomic commit point. A full merge (the
     # compaction) folds every run back into merged/ and clears the list.
     delta_runs: list = None  # type: ignore[assignment]
+    # runs superseded by the LAST maintenance commit (a compaction folded
+    # them into a combined run). They are no longer read, but stay on
+    # disk for ONE maintenance generation so a concurrent reader holding
+    # the previous meta's lazy union plan (e.g. a cached Searcher) never
+    # hits missing files — Lucene IndexDeletionPolicy shape. The NEXT
+    # maintenance commit clears this list and the sweep deletes them.
+    # Readers must refresh at least once per maintenance cycle; the full
+    # (non-incremental) merge and purge rewrite merged/ in place and
+    # remain compaction-class: do not run them under open readers.
+    retired_runs: list = None  # type: ignore[assignment]
     # term_stats/ covers docs with doc_id < stats_docs. Incremental
     # merges do NOT rewrite term_stats (no swap, no crash window — the
     # round-3 ADVICE hole); readers aggregate stats for newer blocks from
@@ -94,6 +104,8 @@ class IndexMeta:
     def __post_init__(self) -> None:
         if self.delta_runs is None:
             self.delta_runs = []
+        if self.retired_runs is None:
+            self.retired_runs = []
         if self.stats_docs < 0:
             self.stats_docs = self.merged_docs
 
@@ -280,10 +292,12 @@ def _runs_dir(out_dir: str) -> str:
 
 
 def _sweep_unreferenced_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
-    """delete run dirs not listed in meta.delta_runs — crash debris (a
-    run written but never committed, or superseded by a compaction whose
-    cleanup died). Readers never see them, so this is pure hygiene."""
-    live = set(meta.delta_runs)
+    """delete run dirs that are neither live (meta.delta_runs) nor in
+    their one-generation retirement grace (meta.retired_runs) — crash
+    debris (a run written but never committed) or runs retired TWO
+    maintenance commits ago, which no reader holding the current or the
+    immediately-previous meta can still reference."""
+    live = set(meta.delta_runs) | set(meta.retired_runs)
     for name in fsio.list_dir(spark, _runs_dir(out_dir)):
         if name not in live:
             fsio.delete(spark, os.path.join(_runs_dir(out_dir), name))
@@ -326,6 +340,10 @@ def compact_delta_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> No
     _write(_range_layout(combined), path + "_tmp", fmt, "overwrite")
     fsio.rename(spark, path + "_tmp", path)
     meta.delta_runs = [name]
+    # superseded runs enter their one-generation grace: still on disk,
+    # no longer read — a concurrent reader on the previous meta's plan
+    # keeps resolving its files until it refreshes
+    meta.retired_runs = [r for r in runs if r != name]
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )  # atomic commit point
@@ -399,6 +417,9 @@ def merge_index(
         fsio.rename(spark, path + "_tmp", path)
         meta.delta_runs = list(meta.delta_runs) + [name]
         meta.merged_docs = int(hi) + 1
+        # this commit advances the maintenance generation: runs retired
+        # by the PREVIOUS commit leave their grace window and get swept
+        meta.retired_runs = []
         fsio.write_text(
             spark,
             os.path.join(out_dir, "corpus_stats.json"),
@@ -432,9 +453,12 @@ def merge_index(
     meta.merged_docs = int(agg["hi"]) + 1 if agg["hi"] is not None else 0
     meta.stats_docs = meta.merged_docs
     meta.delta_runs = []
+    meta.retired_runs = []
     fsio.write_text(
         spark, os.path.join(out_dir, "corpus_stats.json"), json.dumps(meta.__dict__)
     )
+    # the full merge rewrites merged/ in place above — it is already
+    # compaction-class (no concurrent readers), so no grace needed here
     if fsio.exists(spark, _runs_dir(out_dir)):
         fsio.delete(spark, _runs_dir(out_dir))  # all folded into merged/
 

@@ -101,6 +101,12 @@ def assign_doc_ids(
                 "Spark changed the (pid << 33) | local_rank contract"
             )
         _LAYOUT_VALIDATED.add(spark.version)
+    # cleanup handle: the persisted two-pass frame backing `result`.
+    # Long-lived callers that assign ids repeatedly (the streaming
+    # micro-batch sink) unpersist it once their downstream writes have
+    # materialized; one-shot batch callers may leave it to the
+    # ContextCleaner as before.
+    result._persisted_source = parted  # type: ignore[attr-defined]
     return result
 
 

@@ -35,7 +35,12 @@ def collapse_topk(
     output or any ranking. ``corpus`` maps ``id_col`` -> ``field``.
     Within a field group the surviving hit is the best original rank;
     group winners keep their original relative order (re-numbered
-    densely), ties impossible since ranks are unique per query."""
+    densely), ties impossible since ranks are unique per query.
+
+    Null-field docs do NOT collapse together (Lucene/Solr default for
+    missing values): each null-field hit is its own group — the window
+    adds a doc_id key that only discriminates when the field is null,
+    so sparse metadata never silently swallows results."""
     small = results.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),
@@ -44,7 +49,13 @@ def collapse_topk(
     )
     side = corpus.select(F.col(id_col).cast("long").alias(id_col), field)
     joined = side.join(F.broadcast(small), id_col)
-    w_group = Window.partitionBy("query_id", field).orderBy(F.asc("rank"))
+    # null fields are non-collapsing: the extra key is doc_id exactly
+    # when the field is null (unique per row -> singleton groups) and a
+    # constant null otherwise (non-null groups unaffected)
+    null_key = F.when(F.col(field).isNull(), F.col(id_col))
+    w_group = Window.partitionBy("query_id", field, null_key).orderBy(
+        F.asc("rank")
+    )
     best = joined.withColumn("_rn", F.row_number().over(w_group)).filter(
         F.col("_rn") == 1
     )

@@ -57,63 +57,72 @@ def append_micro_batch(
     # unpartitioned-window task (round-3 verdict item)
     from angle_spark.operators.docids import assign_doc_ids
 
-    ids = assign_doc_ids(rows).withColumn(
-        "doc_id", (F.col("doc_id") + F.lit(high_water_doc)).cast("long")
-    )
-    docs = with_tokens(ids).select("doc_id", "tokens", "dl")
-    n_new = docs.count()
-    if n_new == 0:
-        return high_water_doc
-    # NOTE: blocks built here encode max_impact with the BUILD-TIME
-    # meta.avgdl, which drifts as the stream appends — the stored
-    # max_impact column is ADVISORY across batch/streamed segments and the
-    # query side (query/wand.py) recomputes bounds from (max_tf, min_dl)
-    # with the current avgdl; never prune on the stored column directly.
-    blocks = build_segments(
-        docs, meta.avgdl, meta.segment_docs, meta.block_size, meta.positional
-    )
-    (
-        blocks.write.mode("append")
-        .partitionBy("segment_id")
-        .parquet(os.path.join(out_dir, "segments"))
-    )
-    # per-segment doc counts for THIS batch only (a batch may span several
-    # segments; every doc must be counted exactly once across all lineage
-    # rows — refresh_corpus_stats sums them)
-    seg_docs = (
-        docs.select(
-            (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long").alias("segment_id")
+    assigned = assign_doc_ids(rows)
+    try:
+        ids = assigned.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(high_water_doc)).cast("long")
         )
-        .groupBy("segment_id")
-        .count()
-        .withColumnRenamed("count", "doc_count")
-    )
-    lin = blocks.groupBy("segment_id").agg(
-        F.count_distinct("term").alias("term_count"),
-        F.sum(
-            F.octet_length("docs_bin")
-            + F.octet_length("tfs_bin")
-            + F.octet_length("dls_bin")
-            + F.octet_length("pos_bin")
-        ).alias("bytes"),
-        F.sum("sum_tf").alias("token_count"),
-    )
-    wall_ms = int((time.monotonic() - t0) * 1000)
-    (
-        lin.join(seg_docs, "segment_id")
-        .select(
-            F.col("segment_id").alias("partition_id"),
-            F.col("doc_count"),
-            F.col("term_count"),
-            F.col("bytes"),
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
-            F.current_timestamp().alias("commit_ts"),
-            F.col("token_count"),
+        docs = with_tokens(ids).select("doc_id", "tokens", "dl")
+        n_new = docs.count()
+        if n_new == 0:
+            return high_water_doc
+        # NOTE: blocks built here encode max_impact with the BUILD-TIME
+        # meta.avgdl, which drifts as the stream appends — the stored
+        # max_impact column is ADVISORY across batch/streamed segments and the
+        # query side (query/wand.py) recomputes bounds from (max_tf, min_dl)
+        # with the current avgdl; never prune on the stored column directly.
+        blocks = build_segments(
+            docs, meta.avgdl, meta.segment_docs, meta.block_size, meta.positional
         )
-        .write.mode("append")
-        .parquet(os.path.join(out_dir, "lineage"))
-    )
-    return high_water_doc + n_new
+        (
+            blocks.write.mode("append")
+            .partitionBy("segment_id")
+            .parquet(os.path.join(out_dir, "segments"))
+        )
+        # per-segment doc counts for THIS batch only (a batch may span several
+        # segments; every doc must be counted exactly once across all lineage
+        # rows — refresh_corpus_stats sums them)
+        seg_docs = (
+            docs.select(
+                (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long").alias("segment_id")
+            )
+            .groupBy("segment_id")
+            .count()
+            .withColumnRenamed("count", "doc_count")
+        )
+        lin = blocks.groupBy("segment_id").agg(
+            F.count_distinct("term").alias("term_count"),
+            F.sum(
+                F.octet_length("docs_bin")
+                + F.octet_length("tfs_bin")
+                + F.octet_length("dls_bin")
+                + F.octet_length("pos_bin")
+            ).alias("bytes"),
+            F.sum("sum_tf").alias("token_count"),
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        (
+            lin.join(seg_docs, "segment_id")
+            .select(
+                F.col("segment_id").alias("partition_id"),
+                F.col("doc_count"),
+                F.col("term_count"),
+                F.col("bytes"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.current_timestamp().alias("commit_ts"),
+                F.col("token_count"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(out_dir, "lineage"))
+        )
+        return high_water_doc + n_new
+    finally:
+        # the two-pass docID persist (DISK_ONLY) must not outlive the
+        # micro-batch: a long-running stream would otherwise stack one
+        # persisted frame per batch until GC happens to reclaim them
+        src = getattr(assigned, "_persisted_source", None)
+        if src is not None:
+            src.unpersist()
 
 
 def maintain_stream(

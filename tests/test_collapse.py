@@ -74,3 +74,27 @@ def test_results_broadcast_into_corpus_scan(spark, frames):
     text = plan.getvalue()
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+
+
+def test_null_field_rows_do_not_collapse_together(spark):
+    """Lucene/Solr collapse treats missing values as non-collapsing —
+    every null-field hit survives as its own group (round-4 ADVICE:
+    the old partitionBy grouped ALL null-field docs into one)."""
+    from angle_spark.query.collapse import collapse_topk
+
+    results = spark.createDataFrame(
+        [("q1", 1, 10, 5.0), ("q1", 2, 11, 4.0), ("q1", 3, 12, 3.0),
+         ("q1", 4, 13, 2.0)],
+        "query_id string, rank long, doc_id long, score double",
+    )
+    corpus = spark.createDataFrame(
+        [(10, None), (11, "a"), (12, None), (13, "a")],
+        "doc_id long, src string",
+    )
+    got = {
+        (r["doc_id"], r["rank"])
+        for r in collapse_topk(results, corpus, "src", k=10).collect()
+    }
+    # both null-src docs survive; the two src='a' docs collapse to the
+    # better-ranked one
+    assert got == {(10, 1), (11, 2), (12, 3)}

@@ -167,9 +167,10 @@ def test_tiered_merge_bounds_runs(spark, tmp_path):
     _, _, meta = load_index(spark, out)
     assert meta.merged_docs == meta.n_docs
     assert 1 <= len(meta.delta_runs) <= 2, meta.delta_runs
-    # on-disk run dirs == exactly the referenced ones (sweep works)
+    # on-disk run dirs == the referenced ones plus any runs still in
+    # their one-generation retirement grace (sweep works, grace held)
     assert sorted(os.listdir(os.path.join(out, "delta_runs"))) == sorted(
-        meta.delta_runs
+        set(meta.delta_runs) | set(meta.retired_runs)
     )
     assert _snapshot(os.path.join(out, "merged")) == merged_before
     _assert_matches_oracle(spark, out)
@@ -278,3 +279,83 @@ def test_incremental_merge_noop_when_no_delta(spark, tmp_path):
     meta = refresh_corpus_stats(spark, out)
     merge_index(spark, out, meta, incremental=True)
     assert _snapshot(os.path.join(out, "merged")) == before
+
+
+def test_compaction_grace_keeps_prior_readers_alive(spark, tmp_path):
+    """round-4 ADVICE: compaction used to delete superseded run dirs at
+    commit, breaking a concurrent reader (cached Searcher) holding the
+    previous meta's lazy union plan. Now retired runs survive ONE
+    maintenance generation: a frame loaded BEFORE the compaction still
+    collects afterwards; the runs vanish only after the NEXT commit."""
+    from angle_spark.index.build import compact_delta_runs, merge_index
+    from angle_spark.streaming.maintain import append_micro_batch
+
+    out = str(tmp_path / "idx")
+    splits = [20, 25, 30, N_ALL]
+    batch = transcripts_df(spark, splits[0], seed=42)
+    docs = with_tokens(assign_doc_ids(batch)).select("doc_id", "tokens", "dl")
+    hw = build_index(spark, docs, out, segment_docs=256, block_size=32).n_docs
+
+    full = transcripts_df(spark, N_ALL, seed=42)
+    # two appended runs (convs 20-25, 25-30), NOT yet compacted
+    for i, (lo, hi) in enumerate(zip(splits[:-2], splits[1:-1])):
+        part = full.filter(
+            (full.conv_id >= f"conv_{lo:08d}") & (full.conv_id < f"conv_{hi:08d}")
+        )
+        hw = append_micro_batch(part, i, out, hw)
+        merge_index(
+            spark, out, refresh_corpus_stats(spark, out),
+            incremental=True, max_delta_runs=99,
+        )
+    merged_old, _, meta_old = load_index(spark, out)
+    old_runs = list(meta_old.delta_runs)
+    assert len(old_runs) >= 2
+    reader = merged_old  # lazy plan over merged/ + the old runs
+
+    compact_delta_runs(spark, out, refresh_corpus_stats(spark, out))
+    _, _, meta_new = load_index(spark, out)
+    assert len(meta_new.delta_runs) == 1
+    assert sorted(meta_new.retired_runs) == sorted(
+        r for r in old_runs if r not in meta_new.delta_runs
+    )
+    # the retired dirs are still on disk -> the pre-compaction reader works
+    for r in meta_new.retired_runs:
+        assert os.path.exists(os.path.join(out, "delta_runs", r))
+    assert reader.count() > 0  # would throw FileNotFound without grace
+
+    # the NEXT maintenance commit ends the grace: retired dirs swept
+    part = full.filter(full.conv_id >= f"conv_{splits[-2]:08d}")
+    hw = append_micro_batch(part, 99, out, hw)
+    merge_index(
+        spark, out, refresh_corpus_stats(spark, out),
+        incremental=True, max_delta_runs=99,
+    )
+    _, _, meta_final = load_index(spark, out)
+    assert meta_final.retired_runs == []
+    for r in meta_new.retired_runs:
+        assert not os.path.exists(os.path.join(out, "delta_runs", r))
+    _assert_matches_oracle(spark, out)
+
+
+def test_append_micro_batch_unpersists_docid_frame(spark, tmp_path):
+    """round-4 ADVICE: each micro-batch persisted the two-pass docID
+    frame DISK_ONLY and never released it — a long stream stacked one
+    cached frame per batch. The sink must leave the cache no larger
+    than it found it."""
+    from angle_spark.streaming.maintain import append_micro_batch
+
+    out = str(tmp_path / "idx")
+    batch = transcripts_df(spark, 20, seed=42)
+    docs = with_tokens(assign_doc_ids(batch)).select("doc_id", "tokens", "dl")
+    hw = build_index(spark, docs, out, segment_docs=256, block_size=32).n_docs
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    full = transcripts_df(spark, N_ALL, seed=42)
+    for i, (lo, hi) in enumerate([(20, 30), (30, N_ALL)]):
+        part = full.filter(
+            (full.conv_id >= f"conv_{lo:08d}") & (full.conv_id < f"conv_{hi:08d}")
+        )
+        hw = append_micro_batch(part, i, out, hw)
+        assert cm.isEmpty()  # no persisted frame survives the batch
