@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from angle_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
+from angle_spark.functions.tokenizer import (
+    duckdb_tokens_sql,
+    duckdb_tokens_v2_sql,
+    tokens_col,
+)
 from angle_spark.index.stats import corpus_stats, term_frequencies, term_stats, with_tokens
 from angle_spark.query.bm25 import bm25_topk
 
@@ -126,6 +130,7 @@ def _bm25_oracle_sql(
     query_set: list[tuple[str, str, int]] = DOC_QUERY_SET,
     min_match: int | None = None,
     rank_on_rounded: bool = False,
+    tokens_sql=duckdb_tokens_sql,
 ) -> str:
     """ANSI-SQL BM25 over the documents table; rank identity with this is
     the engine's core claim, for every index path (declarative,
@@ -142,8 +147,11 @@ def _bm25_oracle_sql(
     min_match: minimum-should-match — docs matching >= m distinct query
     tokens rank (m=1 is plain OR, m=|tokens| is AND).
     rank_on_rounded: rank on round(raw, 6) for full-answer-set queries
-    (see _bm25_matches_scored_sql)."""
-    toks = duckdb_tokens_sql("text")
+    (see _bm25_matches_scored_sql).
+    tokens_sql: the DuckDB tokenizer rendition — defaults to v1; the
+    stemmed entry passes duckdb_tokens_v2_sql so corpus AND query text
+    run the same versioned analyzer as the engine."""
+    toks = tokens_sql("text")
     if conjunctive:
         conj_filter = (
             "JOIN (SELECT query_id, count(*) AS nt FROM qterms GROUP BY query_id) qn"
@@ -168,7 +176,7 @@ WITH docs AS (
 ), dft AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), qterms AS (
-  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  SELECT DISTINCT query_id, k, unnest({tokens_sql('text')}) AS term
   FROM {_doc_queries_values_sql(query_set)}
 ), scored AS (
   SELECT qt.query_id, qt.k, tf.doc_id,
@@ -255,19 +263,34 @@ def q_bm25_min_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _cached_doc_index(spark: SparkSession, sf_dir: str, positional: bool = False) -> str:
+def _cached_doc_index(
+    spark: SparkSession,
+    sf_dir: str,
+    positional: bool = False,
+    analyzer: str = "v1-ascii-alnum",
+) -> str:
     import os
     import tempfile
 
     from angle_spark.index.build import build_index
 
-    key = (sf_dir, positional)
+    key = (sf_dir, positional, analyzer)
     d = _INDEX_CACHE.get(key)
     if d is not None and os.path.exists(os.path.join(d, "corpus_stats.json")):
         return d
-    docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
+    docs = with_tokens(_read(spark, sf_dir, "documents"), analyzer=analyzer).select(
+        "doc_id", "tokens", "dl"
+    )
     d = tempfile.mkdtemp(prefix=f"bm25_entry_idx{'_pos' if positional else ''}_")
-    build_index(spark, docs, d, segment_docs=128, block_size=16, positional=positional)
+    build_index(
+        spark,
+        docs,
+        d,
+        segment_docs=128,
+        block_size=16,
+        positional=positional,
+        analyzer=analyzer,
+    )
     _INDEX_CACHE[key] = d
     return d
 
@@ -603,6 +626,15 @@ def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
         return _bool_match_sql(node[1], cap)
     if kind == "term":
         return f"SELECT doc_id FROM tf WHERE term = '{node[1]}'"
+    if kind == "field":
+        # field:value membership straight off the corpus metadata columns
+        # — algorithm-independent truth for the engine's cogrouped docID
+        # sets. Whitelisted to the documents table's metadata so a query
+        # string can never name an arbitrary SQL identifier.
+        f, v = node[1], node[2].replace("'", "''")
+        if f not in ("lang", "source"):
+            raise ValueError(f"oracle field whitelist: unknown field {f!r}")
+        return f"SELECT doc_id FROM documents WHERE {f} = '{v}'"
     if kind == "prefix":
         return (
             "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
@@ -791,6 +823,46 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stemmed-analyzer rendition (round 5): the v2 analyzer (Lucene
+# StandardAnalyzer's 33 English stopwords + Harman's S-stemmer,
+# functions/tokenizer.py) is shared by engine and oracle in all three
+# renditions. The query side proves the stemming binds: plural query
+# words ("tables", "queries") are OOV under v1 and match only through
+# the shared stem; stopwords drop from query AND corpus (changing df,
+# avgdl and every score); "thes" stems to the stopword "the", which the
+# corpus removed -> 0 hits (stop-then-stem order, both sides).
+STEM_QUERY_SET: list[tuple[str, str, int]] = [
+    ("st1", "tables joins", 15),
+    ("st2", "the queries of a batch", 15),
+    ("st3", "values windows scan", 15),
+    ("st4", "merges", 40),
+    ("st5", "thes", 10),
+]
+
+
+# --- STEMMED retrieval: index built with analyzer="v2-sstem-stop"
+#     (IndexMeta records the version; wand_topk tokenizes queries with
+#     the same rendition — Lucene's Analyzer-per-index contract). The
+#     oracle passes duckdb_tokens_v2_sql for BOTH corpus and query text,
+#     so engine and oracle share one versioned analyzer definition.
+def q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, analyzer="v2-sstem-stop")
+    )
+    out = wand_topk(
+        spark, merged, tstats, meta, _doc_queries_df(spark, STEM_QUERY_SET)
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # Boosted rendition (Lucene's ``^``): leaf^w multiplies the leaf's BM25
 # contribution by w — membership NEVER changes, only scoring weight, and
 # a term reached through several positive leaves scores with the MAX of
@@ -813,6 +885,75 @@ BOOST_QUERY_SET: list[tuple[str, str, int]] = [
     ("bs9", '"join hash"~3^2 AND scan', 1000),
     ("bs10", "zzzz^2 OR dup", 1000),
 ]
+
+
+# Field-scoped rendition (Lucene's ``field:value``, round 5): field
+# leaves FILTER membership against the corpus metadata and never score
+# (filter context; the grammar rejects trees where a field leaf could
+# widen the answer set — every OR arm needs a scoring positive leaf).
+# Cases: field under AND (ff1), negated field (ff2), fields inside both
+# OR arms (ff3), OR of two fields under a covered AND (ff4), unseen
+# value matches nothing (ff5), quoted value form (ff6).
+FIELD_QUERY_SET: list[tuple[str, str, int]] = [
+    ("ff1", "scan AND lang:en", 1000),
+    ("ff2", "merge AND NOT source:src2", 1000),
+    ("ff3", '("hash join" AND lang:de) OR (dup AND source:src4)', 1000),
+    ("ff4", "batch AND (lang:en OR lang:de)", 1000),
+    ("ff5", "scan AND lang:xx", 10),
+    ("ff6", 'dup AND lang:"en"', 1000),
+]
+
+
+# --- FIELD-SCOPED retrieval over the positional compressed index:
+#     field:value leaves resolve against a (doc_id, field, value)
+#     metadata frame driver-side into per-leaf docID sets that ride the
+#     tombstone cogroup channel (query/wand.py mode="boolean",
+#     field_meta=...). Scoring is unchanged — the disjunctive BM25 fold
+#     over positive TERMS; field leaves gate membership only. The oracle
+#     rebuilds field membership straight off the documents metadata
+#     columns (entries._bool_match_sql "field" branch). Reference
+#     analog: the prompt catalog's query-vs-passage role distinction
+#     (reference angle_emb/angle.py:64-87).
+def q_bm25_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    fmeta = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("lang").alias("field"),
+        F.col("lang").cast("string").alias("value"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit("source").alias("field"),
+            F.col("source").cast("string").alias("value"),
+        )
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, FIELD_QUERY_SET),
+        mode="boolean",
+        field_meta=fmeta,
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract and reasoning
+    # as q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 # --- BOOSTED retrieval over the positional compressed index: query-time
@@ -2808,6 +2949,8 @@ QUERIES = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
+    "bm25_field_query": q_bm25_field_query,
+    "bm25_stemmed": q_bm25_stemmed,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_regex": q_bm25_regex,
     "bm25_boosted": q_bm25_boosted,
@@ -2911,6 +3054,10 @@ ORACLE_SQL = {
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
+    "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
+    "bm25_stemmed": _bm25_oracle_sql(
+        query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
+    ),
     "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),
     "bm25_regex": _bm25_boolean_oracle_sql(REGEX_QUERY_SET, cap=REGEX_CAP),
     "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
@@ -3529,3 +3676,43 @@ def _embedding_pairs_oracle_sql() -> str:
 
 
 ORACLE_SQL["embedding_near_pairs_lsh"] = _embedding_pairs_oracle_sql()
+
+
+# --- driver-check rotation (round 5) -----------------------------------
+# The per-round driver verifies ALL entries that are new since the last
+# CORRECTNESS file plus the FIRST (cap - new) previously-checked ones in
+# registry order (cap was 50 in round 4: 20 new + the first 30 old).
+# Round 4 rewrote the ANN signature plan (operators/ann.py) but
+# ann_lsh_topk / ann_ivf_topk / embedding_near_pairs_lsh sat past the
+# cap, so the driver never re-checked the changed code (VERDICT r4
+# next-round #3). Rotate: the round-4-skipped entries move to the FRONT
+# of the registry — changed-code entries first (the ANN trio), then the
+# rest of the skipped set, then the round-4-checked ones (all green 50/50
+# there, lowest re-check priority).
+_ROTATE_FIRST = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_pairs_lsh",
+    "pca_covariance",
+    "pooling_stats",
+    "vector_norms",
+    "vector_distances",
+    "softmax_lse",
+    "loss_kernels",
+    "doc_langid",
+    "token_counts",
+    "doc_fingerprints",
+    "correlation_eval",
+    "tpch_q6",
+    "tpch_q3",
+    "events_sessionize",
+    "orders_pivot",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _ROTATE_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in _ROTATE_FIRST},
+}
+ORACLE_SQL = {
+    **{k: ORACLE_SQL[k] for k in _ROTATE_FIRST if k in ORACLE_SQL},
+    **{k: v for k, v in ORACLE_SQL.items() if k not in _ROTATE_FIRST},
+}

@@ -94,6 +94,12 @@ class IndexMeta:
     # (non-incremental) merge and purge rewrite merged/ in place and
     # remain compaction-class: do not run them under open readers.
     retired_runs: list = None  # type: ignore[assignment]
+    # analyzer version the corpus was tokenized with (functions/
+    # tokenizer.py ANALYZERS). Queries MUST use the same analyzer —
+    # wand_topk dispatches on this field — and streamed appends keep
+    # emitting the same rendition. Legacy metas (pre-round-5) lack the
+    # key and default to v1.
+    analyzer: str = "v1-ascii-alnum"
     # term_stats/ covers docs with doc_id < stats_docs. Incremental
     # merges do NOT rewrite term_stats (no swap, no crash window — the
     # round-3 ADVICE hole); readers aggregate stats for newer blocks from
@@ -176,8 +182,13 @@ def build_index(
     fail_after_batches: int | None = None,
     sink_format: str = "parquet",
     positional: bool = False,
+    analyzer: str = "v1-ascii-alnum",
 ) -> IndexMeta:
     """docs(doc_id, tokens, dl) -> on-disk index; resumable.
+
+    ``analyzer`` RECORDS the tokenizer version the caller used in
+    with_tokens (the tokens arrive pre-computed); it is persisted in the
+    meta so the query side always tokenizes queries the same way.
 
     segment_docs=None sizes segments for ~4 per core (a cluster deployment
     pins it explicitly; it must stay constant across resumed runs —
@@ -208,6 +219,7 @@ def build_index(
         block_size,
         sink_format=sink_format,
         positional=positional,
+        analyzer=analyzer,
     )
     fsio.mkdirs(spark, out_dir)
     fsio.write_text(

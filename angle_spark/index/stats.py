@@ -16,19 +16,30 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from angle_spark.functions.tokenizer import tokens_col
+from angle_spark.functions.tokenizer import (
+    TOKENIZER_VERSION,
+    analyzer_fns,
+    tokens_col,
+)
 
 
-def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_tokens(
+    df: DataFrame, text_col: str = "text", analyzer: str = TOKENIZER_VERSION
+) -> DataFrame:
     """Add ``tokens array<string>`` and ``dl int`` (doc length).
 
     Null text tokenizes to [] (dl=0), matching the Python oracle —
     without the coalesce, split(null) -> null and avg(dl) would silently
     drop null-text docs from avgdl.
+
+    ``analyzer`` picks the tokenizer rendition family (v1 plain /
+    v2 stopword+s-stem — functions/tokenizer.py ANALYZERS); pass the
+    SAME version to build_index so the index records what built it.
     """
+    _, col_fn, _ = analyzer_fns(analyzer)
     return df.withColumn(
         "tokens",
-        F.coalesce(tokens_col(text_col), F.array().cast("array<string>")),
+        F.coalesce(col_fn(text_col), F.array().cast("array<string>")),
     ).withColumn("dl", F.size("tokens").cast("long"))
 
 

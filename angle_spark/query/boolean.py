@@ -56,6 +56,27 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                the pattern is not supported (the body runs to the next
                ``/``).
 
+- ``field:value`` / ``field:"multi word value"`` — field-scoped leaf
+               (round 5, Lucene's most common idiom after bare terms):
+               matches documents whose metadata ``field`` EQUALS
+               ``value`` exactly (string equality on the stringified
+               value — no tokenization, Lucene keyword-field
+               semantics). Field leaves are FILTERS: they gate
+               membership but contribute no score (filter context), so
+               they must not be able to widen the answer set beyond the
+               query's scoring terms — every OR arm and the query root
+               need at least one scoring (term/phrase/prefix/fuzzy/
+               regex) positive leaf, the same way pure negation is
+               rejected. ``a AND role:assistant``, ``a AND NOT
+               source:web`` and ``a AND (lang:en OR lang:de)`` are
+               fine; ``role:assistant`` alone or ``a OR role:user``
+               are rejected. The engine resolves each (field, value)
+               pair against a caller-supplied metadata frame
+               (wand_topk(field_meta=...)) and ships the docID set
+               through the same shard-cogrouped channel as tombstones
+               — never broadcast. Boost on a field leaf is rejected
+               (it could never score).
+
 - ``leaf^w``   query-time boost (round 4, Lucene's ``^``): multiplies
                the leaf's BM25 score contribution by ``w`` (> 0; ``<1``
                demotes). Valid on word, ``"phrase"``, ``"prox"~n``,
@@ -71,6 +92,8 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
 AST nodes are plain picklable tuples (they ride the query broadcast):
 
     ("term",   token)
+    ("field",  name, value)           # driver-side; wand maps it to ("fieldset", id)
+    ("fieldset", id)                  # shipped form: shard-local docID-set lookup
     ("prefix", stem)                  # driver-side only; expanded before shipping
     ("fuzzy",  token, max_dist)       # driver-side only; expanded before shipping
     ("regex",  pattern)               # driver-side only; expanded before shipping
@@ -100,6 +123,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
+        (?P<fielded>(?P<fname>[A-Za-z_][A-Za-z0-9_]*):"(?P<fbody>[^"]*)") |
         (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
         (?P<regex>/(?P<rbody>[^/]*)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
         (?P<word>[^\s()"]+)
@@ -143,6 +167,8 @@ def _lex(text: str) -> list[tuple[str, object]]:
             out.append(("(", None))
         elif m.group("rparen"):
             out.append((")", None))
+        elif m.group("fielded") is not None:
+            out.append(("field", (m.group("fname"), m.group("fbody"))))
         elif m.group("quoted") is not None:
             out.append(
                 (
@@ -249,6 +275,13 @@ class _Parser:
                     f"regex leaf /{pat}/ in {self.text!r}: {exc}"
                 ) from exc
             return _boosted(("regex", pat), boost, self.text)
+        if kind == "field":
+            name, value = val
+            if not value:
+                raise BooleanQueryError(
+                    f"field leaf {name}:\"\" has an empty value: {self.text!r}"
+                )
+            return ("field", name.lower(), value)
         if kind == "word":
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
@@ -258,6 +291,16 @@ class _Parser:
             if bm is not None:
                 word = bm.group("body")
                 boost = float(bm.group("w"))
+            fld = re.fullmatch(
+                r"(?P<name>[A-Za-z_][A-Za-z0-9_]*):(?P<val>.+)", word
+            )
+            if fld is not None:
+                if boost is not None:
+                    raise BooleanQueryError(
+                        f"boost on a field leaf {word!r} is meaningless — "
+                        "field leaves filter, they never score"
+                    )
+                return ("field", fld.group("name").lower(), fld.group("val"))
             fz = re.fullmatch(r"(?P<body>[^~]+)~(?P<d>\d*)", word)
             if fz is not None:
                 body = tokenize_py(fz.group("body"))
@@ -300,6 +343,26 @@ class _Parser:
         raise BooleanQueryError(f"unexpected token {kind!r} in: {self.text!r}")
 
 
+def _covered(node) -> bool:
+    """True iff the node's answer set is provably covered by the union
+    of its positive SCORING leaves' posting lists — the invariant the
+    shard evaluation depends on (candidate blocks ship by term) and the
+    reason every matched doc has >= 1 BM25 contribution. Field leaves
+    are filters (cov=False); an AND is covered if ANY positive conjunct
+    is (intersection can only shrink), an OR only if ALL arms are
+    (either arm can widen)."""
+    kind = node[0]
+    if kind == "boost":
+        return _covered(node[1])
+    if kind == "field":
+        return False
+    if kind == "and":
+        return any(_covered(c) for c in node[1])
+    if kind == "or":
+        return all(_covered(c) for c in node[1])
+    return True  # term / phrase / prefix / fuzzy / regex
+
+
 def parse_query(text: str):
     """boolean query string -> AST tuple (see module docstring)."""
     toks = _lex(text)
@@ -314,6 +377,11 @@ def parse_query(text: str):
         )
     if negf:
         raise BooleanQueryError(f"pure negation query: {text!r}")
+    if not _covered(node):
+        raise BooleanQueryError(
+            "field-scoped leaves are filters: every OR arm and the query "
+            f"root need at least one scoring positive leaf: {text!r}"
+        )
     return node
 
 
@@ -360,7 +428,7 @@ def _expand_leaves_ast(node, leaf_kind: str, key, expansions: dict):
         if len(terms) == 1:
             return ("term", terms[0])
         return ("or", [("term", t) for t in terms])
-    if kind in ("term", "phrase", "prefix", "fuzzy", "regex"):
+    if kind in ("term", "phrase", "prefix", "fuzzy", "regex", "field", "fieldset"):
         return node
     if kind == "and":
         pos = [_expand_leaves_ast(c, leaf_kind, key, expansions) for c in node[1]]
@@ -424,6 +492,33 @@ def expand_regex_ast(node, expansions: dict[str, list[str]]):
     expansion terms (from query/regex.expand_regex); see
     _expand_leaves_ast for the dead-leaf folding contract."""
     return _expand_leaves_ast(node, "regex", lambda n: n[1], expansions)
+
+
+def field_pairs(node) -> set[tuple[str, str]]:
+    """All (field, value) pairs in the tree (positive or negated) — the
+    driver-side resolution work list for wand_topk's field_meta frame."""
+    return _collect_leaves(node, "field", lambda n: (n[1], n[2]))
+
+
+def map_field_leaves(node, fid_of: dict[tuple[str, str], int]):
+    """Replace every ("field", f, v) leaf with the shippable
+    ("fieldset", id) form — the shard evaluator looks the id up in its
+    cogrouped per-leaf docID sets. Runs AFTER simplify (field leaves are
+    never dead driver-side, so the tree shape is unchanged)."""
+    kind = node[0]
+    if kind == "boost":
+        return ("boost", map_field_leaves(node[1], fid_of), node[2])
+    if kind == "field":
+        return ("fieldset", fid_of[(node[1], node[2])])
+    if kind == "and":
+        return (
+            "and",
+            [map_field_leaves(c, fid_of) for c in node[1]],
+            [map_field_leaves(c, fid_of) for c in node[2]],
+        )
+    if kind == "or":
+        return ("or", [map_field_leaves(c, fid_of) for c in node[1]])
+    return node
 
 
 def positive_leaves_boosted(
@@ -551,6 +646,11 @@ def simplify(node, vocab) -> object | None:
             "(expand_prefixes_ast/expand_fuzzy_ast; wand_topk "
             "mode='boolean' does this)"
         )
+    if kind in ("field", "fieldset"):
+        # field membership is resolved at scoring time against the
+        # metadata frame — driver-side it is never provably dead (an
+        # unseen value simply yields an empty docID set)
+        return node
     if kind == "term":
         return node if node[1] in vocab else None
     if kind == "phrase":

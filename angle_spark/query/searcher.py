@@ -113,6 +113,7 @@ class Searcher:
         max_expansions: int = 64,
         min_match: int | None = None,
         synonyms: DataFrame | None = None,
+        field_meta: DataFrame | None = None,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -153,6 +154,7 @@ class Searcher:
             doc_filter=doc_filter,
             max_expansions=max_expansions,
             min_match=min_match,
+            field_meta=field_meta,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)

@@ -226,6 +226,7 @@ def _score_shard_multi(
     mode: str = "or",
     slop: int = 0,
     allowed: np.ndarray | None = None,
+    field_sets: dict[int, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -432,6 +433,18 @@ def _score_shard_multi(
             if t in by_term:
                 d, _, _ = term_arrays(t)
                 m[d - base] = True
+            return m
+        if kind == "fieldset":
+            # field:value membership: the leaf's docID set arrived via
+            # the cogrouped side channel, restricted here to this
+            # shard's span. Filter context — never scored; the parser's
+            # coverage rule guarantees any matched doc also carries a
+            # scoring term (whose decode applied tombstone/allow masks).
+            m = np.zeros(span, dtype=bool)
+            arr = field_sets.get(int(node[1])) if field_sets else None
+            if arr is not None and arr.size:
+                sel = arr[(arr >= base) & (arr < base + span)]
+                m[sel - base] = True
             return m
         if kind == "phrase":
             toks, sl = list(node[1]), int(node[2])
@@ -669,6 +682,7 @@ def wand_topk(
     doc_filter: DataFrame | None = None,
     max_expansions: int = 64,
     min_match: int | None = None,
+    field_meta: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -751,6 +765,17 @@ def wand_topk(
     conjunctive mode is; a query with fewer than m in-vocabulary tokens
     can match nothing and is dropped driver-side.
 
+    ``field_meta`` (mode="boolean" only) resolves ``field:value`` leaves:
+    a (doc_id, field, value) DataFrame — for transcripts typically the
+    unpivoted metadata columns (role, tool; reference prompts draw the
+    same query-vs-passage role distinction, reference
+    angle_emb/angle.py:64-87). Each (field, value) pair the query set
+    mentions becomes ONE docID set that rides the same shard-cogrouped
+    channel as tombstones (never broadcast, one metadata scan for all
+    pairs); field leaves gate membership but never score (filter
+    context — the parser guarantees every matched doc still carries a
+    scoring term).
+
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     if mode not in ("or", "and", "phrase", "near", "boolean", "prefix", "mm"):
         raise ValueError(
@@ -764,6 +789,24 @@ def wand_topk(
             )
     elif min_match is not None:
         raise ValueError("min_match is only valid with mode='mm'")
+    if field_meta is not None and mode != "boolean":
+        raise ValueError("field_meta is only valid with mode='boolean'")
+    # analyzer dispatch (round 5): queries tokenize with the SAME
+    # versioned analyzer the index was built with (IndexMeta.analyzer;
+    # Lucene's Analyzer-per-index contract). The structured-grammar
+    # modes (boolean/phrase/near/prefix) parse query text with the v1
+    # tokenizer inside the grammar itself, so they are v1-only this
+    # round — a stemmed index answers the bag-of-words family.
+    analyzer = getattr(meta, "analyzer", "v1-ascii-alnum")
+    if analyzer != "v1-ascii-alnum" and mode not in ("or", "and", "mm"):
+        raise ValueError(
+            f"mode={mode!r} is not supported on an index built with "
+            f"analyzer {analyzer!r} — structured query grammars tokenize "
+            "with v1; use or/and/mm"
+        )
+    from angle_spark.functions.tokenizer import analyzer_fns
+
+    tok_py, tok_col, _ = analyzer_fns(analyzer)
     if mode == "prefix":
         from angle_spark.query.prefix import expand_prefixes
 
@@ -846,6 +889,41 @@ def wand_topk(
                 for qid, k, a in asts
                 if (e := expand_regex_ast(a, rx_exp)) is not None
             ]
+        # field leaves (round 5): resolve every (field, value) pair the
+        # query set mentions against the caller's metadata frame — ONE
+        # scan covers all pairs; each pair becomes a shard-cogrouped
+        # docID set keyed by a small integer id (the tombstone channel,
+        # never a broadcast)
+        from angle_spark.query.boolean import field_pairs, map_field_leaves
+
+        fpairs = sorted(set().union(set(), *(field_pairs(a) for _, _, a in asts)))
+        if fpairs and field_meta is None:
+            raise ValueError(
+                "boolean query has field: leaves but no field_meta frame "
+                "was given — pass wand_topk(field_meta=<(doc_id, field, "
+                "value) DataFrame>)"
+            )
+        fid_of = {p: i for i, p in enumerate(fpairs)}
+        fieldsets = None
+        if fpairs:
+            fm = field_meta.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("field").cast("string").alias("field"),
+                F.col("value").cast("string").alias("value"),
+            )
+            expr = None
+            for (f, v), fid in fid_of.items():
+                hit = (F.col("field") == F.lit(f)) & (F.col("value") == F.lit(v))
+                expr = (
+                    F.when(hit, F.lit(fid))
+                    if expr is None
+                    else expr.when(hit, F.lit(fid))
+                )
+            fieldsets = (
+                fm.withColumn("leaf", expr)
+                .filter(F.col("leaf").isNotNull())
+                .select("doc_id", F.col("leaf").cast("long").alias("leaf"))
+            )
         all_terms = sorted(
             {t for _, _, a in asts for t in query_terms(a)[1]}
         )
@@ -874,6 +952,8 @@ def wand_topk(
             # reproduces it bit-for-bit. Terms reached only through
             # unboosted leaves weigh 1.0 (multiplying by 1.0 is exact).
             boosts = positive_boosts(s)
+            if fpairs:
+                s = map_field_leaves(s, fid_of)
             rows.append(
                 (
                     qid,
@@ -893,21 +973,18 @@ def wand_topk(
         return _shard_and_rank(
             spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
             prune, shard_segments, deletes, mode, slop, doc_filter,
+            fieldsets=fieldsets,
         )
     if isinstance(queries, pd.DataFrame):
-        from angle_spark.functions.tokenizer import tokenize_py
-
         tokenized = [
-            (q.query_id, int(q.k), *_split_toks(tokenize_py(q.text)))
+            (q.query_id, int(q.k), *_split_toks(tok_py(q.text)))
             for q in queries.itertuples(index=False)
         ]
     else:
-        from angle_spark.functions.tokenizer import tokens_col
-
         qrows = queries.select(
             "query_id",
             F.col("k").cast("int").alias("k"),
-            F.coalesce(tokens_col("text"), F.array().cast("array<string>")).alias(
+            F.coalesce(tok_col("text"), F.array().cast("array<string>")).alias(
                 "ptoks"
             ),
         ).collect()
@@ -970,10 +1047,17 @@ def _shard_and_rank(
     mode: str,
     slop: int,
     doc_filter: DataFrame | None,
+    fieldsets: DataFrame | None = None,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
-    global per-query window top-k. See wand_topk's docstring."""
+    global per-query window top-k. See wand_topk's docstring.
+
+    ``fieldsets`` (boolean mode): a (doc_id, leaf) frame — the resolved
+    docID set of each field:value leaf. It rides the SAME cogrouped side
+    channel as tombstones/allow-lists: rows tagged leaf >= 0 become the
+    per-leaf membership arrays, leaf == -1 rows are the base
+    tombstone/allow set."""
     if not rows:
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
@@ -1013,6 +1097,11 @@ def _shard_and_rank(
     elif deletes is not None:
         side = deletes.select(F.col("doc_id").cast("long").alias("doc_id"))
 
+    if side is not None:
+        side = side.withColumn("leaf", F.lit(-1).cast("long"))
+    if fieldsets is not None:
+        side = fieldsets if side is None else side.unionByName(fieldsets)
+
     if side is None:
 
         def fn(key, pdf):
@@ -1023,27 +1112,35 @@ def _shard_and_rank(
         local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
     else:
         # a doc's shard is a pure function of its docID (segment_id =
-        # doc_id // segment_docs), so the docID set (tombstones or an
-        # allow-list) shuffles straight to the one task whose blocks can
-        # contain it — never broadcast
+        # doc_id // segment_docs), so the docID set (tombstones, an
+        # allow-list, or a field leaf's membership set) shuffles straight
+        # to the one task whose blocks can contain it — never broadcast
         docs_per_shard = meta.segment_docs * shard_segments
         side = side.withColumn(
             "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("long")
         )
+        has_base = allow or deletes is not None
 
         def fn2(key, pdf, ids):
             if len(pdf) == 0:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-            arr = np.sort(np.unique(ids["doc_id"].to_numpy(dtype=np.int64)))
+            leaves = ids["leaf"].to_numpy(dtype=np.int64)
+            docs = ids["doc_id"].to_numpy(dtype=np.int64)
+            arr = np.sort(np.unique(docs[leaves < 0]))
+            fsets = {
+                int(l): np.sort(np.unique(docs[leaves == l]))
+                for l in np.unique(leaves[leaves >= 0])
+            }
             return _score_shard_multi(
                 pdf,
                 b_qt.value,
                 avgdl,
                 prune,
-                deleted=None if allow else arr,
+                deleted=arr if (has_base and not allow) else None,
                 mode=mode,
                 slop=slop,
                 allowed=arr if allow else None,
+                field_sets=fsets,
             )
 
         local = (

@@ -97,6 +97,16 @@ BOOST_FUZZY_BENCH_SET: list[tuple[str, str, int]] = [
 ]
 
 
+# field-scoped trees (round 5): field:value leaves against the stored
+# (doc_id, field, value) metadata — filters compose with terms/NOT
+FIELD_BENCH_SET: list[tuple[str, str, int]] = [
+    ("f_01", "w0042 AND role:user", 10),
+    ("f_02", "w0137 AND NOT role:assistant", 10),
+    ("f_03", "(w0042 OR w0137) AND (role:tool OR role:system)", 10),
+    ("f_04", "w0003 AND role:assistant AND NOT w0001", 10),
+]
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -170,6 +180,25 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         t0 = time.monotonic()
         searcher.search(bf_q, mode="boolean").count()
         timings["wand_boost_fuzzy_queries"] = time.monotonic() - t0
+
+        # --- leg 2b4: field-scoped trees (round 5): field:value leaves
+        #     resolve against a STORED metadata table (one scan per
+        #     batch) and ride the tombstone cogroup channel. Metadata
+        #     materialization is untimed setup — a deployment stores it.
+        fm_dir = os.path.join(corpus_root, f"angle_bench_fieldmeta_{n_convs}.parquet")
+        if not os.path.exists(os.path.join(fm_dir, "_SUCCESS")):
+            assign_doc_ids(raw, num_partitions=cpus * 2).selectExpr(
+                "cast(doc_id as long) as doc_id",
+                "'role' as field",
+                "cast(role as string) as value",
+            ).write.mode("overwrite").parquet(fm_dir)
+        fm = spark.read.parquet(fm_dir)
+        field_q = spark.createDataFrame(
+            FIELD_BENCH_SET, schema="query_id string, text string, k int"
+        )
+        t0 = time.monotonic()
+        searcher.search(field_q, mode="boolean", field_meta=fm).count()
+        timings["wand_field_queries"] = time.monotonic() - t0
 
         # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
         #     tombstone 1% of docs + cheap tombstone pickup + masked batch

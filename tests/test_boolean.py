@@ -506,3 +506,136 @@ def test_expansion_cap_binds_under_and_and_not(spark, index_dir, corpus):
             for r in con.sql(f"SELECT doc_id FROM ({_bool_match_sql(ast)})").fetchall()
         }
         assert uncapped != want, qid
+
+
+# --- field:value leaves (round 5) ---------------------------------------
+
+
+def _field_meta(spark, corpus):
+    """(doc_id, field, value) frame: the transcripts' role column."""
+    ordered, _, _ = corpus
+    rows = [(int(d), "role", str(r)) for d, r in enumerate(ordered["role"])]
+    return spark.createDataFrame(rows, "doc_id long, field string, value string")
+
+
+def _field_matches(node, tk, role):
+    kind = node[0]
+    if kind == "boost":
+        return _field_matches(node[1], tk, role)
+    if kind == "term":
+        return node[1] in tk
+    if kind == "field":
+        return node[1] == "role" and role == node[2]
+    if kind == "phrase":
+        return _matches(node, tk)
+    if kind == "and":
+        return all(_field_matches(c, tk, role) for c in node[1]) and not any(
+            _field_matches(c, tk, role) for c in node[2]
+        )
+    return any(_field_matches(c, tk, role) for c in node[1])  # or
+
+
+def test_field_leaves_match_golden(spark, index_dir, corpus):
+    """field:value under AND, under NOT, OR-of-fields under a covered
+    AND, quoted value, unseen value — membership == per-doc truth over
+    (tokens, role); scores == the positive-TERM disjunctive fold (field
+    leaves filter, never score)."""
+    ordered, toks, oracle = corpus
+    roles = sorted(set(ordered["role"]))
+    a, b = toks[0][3], toks[0][4]
+    r0, r1 = roles[0], roles[1]
+    queries = [
+        ("ff1", f"{a} AND role:{r0}", 1000),
+        ("ff2", f"{a} AND NOT role:{r0}", 1000),
+        ("ff3", f"({a} OR {b}) AND (role:{r0} OR role:{r1})", 1000),
+        ("ff4", f'{a} AND role:"{r0}"', 1000),
+        ("ff5", f"{a} AND role:doesnotexist", 10),
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    got = _frame(
+        wand_topk(
+            spark, merged, tstats, meta, _qdf(spark, queries),
+            mode="boolean", field_meta=_field_meta(spark, corpus),
+        )
+    )
+    from angle_spark.query.boolean import query_terms
+
+    rows = []
+    role_of = list(ordered["role"])
+    for qid, text, k in queries:
+        ast = parse_query(text)
+        matched = {
+            d
+            for d, (tk, r) in enumerate(zip(toks, role_of))
+            if _field_matches(ast, tk, r)
+        }
+        pos_terms, _ = query_terms(ast)
+        ranked = [
+            (d, s)
+            for d, s in oracle.score_query(" ".join(pos_terms), oracle.n_docs)
+            if d in matched
+        ]
+        for rank, (doc_id, score) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    assert (want["query_id"] == "ff1").any() and (want["query_id"] == "ff2").any()
+    assert not (want["query_id"] == "ff5").any()  # unseen value: empty
+    # ff1 and ff2 partition a's docs: the field filter provably binds
+    n_a = len(want[want["query_id"].isin(["ff1", "ff2"])])
+    assert n_a == len({d for d, tk in enumerate(toks) if a in tk})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_field_leaves_rejected_without_scoring_sibling(spark):
+    for bad in ("role:user", "a OR role:user", "role:user AND role:tool",
+                "role:user^2 AND a"):
+        with pytest.raises(BooleanQueryError):
+            parse_query(bad)
+    # covered shapes parse fine
+    parse_query("a AND role:user")
+    parse_query("a AND (role:user OR role:tool)")
+    parse_query("a AND NOT (role:user OR role:tool)")
+
+
+def test_field_leaves_require_field_meta(spark, index_dir):
+    merged, tstats, meta = load_index(spark, index_dir)
+    q = pd.DataFrame(
+        [("x", "w0108 AND role:user", 5)], columns=["query_id", "text", "k"]
+    )
+    with pytest.raises(ValueError, match="field_meta"):
+        wand_topk(spark, merged, tstats, meta, q, mode="boolean")
+
+
+def test_field_leaves_compose_with_deletes(spark, index_dir, corpus, tmp_path_factory):
+    """tombstones and field filters ride the same cogrouped channel —
+    they must compose: deleted docs vanish from field-filtered results."""
+    import shutil
+
+    from angle_spark.index.deletes import delete_docs, load_deletes
+
+    ordered, toks, _ = corpus
+    a = toks[0][3]
+    roles = sorted(set(ordered["role"]))
+    r0 = roles[0]
+    idx = str(tmp_path_factory.mktemp("fielddel") / "idx")
+    shutil.copytree(index_dir, idx)
+    queries = [("q", f"{a} AND role:{r0}", 1000)]
+    merged, tstats, meta = load_index(spark, idx)
+    fm = _field_meta(spark, corpus)
+    before = set(
+        _frame(
+            wand_topk(spark, merged, tstats, meta, _qdf(spark, queries),
+                      mode="boolean", field_meta=fm)
+        )["doc_id"]
+    )
+    assert before
+    victims = sorted(before)[:2]
+    delete_docs(spark, idx, spark.createDataFrame([(int(v),) for v in victims], "doc_id long"))
+    after = set(
+        _frame(
+            wand_topk(spark, merged, tstats, meta, _qdf(spark, queries),
+                      mode="boolean", field_meta=fm,
+                      deletes=load_deletes(spark, idx))
+        )["doc_id"]
+    )
+    assert after == before - set(victims)
