@@ -184,20 +184,32 @@ def duckdb_tokens_v2_sql(expr: str) -> str:
     )
 
 
-# analyzer registry: version string -> (python, Column, DuckDB) renditions.
+# analyzer registry: version string -> (python, Column, DuckDB) rendition
+# NAMES, resolved against this module at call time (monkeypatching a
+# rendition — tests poison tokenize_py to prove the Spark path never
+# tokenizes on the driver — must keep working through the registry).
 # IndexMeta.analyzer records the build-time version; the query side
 # dispatches through this table so an index is always queried with the
 # analyzer it was built with (Lucene's Analyzer-per-index contract).
-ANALYZERS: dict[str, tuple] = {
-    TOKENIZER_VERSION: (tokenize_py, tokens_col, duckdb_tokens_sql),
-    TOKENIZER_V2_VERSION: (tokenize_v2_py, tokens_v2_col, duckdb_tokens_v2_sql),
+ANALYZERS: dict[str, tuple[str, str, str]] = {
+    TOKENIZER_VERSION: ("tokenize_py", "tokens_col", "duckdb_tokens_sql"),
+    TOKENIZER_V2_VERSION: (
+        "tokenize_v2_py",
+        "tokens_v2_col",
+        "duckdb_tokens_v2_sql",
+    ),
 }
 
 
 def analyzer_fns(version: str) -> tuple:
+    """-> (python, Column, DuckDB-SQL) rendition callables for a version."""
+    import sys
+
     try:
-        return ANALYZERS[version]
+        names = ANALYZERS[version]
     except KeyError:
         raise ValueError(
             f"unknown analyzer {version!r}; known: {sorted(ANALYZERS)}"
         ) from None
+    mod = sys.modules[__name__]
+    return tuple(getattr(mod, n) for n in names)
