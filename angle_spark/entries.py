@@ -1295,6 +1295,149 @@ FROM ranked WHERE rnk <= {HYBRID_K_FUSED}
 """
 
 
+# --- ANN-FIRST HYBRID (round 5): the same RRF fusion with the dense
+#     stage swapped from the exact full scan to IVF-flat
+#     (query/hybrid.py dense_ann_topk -> operators/ann.py ivf_topk) —
+#     the 100 TB shape, where per-query dense work is the probed cells
+#     only. The oracle replays the deterministic smallest-vec_id
+#     quantizer exactly (same CTE shapes as the ann_ivf_topk oracle),
+#     so the driver hash verifies the ANN algorithm INSIDE the fusion.
+#     Dense ranks are on raw cosine (bit-reproducible: DuckDB's
+#     list_dot_product folds in the same order as Spark's aggregate);
+#     sparse ranks on round(score, 6) as in hybrid_topk.
+HYBRID_ANN_N_CELLS, HYBRID_ANN_NPROBE = 16, 8
+
+
+def q_hybrid_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.hybrid import dense_ann_topk, rrf_fuse
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    queries = spark.createDataFrame(
+        [(qid, text, 1_000_000) for qid, text, _ in HYBRID_QUERY_SET],
+        schema="query_id string, text string, k int",
+    )
+    sp = wand_topk(spark, merged, tstats, meta, queries, prune=True)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    sp = (
+        sp.select("query_id", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= HYBRID_K_SIDE)
+    )
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = spark.createDataFrame(
+        [(qid, a) for qid, _, a in HYBRID_QUERY_SET],
+        schema="query_id string, anchor long",
+    )
+    qvecs = anchors.join(emb, anchors.anchor == emb.vec_id).select(
+        "query_id", F.col("embedding").alias("qv")
+    )
+    dn = dense_ann_topk(
+        emb, qvecs, HYBRID_K_SIDE,
+        n_cells=HYBRID_ANN_N_CELLS, nprobe=HYBRID_ANN_NPROBE,
+    )
+    out = rrf_fuse(sp, dn, HYBRID_K_FUSED)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("rrf_score", 9).alias("rrf_score"),
+    )
+
+
+def _hybrid_ann_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t, _ in HYBRID_QUERY_SET)
+    anchors = ", ".join(f"('{q}', {a})" for q, _, a in HYBRID_QUERY_SET)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM (VALUES {qvals}) AS q(query_id, text)
+), bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+), branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS srank
+  FROM bm
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv, list_dot_product(v, v) AS cc
+  FROM e ORDER BY vec_id LIMIT {HYBRID_ANN_N_CELLS}
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT c.vec_id, c.v, t.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY t.cc - 2 * list_dot_product(c.v, t.cv), t.cell
+           ) AS rn
+    FROM e c CROSS JOIN cents t
+  ) WHERE rn = 1
+), anch AS (
+  SELECT * FROM (VALUES {anchors}) AS a(query_id, anchor)
+), qv AS (
+  SELECT a.query_id, e.v AS qv FROM anch a JOIN e ON e.vec_id = a.anchor
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, t.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY t.cc - 2 * list_dot_product(q.qv, t.cv), t.cell
+           ) AS rn
+    FROM qv q CROSS JOIN cents t
+  ) WHERE rn <= {HYBRID_ANN_NPROBE}
+), dcos AS (
+  SELECT p.query_id, a.vec_id AS doc_id,
+         list_dot_product(a.v, p.qv)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(p.qv, p.qv))) AS cos_raw
+  FROM assign a JOIN probes p USING (cell)
+), dranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, doc_id ASC) AS drank
+  FROM dcos
+), fused AS (
+  SELECT coalesce(b.query_id, d.query_id) AS query_id,
+         coalesce(b.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0::DOUBLE / (60 + b.srank), 0.0::DOUBLE)
+         + coalesce(1.0::DOUBLE / (60 + d.drank), 0.0::DOUBLE) AS rrf
+  FROM (SELECT * FROM branked WHERE srank <= {HYBRID_K_SIDE}) b
+  FULL OUTER JOIN (SELECT * FROM dranked WHERE drank <= {HYBRID_K_SIDE}) d
+    ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+  FROM fused
+)
+SELECT query_id, rnk AS rank, doc_id, round(rrf, 9) AS rrf_score
+FROM ranked WHERE rnk <= {HYBRID_K_FUSED}
+"""
+
+
 # Fielded (BM25F) rendition over (text w=1.0, source w=3.0): fd2-fd4
 # mix body terms with source-field keywords (srcN appears ONLY in the
 # source field), so a text-only scorer returns the wrong sets AND the
@@ -2956,6 +3099,7 @@ QUERIES = {
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
+    "hybrid_ann_topk": q_hybrid_ann_topk,
     "bm25_fielded": q_bm25_fielded,
     "bm25_prefix": q_bm25_prefix,
     "tfidf_topk_documents": q_tfidf_topk_documents,
@@ -3062,6 +3206,7 @@ ORACLE_SQL = {
     "bm25_regex": _bm25_boolean_oracle_sql(REGEX_QUERY_SET, cap=REGEX_CAP),
     "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
     "hybrid_topk": _hybrid_oracle_sql(),
+    "hybrid_ann_topk": _hybrid_ann_oracle_sql(),
     "bm25_fielded": _bm25f_oracle_sql(),
     "bm25_prefix": _bm25_prefix_oracle_sql(),
     "tfidf_topk_documents": _tfidf_oracle_sql(),

@@ -249,14 +249,33 @@ def ivf_topk(
         .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
         .withColumn("cc", _dot(F.col("cv"), F.col("cv")))
     )
-    dist = F.col("cc") - 2.0 * _dot(F.col("v"), F.col("cv"))
-    wa = Window.partitionBy("vec_id").orderBy("dist2p", "cell")
+    # nearest-cell assignment with ZERO corpus shuffle (the
+    # operators/kmeans.py round-5 pattern): the cell table collapses to
+    # ONE broadcast row of array<struct>, the argmin is a rowwise
+    # array_min over (dist2p, cell) structs — struct comparison gives
+    # exactly the (distance ASC, cell ASC) tie order the old
+    # Window.partitionBy(vec_id) rendition produced, without its
+    # per-build corpus-sized Exchange
+    cents1 = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "cv", "cc"))
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                (
+                    s.getField("cc") - 2.0 * _dot(F.col("v"), s.getField("cv"))
+                ).alias("dist2p"),
+                s.getField("cell").alias("cell"),
+            ),
+        )
+    )
     assign = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cell", dist.alias("dist2p"))
-        .withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "cell")
+        e.join(F.broadcast(cents1))
+        .withColumn("_best", best)
+        .select("vec_id", "v", F.col("_best.cell").alias("cell"))
     )
     q = queries.select(
         "query_id",

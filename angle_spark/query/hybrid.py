@@ -89,6 +89,31 @@ def dense_topk(
     )
 
 
+def dense_ann_topk(
+    emb: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN first-stage dense retriever for hybrid fusion: IVF-flat
+    (operators/ann.py ivf_topk) instead of the exact full scan —
+    (query_id, rank, doc_id, cosine) with the same column contract as
+    dense_topk, so rrf_fuse composes unchanged.
+
+    Scale shape: this is the 100 TB dense side — per-query work is the
+    probed cells' vectors only, never the corpus (dense_topk's full scan
+    stays as the exactness baseline and recall oracle). Recall < 1 by
+    construction; tests gate fused recall >= 0.9 vs the exact stage."""
+    from angle_spark.operators.ann import ivf_topk
+
+    q = query_vecs.select("query_id", F.col("qv").alias("qvec"))
+    out = ivf_topk(emb, q, n_cells=n_cells, nprobe=nprobe, k=k)
+    return out.select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id"), "cosine"
+    )
+
+
 def rrf_fuse(
     sparse: DataFrame, dense: DataFrame, k: int, rrf_k: int = RRF_K
 ) -> DataFrame:

@@ -152,3 +152,45 @@ def test_broadcast_planes_signature_bit_identical(spark):
         for r in with_rhp_signature(emb, "v", planes, band_bits=2).collect()
     }
     assert lit == bcast
+
+
+def test_ivf_assignment_never_shuffles_the_corpus(spark):
+    """round-5: the IVF nearest-cell assignment is the rowwise
+    broadcast-array fold (the kmeans pattern) — no Exchange keyed on
+    vec_id, no Window anywhere in the executed plan."""
+    import contextlib
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from angle_spark.operators.ann import ivf_topk
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(64),
+                "embedding": [rng.normal(size=8).tolist() for _ in range(64)],
+            }
+        )
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["q0", "q1"],
+                "qvec": [rng.normal(size=8).tolist() for _ in range(2)],
+            }
+        )
+    )
+    df = ivf_topk(emb, queries, n_cells=4, nprobe=2, k=5)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(vec_id" not in executed
+    plan = io.StringIO()
+    with contextlib.redirect_stdout(plan):
+        df.explain("formatted")
+    # the only windows left are the per-QUERY probe/rank ones
+    for line in plan.getvalue().splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "query_id" in line or "qid" in line, line
