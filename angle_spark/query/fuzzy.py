@@ -91,11 +91,28 @@ def expand_fuzzy(
             ).head(max_expansions)
             out[(w, d)] = [str(t) for t in m["term"]]
         return out
-    pair_df = spark.createDataFrame(uniq, "word string, max_dist int")
+    rows = expansion_frame(spark, tstats, uniq, max_expansions).collect()
+    for row in sorted(rows, key=lambda x: (x["k1"], x["k2"], x["r"])):
+        out[(row["k1"], row["k2"])].append(row["term"])
+    return out
+
+
+def expansion_frame(
+    spark: SparkSession,
+    tstats: DataFrame,
+    pairs: list[tuple[str, int]],
+    max_expansions: int = 64,
+) -> DataFrame:
+    """UNCOLLECTED fuzzy-expansion plan -> (k1=word, k2=max_dist, term,
+    r) rows, r in 1..max_expansions by (distance ASC, df DESC, term
+    ASC). See prefix.expansion_frame for the one-action union contract."""
+    pair_df = spark.createDataFrame(
+        sorted(set(pairs)), "word string, max_dist int"
+    )
     w = Window.partitionBy("word", "max_dist").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )
-    rows = (
+    return (
         tstats.select("term", "df")
         .crossJoin(F.broadcast(pair_df))
         .filter(F.abs(F.length("term") - F.length("word")) <= F.col("max_dist"))
@@ -103,9 +120,7 @@ def expand_fuzzy(
         .filter(F.col("dist") <= F.col("max_dist"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_expansions)
-        .select("word", "max_dist", "term", "r")
-        .collect()  # bounded: <= |pairs| * max_expansions rows
-    )
-    for row in sorted(rows, key=lambda x: (x["word"], x["max_dist"], x["r"])):
-        out[(row["word"], row["max_dist"])].append(row["term"])
-    return out
+        .select(
+            F.col("word").alias("k1"), F.col("max_dist").alias("k2"), "term", "r"
+        )
+    )  # bounded: <= |pairs| * max_expansions rows

@@ -82,21 +82,34 @@ def expand_stems(
             ).head(max_expansions)
             out[s] = [str(t) for t in m["term"]]
         return out
+    rows = expansion_frame(spark, tstats, stems, max_expansions).collect()
+    for row in sorted(rows, key=lambda x: (x["k1"], x["r"])):
+        out[row["k1"]].append(row["term"])
+    return out
+
+
+def expansion_frame(
+    spark: SparkSession,
+    tstats: DataFrame,
+    stems: list[str],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """UNCOLLECTED prefix-expansion plan -> (k1=stem, term, r) rows,
+    r in 1..max_expansions by (df DESC, term ASC). wand_topk unions this
+    with the fuzzy/regex frames so a mixed boolean batch pays ONE Spark
+    action for all three vocabulary rewrites instead of three
+    driver round-trips (round-5 query-side fixed-overhead cut)."""
     cond = reduce(or_, [F.col("term").startswith(F.lit(s)) for s in stems])
     stem_df = spark.createDataFrame([(s,) for s in sorted(set(stems))], "stem string")
     w = Window.partitionBy("stem").orderBy(F.desc("df"), F.asc("term"))
-    rows = (
+    return (
         tstats.select("term", "df")
         .filter(cond)  # StringStartsWith -> parquet scan on the sorted term range
         .join(F.broadcast(stem_df), F.col("term").startswith(F.col("stem")))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_expansions)
-        .select("stem", "term", "r")
-        .collect()  # bounded: <= |stems| * max_expansions rows
-    )
-    for row in sorted(rows, key=lambda x: (x["stem"], x["r"])):
-        out[row["stem"]].append(row["term"])
-    return out
+        .select(F.col("stem").alias("k1"), "term", "r")
+    )  # bounded: <= |stems| * max_expansions rows
 
 
 def expand_prefixes(

@@ -105,6 +105,21 @@ def expand_regex(
             ).head(max_expansions)
             out[p] = [str(t) for t in m["term"]]
         return out
+    rows = expansion_frame(spark, tstats, patterns, max_expansions).collect()
+    for row in sorted(rows, key=lambda x: (x["k1"], x["r"])):
+        out[row["k1"]].append(row["term"])
+    return out
+
+
+def expansion_frame(
+    spark: SparkSession,
+    tstats: DataFrame,
+    patterns: list[str],
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """UNCOLLECTED regex-expansion plan -> (k1=pattern, term, r) rows,
+    r in 1..max_expansions by (df DESC, term ASC). See
+    prefix.expansion_frame for the one-action union contract."""
     uniq = sorted(set(patterns))
     anchored = {p: f"^(?:{p})$" for p in uniq}
     # one pass over term_stats: pre-filter terms matching ANY pattern
@@ -115,15 +130,11 @@ def expand_regex(
         [(p, anchored[p]) for p in uniq], "pattern string, anchored string"
     )
     w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
-    rows = (
+    return (
         tstats.select("term", "df")
         .filter(cond)
         .join(F.broadcast(pat_df), F.expr("rlike(term, anchored)"))
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_expansions)
-        .select("pattern", "term", "r")
-        .collect()  # bounded: <= |patterns| * max_expansions rows
-    )
-    for row in sorted(rows, key=lambda x: (x["pattern"], x["r"])):
-        out[row["pattern"]].append(row["term"])
-    return out
+        .select(F.col("pattern").alias("k1"), "term", "r")
+    )  # bounded: <= |patterns| * max_expansions rows

@@ -842,53 +842,127 @@ def wand_topk(
                 ).collect()
             ]
         asts = [(qid, k, parse_query(text)) for qid, k, text in qsrc]
-        # prefix leaves (round 4): expand driver-side against the index
-        # vocabulary BEFORE simplify — a dead stem folds through the tree
-        # exactly like an OOV term (see boolean.expand_prefixes_ast)
-        from angle_spark.query.boolean import expand_prefixes_ast, prefix_stems
+        # driver-side vocabulary rewrites (round 4 leaves, round-5 plan):
+        # prefix / fuzzy / regex leaves all expand against the index
+        # vocabulary BEFORE simplify (a dead leaf folds through the tree
+        # exactly like an OOV term). All three families are collected
+        # from the UNEXPANDED trees and resolved in ONE Spark action — a
+        # union of the three per-family frames — instead of three
+        # sequential collect() round-trips: at low parallelism the fixed
+        # per-job scheduling cost was a measurable slice of query
+        # latency (round-4 scaling finding). Collecting the work lists
+        # up front is sound because no expander ever CREATES another
+        # family's leaves — at worst a family member of a query another
+        # family kills expands unused (bounded rows, never wrong).
+        from angle_spark.query.boolean import (
+            expand_fuzzy_ast,
+            expand_prefixes_ast,
+            expand_regex_ast,
+            fuzzy_pairs,
+            prefix_stems,
+            regex_patterns,
+        )
 
-        stems = sorted(set().union(*(prefix_stems(a) for _, _, a in asts)))
-        if stems:
-            from angle_spark.query.prefix import expand_stems
+        stems = sorted(set().union(set(), *(prefix_stems(a) for _, _, a in asts)))
+        fuzz = sorted(set().union(set(), *(fuzzy_pairs(a) for _, _, a in asts)))
+        pats = sorted(set().union(set(), *(regex_patterns(a) for _, _, a in asts)))
+        if (stems or fuzz or pats) and isinstance(tstats, pd.DataFrame):
+            # bounded-vocab serving opt-in: the pandas expanders run
+            # zero Spark jobs, so there is no round-trip to batch away
+            stem_exp = fz_exp = rx_exp = None
+            if stems:
+                from angle_spark.query.prefix import expand_stems
 
-            expansions = expand_stems(spark, tstats, stems, max_expansions)
-            asts = [
-                (qid, k, e)
-                for qid, k, a in asts
-                if (e := expand_prefixes_ast(a, expansions)) is not None
-            ]
-        # fuzzy leaves (round 4): same driver-side rewrite, ranked by
-        # (edit distance, df, term) against the index vocabulary — a
-        # word with no near-enough term folds like a matchless stem
-        # (see boolean.expand_fuzzy_ast, query/fuzzy.py)
-        from angle_spark.query.boolean import expand_fuzzy_ast, fuzzy_pairs
+                stem_exp = expand_stems(spark, tstats, stems, max_expansions)
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_prefixes_ast(a, stem_exp)) is not None
+                ]
+            if fuzz:
+                from angle_spark.query.fuzzy import expand_fuzzy
 
-        fuzz = sorted(set().union(*(fuzzy_pairs(a) for _, _, a in asts)))
-        if fuzz:
-            from angle_spark.query.fuzzy import expand_fuzzy
+                fz_exp = expand_fuzzy(spark, tstats, fuzz, max_expansions)
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_fuzzy_ast(a, fz_exp)) is not None
+                ]
+            if pats:
+                from angle_spark.query.regex import expand_regex
 
-            fz_exp = expand_fuzzy(spark, tstats, fuzz, max_expansions)
-            asts = [
-                (qid, k, e)
-                for qid, k, a in asts
-                if (e := expand_fuzzy_ast(a, fz_exp)) is not None
-            ]
-        # regex leaves (round 4): the third vocabulary rewrite — the
-        # pattern full-matches terms, capped top-terms by (df, term);
-        # a matchless pattern folds like a matchless stem
-        # (see boolean.expand_regex_ast, query/regex.py)
-        from angle_spark.query.boolean import expand_regex_ast, regex_patterns
+                rx_exp = expand_regex(spark, tstats, pats, max_expansions)
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_regex_ast(a, rx_exp)) is not None
+                ]
+        elif stems or fuzz or pats:
+            frames = []
+            if stems:
+                from angle_spark.query import prefix as _px
 
-        pats = sorted(set().union(*(regex_patterns(a) for _, _, a in asts)))
-        if pats:
-            from angle_spark.query.regex import expand_regex
+                frames.append(
+                    _px.expansion_frame(spark, tstats, stems, max_expansions)
+                    .withColumn("kind", F.lit("p"))
+                    .withColumn("k2", F.lit(None).cast("int"))
+                )
+            if fuzz:
+                from angle_spark.query import fuzzy as _fz
 
-            rx_exp = expand_regex(spark, tstats, pats, max_expansions)
-            asts = [
-                (qid, k, e)
-                for qid, k, a in asts
-                if (e := expand_regex_ast(a, rx_exp)) is not None
-            ]
+                for _, d in fuzz:
+                    if not (1 <= d <= _fz.MAX_FUZZY_DIST):
+                        raise ValueError(
+                            f"fuzzy max_dist must be in 1..{_fz.MAX_FUZZY_DIST}, got {d}"
+                        )
+                frames.append(
+                    _fz.expansion_frame(spark, tstats, fuzz, max_expansions)
+                    .withColumn("kind", F.lit("f"))
+                )
+            if pats:
+                from angle_spark.query import regex as _rx
+
+                for p in pats:
+                    _rx.validate_pattern(p)
+                frames.append(
+                    _rx.expansion_frame(spark, tstats, pats, max_expansions)
+                    .withColumn("kind", F.lit("r"))
+                    .withColumn("k2", F.lit(None).cast("int"))
+                )
+            union = frames[0]
+            for fdf in frames[1:]:
+                union = union.unionByName(fdf)
+            collected = union.collect()  # ONE action for all families
+            stem_exp: dict = {s: [] for s in stems}
+            fz_exp: dict = {p: [] for p in fuzz}
+            rx_exp: dict = {p: [] for p in pats}
+            for row in sorted(
+                collected, key=lambda x: (x["kind"], x["k1"], x["k2"] or 0, x["r"])
+            ):
+                if row["kind"] == "p":
+                    stem_exp[row["k1"]].append(row["term"])
+                elif row["kind"] == "f":
+                    fz_exp[(row["k1"], row["k2"])].append(row["term"])
+                else:
+                    rx_exp[row["k1"]].append(row["term"])
+            if stems:
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_prefixes_ast(a, stem_exp)) is not None
+                ]
+            if fuzz:
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_fuzzy_ast(a, fz_exp)) is not None
+                ]
+            if pats:
+                asts = [
+                    (qid, k, e)
+                    for qid, k, a in asts
+                    if (e := expand_regex_ast(a, rx_exp)) is not None
+                ]
         # field leaves (round 5): resolve every (field, value) pair the
         # query set mentions against the caller's metadata frame — ONE
         # scan covers all pairs; each pair becomes a shard-cogrouped

@@ -639,3 +639,55 @@ def test_field_leaves_compose_with_deletes(spark, index_dir, corpus, tmp_path_fa
         )["doc_id"]
     )
     assert after == before - set(victims)
+
+
+def test_mixed_expansion_is_one_driver_action(spark, index_dir, monkeypatch):
+    """round-5 query-latency fix: a boolean batch mixing prefix, fuzzy
+    AND regex leaves resolves all three vocabulary rewrites in ONE
+    Spark action (a union of the three expansion frames), not three
+    sequential collect() round-trips. Count every DataFrame.collect the
+    driver issues while PLANNING the batch: one for the query rows, one
+    for the combined expansion — exactly two."""
+    # Spark 4: pyspark.sql.DataFrame is abstract; the classic session
+    # instantiates the subclass, so patch where collect actually lives
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    merged, tstats, meta = load_index(spark, index_dir)
+    queries = [
+        ("x1", "w00* AND w0137", 10),
+        ("x2", "w012~1 OR w0042", 10),
+        ("x3", "/w00[0-9]+/ AND w0042", 10),
+    ]
+    calls = []
+    orig = SparkDF.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(SparkDF, "collect", counting)
+    out = wand_topk(
+        spark, merged, tstats, meta, _qdf(spark, queries), mode="boolean"
+    )
+    planning_collects = len(calls)
+    monkeypatch.setattr(SparkDF, "collect", orig)
+    assert planning_collects == 2, planning_collects
+    # and the rewrites were actually applied: results match the same
+    # trees expanded via the stand-alone per-family expanders
+    from angle_spark.query.fuzzy import expand_fuzzy
+    from angle_spark.query.prefix import expand_stems
+    from angle_spark.query.regex import expand_regex
+
+    st = expand_stems(spark, tstats, ["w00"], 64)["w00"]
+    fz = expand_fuzzy(spark, tstats, [("w012", 1)], 64)[("w012", 1)]
+    rx = expand_regex(spark, tstats, ["w00[0-9]+"], 64)["w00[0-9]+"]
+    assert st and fz and rx
+    lit = [
+        ("x1", f"({' OR '.join(st)}) AND w0137", 10),
+        ("x2", f"({' OR '.join(fz)}) OR w0042", 10),
+        ("x3", f"({' OR '.join(rx)}) AND w0042", 10),
+    ]
+    want = _frame(
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, lit), mode="boolean")
+    )
+    pd.testing.assert_frame_equal(_frame(out), want, check_dtype=False)
