@@ -823,6 +823,77 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCORE EXPLAIN (round 5, Lucene IndexSearcher.explain analog):
+#     per-hit (term, tf, dl, idf, contribution) breakdown of the top-k —
+#     query/explain.py decodes candidate blocks once (mapInPandas over
+#     the codec), broadcasts the k·|queries| hits in, and the oracle
+#     rebuilds every row from first principles (ranked CTE -> per-term
+#     contribution join). The sum-to-score identity is pytest-asserted
+#     exactly (tests/test_explain.py); the driver hash checks the rows.
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.explain import explain_hits
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(spark, _cached_doc_index(spark, sf_dir))
+    queries = _doc_queries_df(spark)
+    results = wand_topk(spark, merged, tstats, meta, queries)
+    exp = explain_hits(spark, merged, tstats, meta, queries, results)
+    return exp.select(
+        "query_id",
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
+def _explain_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql()}
+), contrib AS (
+  SELECT qt.query_id, qt.k, tf.doc_id, qt.term, tf.tf, dl.dl,
+         ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) AS idf,
+         ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+), ranked AS (
+  SELECT query_id, doc_id, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sum(c) DESC, doc_id ASC
+         ) AS rnk
+  FROM contrib GROUP BY query_id, doc_id, k
+)
+SELECT c.query_id, c.doc_id, c.term, c.tf, c.dl,
+       round(c.idf, 6) AS idf, round(c.c, 6) AS contribution
+FROM contrib c JOIN ranked r
+  ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rnk <= r.k
+"""
+
+
 # Stemmed-analyzer rendition (round 5): the v2 analyzer (Lucene
 # StandardAnalyzer's 33 English stopwords + Harman's S-stemmer,
 # functions/tokenizer.py) is shared by engine and oracle in all three
@@ -3094,6 +3165,7 @@ QUERIES = {
     "bm25_boolean": q_bm25_boolean,
     "bm25_field_query": q_bm25_field_query,
     "bm25_stemmed": q_bm25_stemmed,
+    "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_regex": q_bm25_regex,
     "bm25_boosted": q_bm25_boosted,
@@ -3199,6 +3271,7 @@ ORACLE_SQL = {
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
+    "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
     ),

@@ -160,6 +160,19 @@ class Searcher:
             out = hydrate(out, hydrate_with, hydrate_columns)
         return out
 
+    def explain(self, queries, results: DataFrame) -> DataFrame:
+        """Per-hit BM25 breakdown (query/explain.py): one row per
+        (hit, matching query term) with (tf, dl, idf, contribution);
+        the ascending-term fold of a hit's contributions equals its
+        reported score exactly."""
+        from angle_spark.query.explain import explain_hits
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        return explain_hits(
+            self.spark, self._merged, self._tstats, self.meta, queries, results
+        )
+
     def close(self) -> None:
         if self._merged is not None:
             self._merged.unpersist()
