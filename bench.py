@@ -341,11 +341,28 @@ def run_scale_leg(cpus: int) -> dict:
     # vocab serving but is deliberately NOT what the scaling bench times.
     n_queries = 400
     queries = bench_queries_pdf(n_queries)
+
+    def _total_jobs() -> int | None:
+        # Spark job counter off the status store — measures the fixed
+        # per-batch scheduling overhead suspected of taxing the 4-core
+        # query ratio (VERDICT r4 #6: "measure per-leg job counts")
+        try:
+            return spark._jsc.sc().statusStore().jobsList(None).size()
+        except Exception:
+            return None
+
+    jobs_before = _total_jobs()
     query_secs = []
     for _ in range(3):
         t0 = time.monotonic()
         wand_topk(spark, merged, tstats, meta, queries).count()
         query_secs.append(time.monotonic() - t0)
+    jobs_after = _total_jobs()
+    query_jobs = (
+        round((jobs_after - jobs_before) / 3.0, 1)
+        if jobs_before is not None and jobs_after is not None
+        else None
+    )
     merged.unpersist()
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -361,6 +378,7 @@ def run_scale_leg(cpus: int) -> dict:
         "turns_per_sec": round(n_turns / min(build_secs), 1),
         "spimi_turns_per_sec": round(n_turns / min(spimi_secs), 1),
         "queries_per_sec": round(n_queries / min(query_secs), 2),
+        "query_jobs_per_run": query_jobs,
         "scratch": scratch or "disk",
     }
 
