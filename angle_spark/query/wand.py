@@ -40,15 +40,18 @@ from angle_spark.codec import (
     B,
     K1,
     decode_doc_deltas,
+    decode_doc_deltas_concat,
     decode_positions,
     decode_tfs,
     decode_varints,
+    decode_varints_concat,
 )
 from angle_spark.index.build import IndexMeta
 from angle_spark.index.deletes import mask_postings
 from angle_spark.index.stats import idf_value
 
-SHARD_SEGMENTS = None  # auto: ~4 shards per core (see wand_topk)
+SHARD_SEGMENTS = None  # auto: data-derived shard count (see _shard_and_rank)
+SHARD_TARGET_DOCS = 32768  # docs per scoring shard (auto shard sizing)
 
 # MaxScore engages only for query batches at most this large. Measured on
 # the 2M-turn index (BENCH.md): single-query calls win 1.1-1.3x from
@@ -83,10 +86,21 @@ def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
 
 
 def _topk_arrays(doc_ids: np.ndarray, scores: np.ndarray, k: int):
-    if len(doc_ids) > k:
-        sel = np.lexsort((doc_ids, -scores))[:k]
-        return doc_ids[sel], scores[sel]
-    return doc_ids, scores
+    n = len(doc_ids)
+    if n <= k:
+        return doc_ids, scores
+    if k <= 0:
+        return doc_ids[:0], scores[:0]
+    if n > 4 * k:
+        # O(n) pre-select before the O(m log m) sort: every (score desc,
+        # doc asc) top-k member scores >= the kth-largest score value, so
+        # thresholding at it keeps a superset (ties included) — selection
+        # over the survivors is identical to sorting the full array
+        thr = np.partition(scores, n - k)[n - k]
+        keep = scores >= thr
+        doc_ids, scores = doc_ids[keep], scores[keep]
+    sel = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[sel], scores[sel]
 
 
 def _block_bounds(g: pd.DataFrame, idf: float, avgdl: float) -> np.ndarray:
@@ -321,16 +335,57 @@ def _score_shard_multi(
     def term_arrays(term):
         """whole-term concatenated (docs, tf, denom) for this shard —
         one vectorized accumulate per (query, term) instead of one tiny
-        numpy op per block per query."""
+        numpy op per block per query.
+
+        Decode is BATCHED across the term's blocks (codec
+        decode_varints_concat): block rows hold <= BLOCK_SIZE values, so
+        per-call numpy overhead on tiny arrays — not byte volume — was
+        57% of shard-task CPU at the 2M-doc scale bench. Value-identical
+        to the per-block decode() path by the codec's concat contract;
+        tombstone/allow masking applies to the concatenated arrays with
+        the same elementwise semantics as the per-block masking."""
         hit = term_cache.get(term)
         if hit is None:
-            parts = [decode(row) for row in by_term[term].itertuples(index=False)]
-            hit = (
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-                np.concatenate([p[2] for p in parts]),
-            )
+            g = by_term[term]
+            d = decode_doc_deltas_concat(g["docs_bin"].tolist())
+            tf_v, _ = decode_varints_concat(g["tfs_bin"].tolist())
+            dl_v, _ = decode_varints_concat(g["dls_bin"].tolist())
+            tf = (tf_v.astype(np.int64) + 1).astype(np.float64)
+            dl = dl_v.astype(np.float64)
+            if allowed is not None:
+                if allowed.size == 0:
+                    d, tf, dl = d[:0], tf[:0], dl[:0]
+                else:
+                    idx = np.searchsorted(allowed, d)
+                    idx[idx == allowed.size] = 0
+                    keep = allowed[idx] == d
+                    if not keep.all():
+                        d, tf, dl = d[keep], tf[keep], dl[keep]
+            elif deleted is not None:
+                keep = mask_postings(d, deleted)
+                if keep is not None:
+                    d, tf, dl = d[keep], tf[keep], dl[keep]
+            denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+            hit = (d, tf, denom)
             term_cache[term] = hit
+        return hit
+
+    fold_cache: dict[tuple, tuple] = {}
+
+    def term_fold(term, idf):
+        """(local indices, BM25 contributions) for one (term, idf) —
+        the accumulator fold's two operands, cached so every query that
+        repeats a head term (stopword-heavy batches) reuses the arrays.
+        Keyed by (term, idf) because boolean ^boosts scale idf per
+        query; the contribution expression is character-identical to
+        the inline fold it replaces, so cached folds stay bit-identical
+        to the oracle."""
+        key = (term, idf)
+        hit = fold_cache.get(key)
+        if hit is None:
+            d, tf, denom = term_arrays(term)
+            hit = (d - base, idf * tf * (K1 + 1.0) / denom)
+            fold_cache[key] = hit
         return hit
 
     conjunctive = mode in ("and", "phrase", "near", "mm")
@@ -345,20 +400,23 @@ def _score_shard_multi(
         this path."""
         hit = pos_cache.get(term)
         if hit is None:
-            docs_l, flat_l, len_l = [], [], []
-            for row in by_term[term].itertuples(index=False):
-                d0 = decode_doc_deltas(row.docs_bin)
-                tf0 = decode_tfs(row.tfs_bin)
-                flat, bounds = decode_positions(row.pos_bin, tf0)
-                docs_l.append(d0)
+            # positions still decode per block (decode_positions needs
+            # the block's tf groups for its carry-undo), but docs/tfs
+            # batch-decode across the term's blocks like term_arrays
+            g = by_term[term]
+            docs_c = decode_doc_deltas_concat(g["docs_bin"].tolist())
+            tf_v, tf_counts = decode_varints_concat(g["tfs_bin"].tolist())
+            tfs_c = tf_v.astype(np.int64) + 1
+            flat_l = []
+            at = 0
+            for pos_bin, n in zip(g["pos_bin"].tolist(), tf_counts):
+                flat, _ = decode_positions(pos_bin, tfs_c[at : at + n])
                 flat_l.append(flat)
-                len_l.append(np.diff(bounds))
-            docs_c = np.concatenate(docs_l)
-            lens_c = np.concatenate(len_l)
+                at += int(n)
             hit = (
                 docs_c,
-                np.concatenate(flat_l),
-                np.concatenate(([0], np.cumsum(lens_c))),
+                np.concatenate(flat_l) if flat_l else np.empty(0, np.int64),
+                np.concatenate(([0], np.cumsum(tfs_c))),
             )
             pos_cache[term] = hit
         return hit
@@ -520,9 +578,8 @@ def _score_shard_multi(
                 continue
             idx_parts = []
             for term, idf in present:
-                d, tf, denom = term_arrays(term)
-                li = d - base
-                acc[li] += idf * tf * (K1 + 1.0) / denom
+                li, contrib = term_fold(term, idf)
+                acc[li] += contrib
                 idx_parts.append(li)
             doc_ids = full + base
             scores = acc[full].copy()
@@ -550,10 +607,9 @@ def _score_shard_multi(
                 continue
             idx_parts = []
             for term, idf in present:
-                d, tf, denom = term_arrays(term)
+                li, contrib = term_fold(term, idf)
                 term_heat[term] = term_heat.get(term, 0) + 1
-                li = d - base
-                acc[li] += idf * tf * (K1 + 1.0) / denom
+                acc[li] += contrib
                 cnt[li] += 1  # (term, doc) unique -> one bump per term
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
@@ -627,6 +683,16 @@ def _score_shard_multi(
                 present, by_term, decode, term_arrays, acc, acc2, base, avgdl,
                 k, term_heat, bounds_cache,
             )
+        elif len(present) == 1:
+            # warm single-term (batch regime): the cached contribution
+            # array IS the score vector (0 + contrib is bit-exact), and
+            # a term's local indices are already sorted unique — no
+            # accumulator writes, no np.unique
+            term, idf = present[0]
+            li, contrib = term_fold(term, idf)
+            term_heat[term] = term_heat.get(term, 0) + 1
+            doc_ids = li + base
+            scores = contrib
         else:
             # exhaustive multi-term (prune=False, or every term warm — the
             # batch regime, where cached full-term accumulate beats any
@@ -634,10 +700,9 @@ def _score_shard_multi(
             # IS the oracle fold, no rescore needed
             idx_parts = []
             for term, idf in present:
-                d, tf, denom = term_arrays(term)
+                li, contrib = term_fold(term, idf)
                 term_heat[term] = term_heat.get(term, 0) + 1
-                li = d - base
-                acc[li] += idf * tf * (K1 + 1.0) / denom
+                acc[li] += contrib
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
             doc_ids = hit + base
@@ -1140,11 +1205,19 @@ def _shard_and_rank(
     b_qt = spark.sparkContext.broadcast(grouped)
 
     if shard_segments is None:
-        # enough shards to keep every core busy (scoring parallelism),
-        # few enough that shared decode/term caches still amortize
+        # shard count is DATA-derived (~SHARD_TARGET_DOCS docs/shard), not
+        # cluster-derived: the same index answers the same query batch
+        # with the same physical work at every cluster size, so adding
+        # executors divides wall time instead of multiplying per-shard
+        # fixed cost (the round-5 scaling finding: parallelism-derived
+        # shards made the 4x cluster do 4x the per-query fold setups).
+        # The 2x-parallelism floor only binds when the corpus is small
+        # relative to the cluster — scoring parallelism then still covers
+        # every core.
         n_segments = max(1, (meta.n_docs + meta.segment_docs - 1) // meta.segment_docs)
         par = spark.sparkContext.defaultParallelism
-        shard_segments = max(1, n_segments // (par * 4))
+        target_shards = max(par * 2, -(-meta.n_docs // SHARD_TARGET_DOCS))
+        shard_segments = max(1, n_segments // target_shards)
     cand = merged.filter(F.col("term").isin(cand_terms))
     if not keep_positions and "pos_bin" in cand.columns:
         # positions roughly double a positional index's block bytes and

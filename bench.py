@@ -66,8 +66,12 @@ def _bench_spark(app_name: str, cpus: int):
         local = os.path.join(scratch, "spark_local")
         os.makedirs(local, exist_ok=True)
         extra["spark.local.dir"] = local
+    # 4x-cores shuffle partitions: shard/groupBy stages get several small
+    # tasks per core, so hash-bin skew (65 shard keys in 16 bins puts 7 in
+    # one bin) amortizes through dynamic scheduling instead of setting the
+    # stage makespan — standard over-decomposition for CPU-bound stages
     return get_spark(
-        app_name=app_name, cores=cpus, shuffle_partitions=cpus, extra_conf=extra
+        app_name=app_name, cores=cpus, shuffle_partitions=cpus * 4, extra_conf=extra
     ), scratch
 
 
@@ -339,8 +343,16 @@ def run_scale_leg(cpus: int) -> dict:
     # query-term set per batch (the scale path — the full vocabulary never
     # reaches the driver). The cached-pandas opt-in exists for bounded-
     # vocab serving but is deliberately NOT what the scaling bench times.
-    n_queries = 400
+    # 1600 queries: the THROUGHPUT regime. A 400-query batch finishes in
+    # ~4.5s at 16 cores, so the ~2s per-batch fixed cost (driver planning
+    # + AQE stage submits + the latency-bound tstats/merge jobs, measured
+    # round 5 via per-job submission/completion times) dominates the
+    # ratio; the fold caches also amortize across a bigger batch. The
+    # 400-query batch is timed too (query_secs_small) so BENCH.md can
+    # attribute the small-batch scaling gap to that fixed cost.
+    n_queries = 1600
     queries = bench_queries_pdf(n_queries)
+    queries_small = bench_queries_pdf(400)
 
     def _total_jobs() -> int | None:
         # Spark job counter off the status store — measures the fixed
@@ -358,6 +370,11 @@ def run_scale_leg(cpus: int) -> dict:
         wand_topk(spark, merged, tstats, meta, queries).count()
         query_secs.append(time.monotonic() - t0)
     jobs_after = _total_jobs()
+    query_secs_small = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        wand_topk(spark, merged, tstats, meta, queries_small).count()
+        query_secs_small.append(time.monotonic() - t0)
     query_jobs = (
         round((jobs_after - jobs_before) / 3.0, 1)
         if jobs_before is not None and jobs_after is not None
@@ -372,12 +389,15 @@ def run_scale_leg(cpus: int) -> dict:
         "build_secs": [round(s, 2) for s in build_secs],
         "spimi_secs": [round(s, 2) for s in spimi_secs],
         "query_secs": [round(s, 2) for s in query_secs],
+        "query_secs_small": [round(s, 2) for s in query_secs_small],
         "n_queries": n_queries,
+        "n_queries_small": 400,
         # best-of-N: the VM shows up-to-3x slow windows (see BENCH.md);
         # best run reflects capability at each parallelism level
         "turns_per_sec": round(n_turns / min(build_secs), 1),
         "spimi_turns_per_sec": round(n_turns / min(spimi_secs), 1),
         "queries_per_sec": round(n_queries / min(query_secs), 2),
+        "queries_per_sec_small": round(400 / min(query_secs_small), 2),
         "query_jobs_per_run": query_jobs,
         "scratch": scratch or "disk",
     }
@@ -436,6 +456,9 @@ def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
     eff_spimi = results[hi]["spimi_turns_per_sec"] / (
         ratio * results[lo]["spimi_turns_per_sec"]
     )
+    eff_query_small = results[hi]["queries_per_sec_small"] / (
+        ratio * results[lo]["queries_per_sec_small"]
+    )
     return {
         "metric": "scaling_efficiency",
         "unit": "ratio",
@@ -450,6 +473,7 @@ def run_scaling(levels: tuple[int, int] = (8, 32)) -> dict:
         "efficiency_indexing": round(eff_index, 3),
         "efficiency_spimi": round(eff_spimi, 3),
         "efficiency_query": round(eff_query, 3),
+        "efficiency_query_small_batch": round(eff_query_small, 3),
         "alu_probes": probes,
         "raw": {str(c): results[c] for c in levels},
     }
