@@ -185,9 +185,19 @@ def test_multiterm_prune_skips_decodes_and_matches(spark, index_dir, oracle):
         columns=["query_id", "k", "terms", "idfs"],
     )
 
+    # Count decoded BLOCKS through both decode primitives: the exhaustive
+    # fold batch-decodes a whole term via decode_doc_deltas_concat (one
+    # call, len(bufs) blocks) while MaxScore decodes per block through
+    # decode_doc_deltas so it can skip.
     calls = {"n": 0}
-    real = wand_mod.decode_doc_deltas
-    wand_mod.decode_doc_deltas = lambda b: (calls.__setitem__("n", calls["n"] + 1), real(b))[1]
+    real_one = wand_mod.decode_doc_deltas
+    real_concat = wand_mod.decode_doc_deltas_concat
+    wand_mod.decode_doc_deltas = (
+        lambda b: (calls.__setitem__("n", calls["n"] + 1), real_one(b))[1]
+    )
+    wand_mod.decode_doc_deltas_concat = (
+        lambda bufs: (calls.__setitem__("n", calls["n"] + len(bufs)), real_concat(bufs))[1]
+    )
     try:
         full = wand_mod._score_shard_multi(merged, qt, oracle.avgdl, prune=False)
         n_full = calls["n"]
@@ -195,7 +205,8 @@ def test_multiterm_prune_skips_decodes_and_matches(spark, index_dir, oracle):
         pruned = wand_mod._score_shard_multi(merged, qt, oracle.avgdl, prune=True)
         n_pruned = calls["n"]
     finally:
-        wand_mod.decode_doc_deltas = real
+        wand_mod.decode_doc_deltas = real_one
+        wand_mod.decode_doc_deltas_concat = real_concat
     pd.testing.assert_frame_equal(
         full.sort_values("doc_id").reset_index(drop=True),
         pruned.sort_values("doc_id").reset_index(drop=True),
