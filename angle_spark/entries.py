@@ -635,6 +635,29 @@ def _bool_match_sql(node, cap: int = BOOL_PREFIX_CAP) -> str:
         if f not in ("lang", "source"):
             raise ValueError(f"oracle field whitelist: unknown field {f!r}")
         return f"SELECT doc_id FROM documents WHERE {f} = '{v}'"
+    if kind == "range":
+        # field:[lo TO hi] membership: lexicographic comparison on the
+        # stringified metadata value — DuckDB's default VARCHAR collation
+        # is binary, matching Spark's UTF8_BINARY string comparison, so
+        # both renditions order 'src10' between 'src1' and 'src2' the
+        # same way (Lucene TermRangeQuery semantics). Same identifier
+        # whitelist as equality leaves; the synthetic zero-padded length
+        # field maps back to its documents expression.
+        f, lo, hi, il, ih = node[1], node[2], node[3], node[4], node[5]
+        exprs = {
+            "lang": "lang",
+            "source": "source",
+            "len": "lpad(CAST(n_chars AS VARCHAR), 6, '0')",
+        }
+        if f not in exprs:
+            raise ValueError(f"oracle field whitelist: unknown field {f!r}")
+        col = exprs[f]
+        conds = [f"{col} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"{col} {'>=' if il else '>'} '{lo.replace(chr(39), chr(39) * 2)}'")
+        if hi is not None:
+            conds.append(f"{col} {'<=' if ih else '<'} '{hi.replace(chr(39), chr(39) * 2)}'")
+        return f"SELECT doc_id FROM documents WHERE {' AND '.join(conds)}"
     if kind == "prefix":
         return (
             "SELECT DISTINCT doc_id FROM tf WHERE term IN ("
@@ -1010,6 +1033,91 @@ def q_bm25_field_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         tstats,
         meta,
         _doc_queries_df(spark, FIELD_QUERY_SET),
+        mode="boolean",
+        field_meta=fmeta,
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract and reasoning
+    # as q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# Range rendition (Lucene's TermRangeQuery, round 5): field:[lo TO hi]
+# filters membership by LEXICOGRAPHIC comparison on the stringified
+# metadata value — deliberately including the classic gotcha that
+# src10..src19 sort between src1 and src2 (rq1-rq3 pin it), with
+# zero-padded values as the standard numeric-range practice (rq5 over
+# len = lpad(n_chars)). Cases: inclusive range spanning the gotcha
+# (rq1), exclusive bounds (rq2), open hi where src2 > src18 (rq3), open
+# lo (rq4), zero-padded numeric (rq5), negated range (rq6), dead OR arm
+# from an empty range (rq7), field-exists [* TO *] (rq8), inverted
+# interval matches nothing (rq9), OVERLAPPING predicates — equality
+# inside a range on the same field — each resolved independently
+# (rq10).
+RANGE_QUERY_SET: list[tuple[str, str, int]] = [
+    ("rq1", "scan AND source:[src1 TO src2]", 1000),
+    ("rq2", "merge AND source:{src1 TO src2}", 1000),
+    ("rq3", "dup AND source:[src18 TO *]", 1000),
+    ("rq4", "batch AND lang:[* TO de]", 1000),
+    ("rq5", '"hash join" AND len:[000100 TO 000400]', 1000),
+    ("rq6", "scan AND NOT source:[src1 TO src3]", 1000),
+    ("rq7", "dup AND (lang:[en TO es] OR (batch AND source:[zz TO *]))", 1000),
+    ("rq8", "merge AND lang:[* TO *]", 1000),
+    ("rq9", "scan AND lang:[es TO de]", 1000),
+    ("rq10", "dup AND source:src2 AND source:[src1 TO src3]", 1000),
+]
+
+
+# --- RANGE-FILTERED retrieval over the positional compressed index:
+#     field:[lo TO hi] / {lo TO hi} leaves (Lucene TermRangeQuery)
+#     resolve against the same (doc_id, field, value) metadata frame as
+#     equality leaves — one overlap-safe scan (array+explode, a row
+#     joins EVERY predicate set it satisfies), docID sets on the
+#     cogrouped tombstone channel (query/wand.py mode="boolean").
+#     Comparison is lexicographic on the stringified value in BOTH
+#     renditions (Spark UTF8_BINARY == DuckDB binary VARCHAR collation),
+#     so src10 < src2 agrees by construction. The len field is
+#     lpad(n_chars, 6, '0') — the standard Lucene practice for numeric
+#     term ranges. Reference analog: retrieval prompts scope queries by
+#     role metadata (reference angle_emb/angle.py:64-87).
+def q_bm25_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long").alias("doc_id")
+    fmeta = (
+        docs.select(did, F.lit("lang").alias("field"),
+                    F.col("lang").cast("string").alias("value"))
+        .unionByName(
+            docs.select(did, F.lit("source").alias("field"),
+                        F.col("source").cast("string").alias("value"))
+        )
+        .unionByName(
+            docs.select(
+                did,
+                F.lit("len").alias("field"),
+                F.lpad(F.col("n_chars").cast("string"), 6, "0").alias("value"),
+            )
+        )
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, RANGE_QUERY_SET),
         mode="boolean",
         field_meta=fmeta,
     )
@@ -3164,6 +3272,7 @@ QUERIES = {
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
     "bm25_field_query": q_bm25_field_query,
+    "bm25_range_query": q_bm25_range_query,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3271,6 +3380,7 @@ ORACLE_SQL = {
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
+    "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

@@ -77,6 +77,26 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                — never broadcast. Boost on a field leaf is rejected
                (it could never score).
 
+- ``field:[lo TO hi]`` / ``field:{lo TO hi}`` — field range leaf
+               (round 5, Lucene's TermRangeQuery): matches documents
+               whose metadata ``field`` falls in the bound interval
+               under LEXICOGRAPHIC (byte-order) string comparison on
+               the stringified value — exactly Lucene's keyword-field
+               range semantics, including its classic gotcha that
+               ``src10`` sorts between ``src1`` and ``src2`` (numeric
+               ranges want zero-padded values, the standard Lucene
+               TermRange practice). ``[``/``]`` are inclusive bounds,
+               ``{``/``}`` exclusive, mixed forms allowed; ``*`` is an
+               open bound (``field:[* TO *]`` = field-exists query).
+               Bounds with spaces go in quotes (``ts:["2024-01-01 00:00"
+               TO *]``). Range leaves are FILTERS exactly like equality
+               field leaves: same coverage rule (every OR arm and the
+               root need a scoring positive leaf), same resolution
+               (one metadata scan, docID sets on the cogrouped tombstone
+               channel), boost rejected. An inverted interval
+               (lo > hi) or an unseen value range simply matches
+               nothing.
+
 - ``leaf^w``   query-time boost (round 4, Lucene's ``^``): multiplies
                the leaf's BM25 score contribution by ``w`` (> 0; ``<1``
                demotes). Valid on word, ``"phrase"``, ``"prox"~n``,
@@ -93,6 +113,7 @@ AST nodes are plain picklable tuples (they ride the query broadcast):
 
     ("term",   token)
     ("field",  name, value)           # driver-side; wand maps it to ("fieldset", id)
+    ("range",  name, lo, hi, incl_lo, incl_hi)  # driver-side; None bound = open
     ("fieldset", id)                  # shipped form: shard-local docID-set lookup
     ("prefix", stem)                  # driver-side only; expanded before shipping
     ("fuzzy",  token, max_dist)       # driver-side only; expanded before shipping
@@ -123,6 +144,11 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
+        (?P<frange>(?P<gname>[A-Za-z_][A-Za-z0-9_]*):
+            (?P<lb>[\[\{])\s*
+            (?P<lo>"[^"]*"|[^\s\]\}]+)\s+TO\s+
+            (?P<hi>"[^"]*"|[^\s\]\}]+)\s*
+            (?P<rb>[\]\}])) |
         (?P<fielded>(?P<fname>[A-Za-z_][A-Za-z0-9_]*):"(?P<fbody>[^"]*)") |
         (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
         (?P<regex>/(?P<rbody>[^/]*)/(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
@@ -167,6 +193,19 @@ def _lex(text: str) -> list[tuple[str, object]]:
             out.append(("(", None))
         elif m.group("rparen"):
             out.append((")", None))
+        elif m.group("frange") is not None:
+            out.append(
+                (
+                    "rangetok",
+                    (
+                        m.group("gname"),
+                        m.group("lb"),
+                        m.group("lo"),
+                        m.group("hi"),
+                        m.group("rb"),
+                    ),
+                )
+            )
         elif m.group("fielded") is not None:
             out.append(("field", (m.group("fname"), m.group("fbody"))))
         elif m.group("quoted") is not None:
@@ -282,6 +321,24 @@ class _Parser:
                     f"field leaf {name}:\"\" has an empty value: {self.text!r}"
                 )
             return ("field", name.lower(), value)
+        if kind == "rangetok":
+            name, lb, lo, hi, rb = val
+
+            def bound(raw):
+                if raw == "*":
+                    return None
+                if raw.startswith('"') and raw.endswith('"'):
+                    return raw[1:-1]
+                return raw
+
+            return (
+                "range",
+                name.lower(),
+                bound(lo),
+                bound(hi),
+                lb == "[",
+                rb == "]",
+            )
         if kind == "word":
             if val in _OPS:  # defensive; lexer routed ops already
                 raise BooleanQueryError(f"operator {val} used as term")
@@ -354,7 +411,7 @@ def _covered(node) -> bool:
     kind = node[0]
     if kind == "boost":
         return _covered(node[1])
-    if kind == "field":
+    if kind in ("field", "range"):
         return False
     if kind == "and":
         return any(_covered(c) for c in node[1])
@@ -428,7 +485,10 @@ def _expand_leaves_ast(node, leaf_kind: str, key, expansions: dict):
         if len(terms) == 1:
             return ("term", terms[0])
         return ("or", [("term", t) for t in terms])
-    if kind in ("term", "phrase", "prefix", "fuzzy", "regex", "field", "fieldset"):
+    if kind in (
+        "term", "phrase", "prefix", "fuzzy", "regex",
+        "field", "range", "fieldset",
+    ):
         return node
     if kind == "and":
         pos = [_expand_leaves_ast(c, leaf_kind, key, expansions) for c in node[1]]
@@ -494,22 +554,35 @@ def expand_regex_ast(node, expansions: dict[str, list[str]]):
     return _expand_leaves_ast(node, "regex", lambda n: n[1], expansions)
 
 
-def field_pairs(node) -> set[tuple[str, str]]:
-    """All (field, value) pairs in the tree (positive or negated) — the
-    driver-side resolution work list for wand_topk's field_meta frame."""
-    return _collect_leaves(node, "field", lambda n: (n[1], n[2]))
+def field_predicates(node) -> set[tuple]:
+    """All field-filter predicates in the tree (positive or negated) —
+    the driver-side resolution work list for wand_topk's field_meta
+    frame. Equality leaves key as ``("eq", field, value)``; range
+    leaves as ``("range", field, lo, hi, incl_lo, incl_hi)`` with None
+    for an open bound. Distinct predicates may OVERLAP on the same
+    field (two ranges, or an equality inside a range) — the resolver
+    must assign a metadata row to EVERY predicate it satisfies, not
+    just the first."""
+    return _collect_leaves(
+        node, "field", lambda n: ("eq", n[1], n[2])
+    ) | _collect_leaves(
+        node, "range", lambda n: ("range", n[1], n[2], n[3], n[4], n[5])
+    )
 
 
-def map_field_leaves(node, fid_of: dict[tuple[str, str], int]):
-    """Replace every ("field", f, v) leaf with the shippable
-    ("fieldset", id) form — the shard evaluator looks the id up in its
-    cogrouped per-leaf docID sets. Runs AFTER simplify (field leaves are
-    never dead driver-side, so the tree shape is unchanged)."""
+def map_field_leaves(node, fid_of: dict[tuple, int]):
+    """Replace every ("field", f, v) / ("range", f, lo, hi, il, ih)
+    leaf with the shippable ("fieldset", id) form — the shard evaluator
+    looks the id up in its cogrouped per-leaf docID sets. Runs AFTER
+    simplify (field leaves are never dead driver-side, so the tree
+    shape is unchanged)."""
     kind = node[0]
     if kind == "boost":
         return ("boost", map_field_leaves(node[1], fid_of), node[2])
     if kind == "field":
-        return ("fieldset", fid_of[(node[1], node[2])])
+        return ("fieldset", fid_of[("eq", node[1], node[2])])
+    if kind == "range":
+        return ("fieldset", fid_of[("range", *node[1:])])
     if kind == "and":
         return (
             "and",
@@ -646,10 +719,11 @@ def simplify(node, vocab) -> object | None:
             "(expand_prefixes_ast/expand_fuzzy_ast; wand_topk "
             "mode='boolean' does this)"
         )
-    if kind in ("field", "fieldset"):
+    if kind in ("field", "range", "fieldset"):
         # field membership is resolved at scoring time against the
         # metadata frame — driver-side it is never provably dead (an
-        # unseen value simply yields an empty docID set)
+        # unseen value or inverted range simply yields an empty docID
+        # set)
         return node
     if kind == "term":
         return node if node[1] in vocab else None

@@ -830,16 +830,18 @@ def wand_topk(
     conjunctive mode is; a query with fewer than m in-vocabulary tokens
     can match nothing and is dropped driver-side.
 
-    ``field_meta`` (mode="boolean" only) resolves ``field:value`` leaves:
-    a (doc_id, field, value) DataFrame — for transcripts typically the
+    ``field_meta`` (mode="boolean" only) resolves ``field:value``
+    equality leaves and ``field:[lo TO hi]`` range leaves (lexicographic
+    on the stringified value — Lucene TermRangeQuery semantics): a
+    (doc_id, field, value) DataFrame — for transcripts typically the
     unpivoted metadata columns (role, tool; reference prompts draw the
     same query-vs-passage role distinction, reference
-    angle_emb/angle.py:64-87). Each (field, value) pair the query set
+    angle_emb/angle.py:64-87). Each field predicate the query set
     mentions becomes ONE docID set that rides the same shard-cogrouped
     channel as tombstones (never broadcast, one metadata scan for all
-    pairs); field leaves gate membership but never score (filter
-    context — the parser guarantees every matched doc still carries a
-    scoring term).
+    predicates, overlap-safe); field leaves gate membership but never
+    score (filter context — the parser guarantees every matched doc
+    still carries a scoring term).
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     if mode not in ("or", "and", "phrase", "near", "boolean", "prefix", "mm"):
@@ -1028,14 +1030,22 @@ def wand_topk(
                     for qid, k, a in asts
                     if (e := expand_regex_ast(a, rx_exp)) is not None
                 ]
-        # field leaves (round 5): resolve every (field, value) pair the
-        # query set mentions against the caller's metadata frame — ONE
-        # scan covers all pairs; each pair becomes a shard-cogrouped
-        # docID set keyed by a small integer id (the tombstone channel,
-        # never a broadcast)
-        from angle_spark.query.boolean import field_pairs, map_field_leaves
+        # field leaves (round 5): resolve every field predicate the
+        # query set mentions — equality (field:value) and range
+        # (field:[lo TO hi], lexicographic on the stringified value) —
+        # against the caller's metadata frame. ONE scan covers all
+        # predicates; each becomes a shard-cogrouped docID set keyed by
+        # a small integer id (the tombstone channel, never a
+        # broadcast). A row is assigned to EVERY predicate it satisfies
+        # (array + explode, not a first-match when-chain): predicates
+        # can overlap on the same field (two ranges, or an equality
+        # inside a range).
+        from angle_spark.query.boolean import field_predicates, map_field_leaves
 
-        fpairs = sorted(set().union(set(), *(field_pairs(a) for _, _, a in asts)))
+        fpairs = sorted(
+            set().union(set(), *(field_predicates(a) for _, _, a in asts)),
+            key=repr,  # range predicates hold None bounds; repr totalizes
+        )
         if fpairs and field_meta is None:
             raise ValueError(
                 "boolean query has field: leaves but no field_meta frame "
@@ -1050,19 +1060,37 @@ def wand_topk(
                 F.col("field").cast("string").alias("field"),
                 F.col("value").cast("string").alias("value"),
             )
-            expr = None
-            for (f, v), fid in fid_of.items():
-                hit = (F.col("field") == F.lit(f)) & (F.col("value") == F.lit(v))
-                expr = (
-                    F.when(hit, F.lit(fid))
-                    if expr is None
-                    else expr.when(hit, F.lit(fid))
-                )
-            fieldsets = (
-                fm.withColumn("leaf", expr)
-                .filter(F.col("leaf").isNotNull())
-                .select("doc_id", F.col("leaf").cast("long").alias("leaf"))
-            )
+            arms = []
+            for pred, fid in fid_of.items():
+                if pred[0] == "eq":
+                    _, f, v = pred
+                    hit = (F.col("field") == F.lit(f)) & (
+                        F.col("value") == F.lit(v)
+                    )
+                else:  # ("range", f, lo, hi, incl_lo, incl_hi)
+                    _, f, lo, hi, il, ih = pred
+                    # a NULL value never falls in a range — even a fully
+                    # open one ([* TO *] is Lucene's field-exists query)
+                    hit = (F.col("field") == F.lit(f)) & F.col(
+                        "value"
+                    ).isNotNull()
+                    if lo is not None:
+                        hit = hit & (
+                            F.col("value") >= F.lit(lo)
+                            if il
+                            else F.col("value") > F.lit(lo)
+                        )
+                    if hi is not None:
+                        hit = hit & (
+                            F.col("value") <= F.lit(hi)
+                            if ih
+                            else F.col("value") < F.lit(hi)
+                        )
+                arms.append(F.when(hit, F.lit(fid)))
+            fieldsets = fm.select(
+                "doc_id",
+                F.explode(F.array_compact(F.array(*arms))).alias("leaf"),
+            ).select("doc_id", F.col("leaf").cast("long").alias("leaf"))
         all_terms = sorted(
             {t for _, _, a in asts for t in query_terms(a)[1]}
         )

@@ -526,6 +526,15 @@ def _field_matches(node, tk, role):
         return node[1] in tk
     if kind == "field":
         return node[1] == "role" and role == node[2]
+    if kind == "range":
+        _, f, lo, hi, il, ih = node
+        if f != "role" or role is None:
+            return False
+        if lo is not None and not (role >= lo if il else role > lo):
+            return False
+        if hi is not None and not (role <= hi if ih else role < hi):
+            return False
+        return True
     if kind == "phrase":
         return _matches(node, tk)
     if kind == "and":
@@ -639,6 +648,143 @@ def test_field_leaves_compose_with_deletes(spark, index_dir, corpus, tmp_path_fa
         )["doc_id"]
     )
     assert after == before - set(victims)
+
+
+# --- field:[lo TO hi] range leaves (round 5) -----------------------------
+
+
+def test_range_parse_shapes():
+    """grammar: inclusive/exclusive/mixed/open/quoted bounds; the same
+    filter-coverage rejections as equality field leaves."""
+    assert parse_query("a AND role:[x TO y]")[1][1] == (
+        "range", "role", "x", "y", True, True)
+    assert parse_query("a AND role:{x TO y}")[1][1] == (
+        "range", "role", "x", "y", False, False)
+    assert parse_query("a AND role:[x TO y}")[1][1] == (
+        "range", "role", "x", "y", True, False)
+    assert parse_query("a AND role:[* TO y]")[1][1] == (
+        "range", "role", None, "y", True, True)
+    assert parse_query("a AND role:[* TO *]")[1][1] == (
+        "range", "role", None, None, True, True)
+    assert parse_query('a AND ts:["2024-01-01 00:00" TO *]')[1][1] == (
+        "range", "ts", "2024-01-01 00:00", None, True, True)
+    for bad in (
+        "role:[a TO b]",                 # bare filter
+        "x OR role:[a TO b]",            # uncovered OR arm
+        "x AND role:[a TO b]^2",         # boost on a filter leaf
+    ):
+        with pytest.raises(BooleanQueryError):
+            parse_query(bad)
+
+
+def test_range_leaves_match_golden(spark, index_dir, corpus):
+    """inclusive/exclusive/open bounds, negated range, field-exists
+    [* TO *], inverted interval — membership == per-doc lexicographic
+    truth over (tokens, role); scores == the positive-TERM fold."""
+    ordered, toks, oracle = corpus
+    roles = sorted(set(ordered["role"]))
+    a, b = toks[0][3], toks[0][4]
+    r_lo, r_hi = roles[0], roles[-1]
+    queries = [
+        ("rg1", f"{a} AND role:[{r_lo} TO {r_hi}]", 1000),   # all roles
+        ("rg2", f"{a} AND role:[{r_lo} TO {r_hi}}}", 1000),  # excl. hi
+        ("rg3", f"{a} AND role:{{{r_lo} TO *]", 1000),       # excl. lo, open hi
+        ("rg4", f"{a} AND NOT role:[* TO {r_lo}]", 1000),    # negated
+        ("rg5", f"({a} OR {b}) AND role:[* TO *]", 1000),    # exists
+        ("rg6", f"{a} AND role:[{r_hi} TO {r_lo}]", 10),     # inverted: empty
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    got = _frame(
+        wand_topk(
+            spark, merged, tstats, meta, _qdf(spark, queries),
+            mode="boolean", field_meta=_field_meta(spark, corpus),
+        )
+    )
+    from angle_spark.query.boolean import query_terms
+
+    rows = []
+    role_of = list(ordered["role"])
+    for qid, text, k in queries:
+        ast = parse_query(text)
+        matched = {
+            d
+            for d, (tk, r) in enumerate(zip(toks, role_of))
+            if _field_matches(ast, tk, r)
+        }
+        pos_terms, _ = query_terms(ast)
+        ranked = [
+            (d, s)
+            for d, s in oracle.score_query(" ".join(pos_terms), oracle.n_docs)
+            if d in matched
+        ]
+        for rank, (doc_id, score) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    # the bound shapes provably bind: rg2 ⊊ rg1, rg3 ⊊ rg1, rg6 empty
+    n = {q: (want["query_id"] == q).sum() for q, _, _ in queries}
+    assert 0 < n["rg2"] < n["rg1"] and 0 < n["rg3"] < n["rg1"]
+    assert n["rg6"] == 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+
+
+def test_overlapping_field_predicates_resolve_independently(
+    spark, index_dir, corpus
+):
+    """two predicates on the SAME field where one CONTAINS the other —
+    an equality inside a range, in separate OR arms — must each get the
+    full docID set they match. A first-match when-chain resolver would
+    assign each metadata row to only one predicate and silently drop
+    the second arm's matches (the round-5 array+explode rewrite's
+    regression case)."""
+    ordered, toks, oracle = corpus
+    roles = sorted(set(ordered["role"]))
+    a, b = toks[0][3], toks[0][4]
+    r0, r_hi = roles[0], roles[-1]
+    queries = [
+        # arm 1: a within the full range; arm 2: b with role == r0.
+        # every role-r0 row satisfies BOTH predicates.
+        ("ov1", f"({a} AND role:[{r0} TO {r_hi}]) OR ({b} AND role:{r0})", 1000),
+        # same two predicates ANDed: doc needs role r0 (the intersection)
+        ("ov2", f"{a} AND role:[{r0} TO {r_hi}] AND role:{r0}", 1000),
+    ]
+    merged, tstats, meta = load_index(spark, index_dir)
+    got = _frame(
+        wand_topk(
+            spark, merged, tstats, meta, _qdf(spark, queries),
+            mode="boolean", field_meta=_field_meta(spark, corpus),
+        )
+    )
+    from angle_spark.query.boolean import query_terms
+
+    rows = []
+    role_of = list(ordered["role"])
+    for qid, text, k in queries:
+        ast = parse_query(text)
+        matched = {
+            d
+            for d, (tk, r) in enumerate(zip(toks, role_of))
+            if _field_matches(ast, tk, r)
+        }
+        pos_terms, _ = query_terms(ast)
+        ranked = [
+            (d, s)
+            for d, s in oracle.score_query(" ".join(pos_terms), oracle.n_docs)
+            if d in matched
+        ]
+        for rank, (doc_id, score) in enumerate(ranked[:k], start=1):
+            rows.append((qid, rank, doc_id, score))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    # the overlap case is only probative if arm 2 contributes docs that
+    # arm 1 cannot (b-only docs with role r0)
+    b_only_r0 = {
+        d
+        for d, (tk, r) in enumerate(zip(toks, role_of))
+        if b in tk and a not in tk and r == r0
+    }
+    assert b_only_r0, "corpus lost the b-only/role-r0 docs the test needs"
+    got_ov1 = set(got[got["query_id"] == "ov1"]["doc_id"])
+    assert b_only_r0 <= got_ov1
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
 
 
 def test_mixed_expansion_is_one_driver_action(spark, index_dir, monkeypatch):
