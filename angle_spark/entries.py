@@ -387,6 +387,7 @@ def _bm25_matches_scored_sql(
     qterms_sql: str,
     rank_on_rounded: bool = False,
     boosted: bool = False,
+    offset: int = 0,
 ) -> str:
     """Shared scoring skeleton for every membership-then-score oracle
     (phrase / near / boolean): a `matches` CTE of (query_id, k, doc_id)
@@ -403,8 +404,13 @@ def _bm25_matches_scored_sql(
     query-time ^w weight, max over leaves) and each term's contribution
     is ln(idf-arg) * boost * tf * 2.2 / denom — the same left-to-right
     association as the engine's (idf * boost) * tf * (k1+1) / denom, so
-    per-element products stay bit-identical."""
+    per-element products stay bit-identical.
+
+    offset: pagination (Lucene searchAfter's shallow cousin) — keep the
+    global-rank page (offset, offset + k], matching
+    wand_topk(offset=...)'s global-rank contract."""
     rank_key = "round(raw, 6)" if rank_on_rounded else "raw"
+    page = f"rnk > {offset} AND rnk <= {offset} + k" if offset else "rnk <= k"
     boost_factor = " * qt.boost" if boosted else ""
     toks = duckdb_tokens_sql("text")
     return f"""
@@ -445,7 +451,7 @@ WITH docs AS (
   FROM scored
 )
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
-FROM ranked WHERE rnk <= k
+FROM ranked WHERE {page}
 """
 
 
@@ -743,6 +749,8 @@ def _fuzzy_expansion_sql(word: str, max_dist: int, cap: int = BOOL_PREFIX_CAP) -
 def _bm25_boolean_oracle_sql(
     query_set: list[tuple[str, str, int]] = BOOL_QUERY_SET,
     cap: int = BOOL_PREFIX_CAP,
+    rank_on_rounded: bool = True,
+    offset: int = 0,
 ) -> str:
     from angle_spark.query.boolean import parse_query, positive_leaves_boosted
 
@@ -803,8 +811,45 @@ def _bm25_boolean_oracle_sql(
         + ") GROUP BY query_id, term"
     )
     return _bm25_matches_scored_sql(
-        matches, qterms, rank_on_rounded=True, boosted=boosted
+        matches, qterms, rank_on_rounded=rank_on_rounded, boosted=boosted,
+        offset=offset,
     )
+
+
+def _bool_count_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    """Total-hits oracle: the same algorithm-independent membership CTEs
+    as _bm25_boolean_oracle_sql, counted instead of scored — truth for
+    count_matches() / Searcher.count(). Queries matching nothing emit no
+    row (GROUP BY over an empty group), matching the engine contract."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text), cap)})"
+        for qid, text, _k in query_set
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT query_id, count(DISTINCT doc_id)::BIGINT AS total_hits
+FROM matches GROUP BY query_id
+"""
 
 
 # --- BOOLEAN query trees over the positional compressed index: AND/OR/
@@ -1132,6 +1177,79 @@ def q_bm25_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+    )
+
+
+# Pagination page: global ranks 11..25 (offset=10, k=15) — deep enough
+# that the page boundary crosses real score mass, shallow enough that
+# every query still fills its page. pg5's dead OR arm checks a page
+# over a single-term answer set.
+PAGED_QUERY_SET: list[tuple[str, str, int]] = [
+    ("pg1", "dup OR spark", 15),
+    ("pg2", "hash AND join", 15),
+    ("pg3", "scan OR merge OR batch", 15),
+    ("pg4", "filter AND NOT merge", 15),
+    ("pg5", "zzzz OR dup", 15),
+]
+PAGE_OFFSET = 10
+
+
+# --- PAGINATED retrieval (round 5): wand_topk(offset=10) returns the
+#     global-rank page (10, 25] — shard-local selection keeps offset+k
+#     candidates (the disclosed Solr/ES deep-paging cost), the final
+#     window filters to the page, and ranks stay GLOBAL so consecutive
+#     pages tile the unpaged ranking exactly. The oracle ranks on the
+#     raw score (bit-identical fold both sides) and applies the same
+#     page predicate.
+def q_bm25_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, PAGED_QUERY_SET),
+        mode="boolean",
+        offset=PAGE_OFFSET,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# --- TOTAL HITS (round 5, Lucene TotalHitCountCollector /
+#     track_total_hits): count_matches() returns the EXACT matched-doc
+#     count per query — same one-shuffle job shape, a sum-aggregate
+#     instead of the rank window, pruning forced off (exact totals and
+#     early termination are mutually exclusive, as in Lucene). Runs the
+#     full boolean query set so counts cover AND/OR/NOT, phrase,
+#     proximity and prefix trees; the oracle counts the same
+#     membership CTEs the scored boolean oracle ranks.
+def q_bm25_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import count_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = count_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, BOOL_QUERY_SET),
+        mode="boolean",
+    )
+    return out.select(
+        "query_id", F.col("total_hits").cast("long").alias("total_hits")
     )
 
 
@@ -3273,6 +3391,8 @@ QUERIES = {
     "bm25_boolean": q_bm25_boolean,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
+    "bm25_paged": q_bm25_paged,
+    "bm25_total_hits": q_bm25_total_hits,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3381,6 +3501,10 @@ ORACLE_SQL = {
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
+    "bm25_paged": _bm25_boolean_oracle_sql(
+        PAGED_QUERY_SET, rank_on_rounded=False, offset=PAGE_OFFSET
+    ),
+    "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

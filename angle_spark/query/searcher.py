@@ -114,6 +114,7 @@ class Searcher:
         min_match: int | None = None,
         synonyms: DataFrame | None = None,
         field_meta: DataFrame | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -155,10 +156,25 @@ class Searcher:
             max_expansions=max_expansions,
             min_match=min_match,
             field_meta=field_meta,
+            offset=offset,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)
         return out
+
+    def count(self, queries, **kwargs) -> DataFrame:
+        """-> (query_id, total_hits): exact per-query matched-doc counts
+        (Lucene TotalHitCountCollector analog — see wand.count_matches).
+        Accepts the same mode/doc_filter/field_meta keywords as search;
+        the session's tombstones apply."""
+        from angle_spark.query.wand import count_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return count_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries, **kwargs
+        )
 
     def explain(self, queries, results: DataFrame) -> DataFrame:
         """Per-hit BM25 breakdown (query/explain.py): one row per

@@ -62,6 +62,7 @@ SHARD_TARGET_DOCS = 32768  # docs per scoring shard (auto shard sizing)
 MAXSCORE_MAX_BATCH = 4
 
 _OUT_SCHEMA = "query_id string, doc_id long, score double"
+_COUNT_SCHEMA = "query_id string, n long"
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -241,9 +242,16 @@ def _score_shard_multi(
     slop: int = 0,
     allowed: np.ndarray | None = None,
     field_sets: dict[int, np.ndarray] | None = None,
+    count_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
+
+    count_only=True returns (query_id, n) — the shard's exact matched
+    count per query instead of scored rows. Requires prune=False (the
+    caller enforces it): every non-pruned branch materializes the full
+    distinct matched-doc set before top-k selection, so the count is
+    len(doc_ids) with zero extra work.
 
     Sharing: each block decodes at most once per shard task, and the
     idf-free impact array computes once — cached across every query that
@@ -710,11 +718,28 @@ def _score_shard_multi(
             # reset only touched cells (span stays clean for the next query)
             acc[hit] = 0.0
 
+        if count_only:
+            # prune=False (enforced by the caller) means every branch
+            # above produced the complete distinct matched set
+            assert not prune
+            out_q.append(np.array([q.query_id], dtype=object))
+            out_d.append(np.array([len(doc_ids)], dtype=np.int64))
+            continue
+
         doc_ids, scores = _topk_arrays(doc_ids, scores, k)
         out_q.append(np.full(len(doc_ids), q.query_id, dtype=object))
         out_d.append(doc_ids)
         out_s.append(scores)
 
+    if count_only:
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "n": []})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "n": np.concatenate(out_d),
+            }
+        )
     if not out_q:
         return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
     return pd.DataFrame(
@@ -748,8 +773,28 @@ def wand_topk(
     max_expansions: int = 64,
     min_match: int | None = None,
     field_meta: DataFrame | None = None,
+    offset: int = 0,
+    collector: str = "topk",
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    ``offset`` (round 5, Lucene searchAfter's shallow-paging cousin):
+    return global ranks (offset, offset + k] — page 2 of a 10-hit page
+    is offset=10, k=10, ranks 11..20. Shard-local selection keeps
+    offset + k candidates per query (exactly the offset+k cost
+    Solr/Elasticsearch document for deep paging — the offset is paid,
+    not hidden), the final per-query window is unchanged, and the
+    returned ``rank`` stays GLOBAL so pages tile the unpaged ranking.
+
+    ``collector="count"`` (round 5, Lucene TotalHitCountCollector):
+    return (query_id, total_hits) — the EXACT number of matching docs
+    per query, no ranking, no top-k. Counting forces the exhaustive
+    path (prune=False — like Lucene's trackTotalHits, exact totals and
+    early termination are mutually exclusive); each shard emits one
+    (query, matched-count) row and a sum-aggregate replaces the rank
+    window, so the job shape is the same one shuffle. Queries that
+    match nothing (or die driver-side as OOV) emit no row — consistent
+    with the topk collector. Use the count_matches() wrapper.
 
     mode="or" (default) is standard disjunctive BM25 top-k; mode="and"
     keeps only docs matching ALL distinct query tokens (conjunctive
@@ -858,6 +903,24 @@ def wand_topk(
         raise ValueError("min_match is only valid with mode='mm'")
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
+    if collector not in ("topk", "count"):
+        raise ValueError(f"collector must be 'topk' or 'count', got {collector!r}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    if collector == "count":
+        if offset:
+            raise ValueError("offset is meaningless with collector='count'")
+        prune = False  # exact totals need the exhaustive path (see docstring)
+    elif offset:
+        # shard-local selection must keep enough candidates to survive
+        # the page filter: inflate every query's k by the offset; the
+        # final window then returns global ranks (offset, k + offset]
+        if isinstance(queries, pd.DataFrame):
+            queries = queries.assign(k=queries["k"].astype(int) + offset)
+        else:
+            queries = queries.withColumn(
+                "k", (F.col("k") + F.lit(offset)).cast("int")
+            )
     # analyzer dispatch (round 5): queries tokenize with the SAME
     # versioned analyzer the index was built with (IndexMeta.analyzer;
     # Lucene's Analyzer-per-index contract). The structured-grammar
@@ -1140,7 +1203,7 @@ def wand_topk(
         return _shard_and_rank(
             spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
             prune, shard_segments, deletes, mode, slop, doc_filter,
-            fieldsets=fieldsets,
+            fieldsets=fieldsets, offset=offset, collector=collector,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1197,6 +1260,29 @@ def wand_topk(
     return _shard_and_rank(
         spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
         prune, shard_segments, deletes, mode, slop, doc_filter,
+        offset=offset, collector=collector,
+    )
+
+
+def count_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, total_hits): the EXACT number of matching docs per
+    query, for any retrieval mode wand_topk supports (or / and / phrase /
+    near / mm / boolean, with deletes / doc_filter / field_meta) — the
+    Lucene TotalHitCountCollector / Elasticsearch track_total_hits
+    analog. Same one-shuffle job shape as top-k retrieval; counting
+    forces the exhaustive scoring path (exact totals and block pruning
+    are mutually exclusive, exactly as in Lucene). The ``k`` column of
+    ``queries`` is ignored. Queries matching nothing emit no row."""
+    kwargs.pop("collector", None)
+    return wand_topk(
+        spark, merged, tstats, meta, queries, collector="count", **kwargs
     )
 
 
@@ -1215,10 +1301,14 @@ def _shard_and_rank(
     slop: int,
     doc_filter: DataFrame | None,
     fieldsets: DataFrame | None = None,
+    offset: int = 0,
+    collector: str = "topk",
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
-    global per-query window top-k. See wand_topk's docstring.
+    global per-query window top-k (collector="topk"; ranks
+    (offset, k]) or per-query matched-count sum (collector="count").
+    See wand_topk's docstring.
 
     ``fieldsets`` (boolean mode): a (doc_id, leaf) frame — the resolved
     docID set of each field:value leaf. It rides the SAME cogrouped side
@@ -1226,6 +1316,8 @@ def _shard_and_rank(
     per-leaf membership arrays, leaf == -1 rows are the base
     tombstone/allow set."""
     if not rows:
+        if collector == "count":
+            return spark.createDataFrame([], "query_id string, total_hits long")
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
@@ -1277,14 +1369,17 @@ def _shard_and_rank(
     if fieldsets is not None:
         side = fieldsets if side is None else side.unionByName(fieldsets)
 
+    count_only = collector == "count"
+    out_schema = _COUNT_SCHEMA if count_only else _OUT_SCHEMA
     if side is None:
 
         def fn(key, pdf):
             return _score_shard_multi(
-                pdf, b_qt.value, avgdl, prune, mode=mode, slop=slop
+                pdf, b_qt.value, avgdl, prune, mode=mode, slop=slop,
+                count_only=count_only,
             )
 
-        local = cand.groupBy("shard").applyInPandas(fn, schema=_OUT_SCHEMA)
+        local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
     else:
         # a doc's shard is a pure function of its docID (segment_id =
         # doc_id // segment_docs), so the docID set (tombstones, an
@@ -1298,6 +1393,8 @@ def _shard_and_rank(
 
         def fn2(key, pdf, ids):
             if len(pdf) == 0:
+                if count_only:
+                    return pd.DataFrame({"query_id": [], "n": []})
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
@@ -1316,20 +1413,33 @@ def _shard_and_rank(
                 slop=slop,
                 allowed=arr if allow else None,
                 field_sets=fsets,
+                count_only=count_only,
             )
 
         local = (
             cand.groupby("shard")
             .cogroup(side.groupby("shard"))
-            .applyInPandas(fn2, schema=_OUT_SCHEMA)
+            .applyInPandas(fn2, schema=out_schema)
+        )
+    if count_only:
+        # shard-local matched counts are disjoint by construction (a
+        # doc's postings live in exactly one shard), so the global total
+        # is a plain sum — no rank window, no k
+        return local.groupBy("query_id").agg(
+            F.sum("n").cast("long").alias("total_hits")
         )
     kdf = spark.createDataFrame(
         [(qid, k) for qid, k, _, _ in tokenized], schema="query_id string, k int"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         local.join(F.broadcast(kdf), "query_id")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
     )
+    if offset:
+        # k was inflated by the offset driver-side; the page is the
+        # global-rank window (offset, k]. rank stays GLOBAL so
+        # consecutive pages tile the unpaged ranking exactly.
+        out = out.filter(F.col("rank") > F.lit(offset))
+    return out.select("query_id", "rank", "doc_id", "score")

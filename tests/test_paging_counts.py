@@ -1,0 +1,193 @@
+"""Pagination (wand_topk(offset=...)) and exact total-hit counting
+(count_matches / Searcher.count) — round 5.
+
+Contracts under test:
+- pages carry GLOBAL ranks and tile the unpaged ranking exactly
+  (page1 + page2 + page3 == top-30, bitwise);
+- an offset past a query's answer set yields an empty page, not an
+  error;
+- counts are the EXACT distinct matched-doc totals per query for every
+  retrieval mode, equal to brute-force truth over (tokens, tree) and to
+  the row count of a full (k > corpus) wand_topk call;
+- counting composes with doc_filter, and Searcher.count applies the
+  session's tombstones.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from angle_spark.functions.tokenizer import tokenize_py
+from angle_spark.index.build import build_index, load_index
+from angle_spark.index.stats import with_tokens
+from angle_spark.operators.docids import assign_doc_ids
+from angle_spark.query.boolean import parse_query
+from angle_spark.query.wand import count_matches, wand_topk
+from angle_spark.synth import transcripts_df, transcripts_pdf
+
+N_CONVS = 30
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    tp = transcripts_pdf(N_CONVS, seed=SEED)
+    ordered = tp.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    toks = [tokenize_py(t if isinstance(t, str) else "") for t in ordered["text"]]
+    return ordered, toks
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    docs = with_tokens(
+        assign_doc_ids(transcripts_df(spark, N_CONVS, seed=SEED, partitions=4))
+    ).select("doc_id", "tokens", "dl")
+    out = str(tmp_path_factory.mktemp("paging") / "idx")
+    build_index(spark, docs, out, segment_docs=128, block_size=16, positional=True)
+    return out
+
+
+def _qdf(spark, queries):
+    return spark.createDataFrame(queries, schema="query_id string, text string, k int")
+
+
+def _common_terms(toks, n=4):
+    from collections import Counter
+
+    cnt = Counter(t for tk in toks for t in set(tk))
+    return [t for t, _ in cnt.most_common(n)]
+
+
+def test_offset_pages_tile_ranking(spark, index_dir, corpus):
+    _, toks = corpus
+    a, b, c, _ = _common_terms(toks)
+    queries = [("p1", f"{a} {b}", 10), ("p2", f"{b} {c}", 10)]
+    merged, tstats, meta = load_index(spark, index_dir)
+    full = (
+        wand_topk(spark, merged, tstats, meta,
+                  _qdf(spark, [(q, t, 30) for q, t, _ in queries]))
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pages = []
+    for off in (0, 10, 20):
+        pg = wand_topk(
+            spark, merged, tstats, meta, _qdf(spark, queries), offset=off
+        ).toPandas()
+        if off:
+            assert (pg["rank"] > off).all() and (pg["rank"] <= off + 10).all()
+        pages.append(pg)
+    tiled = (
+        pd.concat(pages).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(tiled, full)
+    # boolean mode pages tile too
+    bq = [("p3", f"{a} AND NOT {c}", 8)]
+    bfull = (
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, [("p3", f"{a} AND NOT {c}", 16)]),
+                  mode="boolean")
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    btiled = pd.concat([
+        wand_topk(spark, merged, tstats, meta, _qdf(spark, bq),
+                  mode="boolean", offset=off).toPandas()
+        for off in (0, 8)
+    ]).sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(btiled, bfull)
+
+
+def test_offset_past_answer_set_is_empty(spark, index_dir, corpus):
+    _, toks = corpus
+    a = _common_terms(toks, 1)[0]
+    merged, tstats, meta = load_index(spark, index_dir)
+    n_matched = sum(1 for tk in toks if a in tk)
+    pg = wand_topk(
+        spark, merged, tstats, meta, _qdf(spark, [("q", a, 10)]),
+        offset=n_matched,
+    ).toPandas()
+    assert len(pg) == 0
+
+
+def test_offset_and_collector_validation(spark, index_dir):
+    merged, tstats, meta = load_index(spark, index_dir)
+    q = _qdf(spark, [("q", "x", 5)])
+    with pytest.raises(ValueError, match="offset"):
+        wand_topk(spark, merged, tstats, meta, q, offset=-1)
+    with pytest.raises(ValueError, match="collector"):
+        wand_topk(spark, merged, tstats, meta, q, collector="bogus")
+    with pytest.raises(ValueError, match="offset"):
+        wand_topk(spark, merged, tstats, meta, q, collector="count", offset=5)
+
+
+def test_count_matches_all_modes(spark, index_dir, corpus):
+    """counts == brute-force distinct matched docs, per mode; k ignored."""
+    _, toks = corpus
+    a, b, c, d = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+
+    def got(queries, **kw):
+        out = count_matches(
+            spark, merged, tstats, meta, _qdf(spark, queries), **kw
+        ).toPandas()
+        return dict(zip(out["query_id"], out["total_hits"]))
+
+    # or-mode: union; k=1 proves k is ignored
+    g = got([("o1", f"{a} {b}", 1), ("o2", "zzzznope", 1)])
+    assert g == {"o1": sum(1 for tk in toks if a in tk or b in tk)}
+    # and-mode: intersection
+    g = got([("a1", f"{a} {c}", 1)], mode="and")
+    assert g == {"a1": sum(1 for tk in toks if a in tk and c in tk)}
+    # boolean trees (incl. NOT)
+    text = f"({a} OR {b}) AND NOT {d}"
+    ast = parse_query(text)
+
+    def m(tk):
+        return (a in tk or b in tk) and d not in tk
+
+    g = got([("b1", text, 1)], mode="boolean")
+    assert g == {"b1": sum(1 for tk in toks if m(tk))}
+    # count == row count of the full (k > corpus) retrieval
+    full = wand_topk(
+        spark, merged, tstats, meta,
+        _qdf(spark, [("b1", text, 10_000)]), mode="boolean",
+    ).toPandas()
+    assert g["b1"] == len(full)
+
+
+def test_count_composes_with_doc_filter(spark, index_dir, corpus):
+    _, toks = corpus
+    a = _common_terms(toks, 1)[0]
+    merged, tstats, meta = load_index(spark, index_dir)
+    half = [d for d in range(len(toks)) if d % 2 == 0]
+    allow = spark.createDataFrame([(int(d),) for d in half], "doc_id long")
+    out = count_matches(
+        spark, merged, tstats, meta, _qdf(spark, [("q", a, 1)]),
+        doc_filter=allow,
+    ).toPandas()
+    want = sum(1 for d in half if a in toks[d])
+    assert dict(zip(out["query_id"], out["total_hits"])) == {"q": want}
+
+
+def test_searcher_count_applies_tombstones(
+    spark, index_dir, corpus, tmp_path_factory
+):
+    import shutil
+
+    from angle_spark.index.deletes import delete_docs
+    from angle_spark.query.searcher import Searcher
+
+    _, toks = corpus
+    a = _common_terms(toks, 1)[0]
+    idx = str(tmp_path_factory.mktemp("countdel") / "idx")
+    shutil.copytree(index_dir, idx)
+    victims = [d for d in range(len(toks)) if a in toks[d]][:3]
+    assert len(victims) == 3
+    delete_docs(
+        spark, idx, spark.createDataFrame([(int(v),) for v in victims], "doc_id long")
+    )
+    s = Searcher(spark, idx)
+    out = s.count(_qdf(spark, [("q", a, 1)])).toPandas()
+    want = sum(1 for d, tk in enumerate(toks) if a in tk) - 3
+    assert dict(zip(out["query_id"], out["total_hits"])) == {"q": want}
+    s.close()
