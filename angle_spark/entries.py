@@ -1253,6 +1253,94 @@ def q_bm25_total_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sort-by-field: membership from the query terms, ranking by a corpus
+# metadata key (longest-document-first here). sb3's rare term checks a
+# sub-k answer set; sb4 is conjunctive membership under field sort.
+SORT_QUERY_SET: list[tuple[str, str, int]] = [
+    ("sb1", "dup spark", 12),
+    ("sb2", "scan merge batch", 12),
+    ("sb3", "zzzz dup", 12),
+    ("sb4", "hash join", 12),
+]
+
+
+# --- SORT-BY-FIELD retrieval (round 5, Lucene Sort / SortField):
+#     wand_topk(sort_meta=(doc_id, sort_key)) ranks the matched docs by
+#     the key instead of relevance — longest-document-first here
+#     (sort_key = n_chars; in transcript serving it is the turn ts for
+#     most-recent-first). The key frame rides the shard-cogrouped
+#     tombstone channel (one narrow shuffle per batch — the disclosed
+#     doc_filter shape; index-time docvalues are the persisted variant
+#     at serving scale); selection is per-shard top-k by key, ties on
+#     doc_id, missing keys sort last, pruning forced off (score bounds
+#     say nothing about sort keys). The returned score column IS the
+#     key. Oracle: membership CTE joined to the metadata column,
+#     ORDER BY key DESC, doc_id.
+def q_bm25_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    smeta = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("sort_key"),
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, SORT_QUERY_SET),
+        sort_meta=smeta,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("score").alias("sort_key"),
+    )
+
+
+def _sort_by_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Sort-by-field truth: disjunctive term membership (tf CTE), the
+    n_chars metadata key, ORDER BY key DESC with the doc_id tiebreak —
+    none of the engine's shard/cogroup machinery."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    parts = []
+    for qid, text, k in query_set:
+        toks = sorted(set(tokenize_py(text)))
+        inlist = ", ".join(f"'{t}'" for t in toks)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, {k} AS k, doc_id "
+            f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({inlist}))"
+        )
+    matches = "\n  UNION ALL\n  ".join(parts)
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), matches AS (
+  {matches}
+), ranked AS (
+  SELECT m.query_id, m.k, m.doc_id, CAST(d.n_chars AS DOUBLE) AS sort_key,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY d.n_chars DESC, m.doc_id ASC) AS rnk
+  FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT query_id, rnk AS rank, doc_id, sort_key
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- BOOSTED retrieval over the positional compressed index: query-time
 #     ^w weights fold into each term's idf driver-side (one float
 #     multiply — the shard fold is unchanged and stays bit-identical to
@@ -3393,6 +3481,7 @@ QUERIES = {
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
     "bm25_total_hits": q_bm25_total_hits,
+    "bm25_sort_by": q_bm25_sort_by,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3505,6 +3594,7 @@ ORACLE_SQL = {
         PAGED_QUERY_SET, rank_on_rounded=False, offset=PAGE_OFFSET
     ),
     "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
+    "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

@@ -115,6 +115,8 @@ class Searcher:
         synonyms: DataFrame | None = None,
         field_meta: DataFrame | None = None,
         offset: int = 0,
+        sort_meta: DataFrame | None = None,
+        sort_ascending: bool = False,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -157,6 +159,8 @@ class Searcher:
             min_match=min_match,
             field_meta=field_meta,
             offset=offset,
+            sort_meta=sort_meta,
+            sort_ascending=sort_ascending,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)

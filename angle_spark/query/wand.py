@@ -243,6 +243,7 @@ def _score_shard_multi(
     allowed: np.ndarray | None = None,
     field_sets: dict[int, np.ndarray] | None = None,
     count_only: bool = False,
+    sort_keys: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -726,6 +727,20 @@ def _score_shard_multi(
             out_d.append(np.array([len(doc_ids)], dtype=np.int64))
             continue
 
+        if sort_keys is not None:
+            # sort-by-field (prune=False enforced: membership complete):
+            # the sort key REPLACES relevance for selection and output;
+            # docs missing a key sort last (-inf under the shared
+            # largest-first selection)
+            assert not prune
+            sdocs, svals = sort_keys
+            scores = np.full(len(doc_ids), -np.inf)
+            if sdocs.size:
+                pos = np.searchsorted(sdocs, doc_ids)
+                pos[pos == sdocs.size] = 0
+                hitk = sdocs[pos] == doc_ids
+                scores[hitk] = svals[pos[hitk]]
+
         doc_ids, scores = _topk_arrays(doc_ids, scores, k)
         out_q.append(np.full(len(doc_ids), q.query_id, dtype=object))
         out_d.append(doc_ids)
@@ -775,8 +790,28 @@ def wand_topk(
     field_meta: DataFrame | None = None,
     offset: int = 0,
     collector: str = "topk",
+    sort_meta: DataFrame | None = None,
+    sort_ascending: bool = False,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    ``sort_meta`` (round 5, Lucene Sort / SortField analog): a
+    (doc_id, sort_key double) DataFrame — when given, results rank by
+    the SORT KEY instead of relevance (descending by default,
+    ``sort_ascending=True`` reverses — e.g. most-recent-first transcript
+    retrieval with sort_key = unix ts). Membership is unchanged (any
+    mode, composes with deletes/doc_filter/field_meta/offset); the
+    returned ``score`` column carries the sort key (Lucene's
+    TopFieldDocs shape — relevance is not computed), ties break on
+    doc_id ascending, and docs MISSING from sort_meta sort LAST
+    (Lucene's missing-value default). Sorting disables block pruning
+    (score bounds say nothing about sort keys — Lucene early-terminates
+    only with index-time sorting, which this disclosed per-batch path
+    does not assume). The key frame rides the same shard-cogrouped
+    channel as tombstones — one narrow-frame shuffle per query BATCH,
+    the same disclosed shape as doc_filter allow-lists; at persistent
+    serving scale, index-time docvalues (pre-partitioned key files)
+    would replace the per-batch ship. One row per doc_id.
 
     ``offset`` (round 5, Lucene searchAfter's shallow-paging cousin):
     return global ranks (offset, offset + k] — page 2 of a 10-hit page
@@ -910,6 +945,8 @@ def wand_topk(
     if collector == "count":
         if offset:
             raise ValueError("offset is meaningless with collector='count'")
+        if sort_meta is not None:
+            raise ValueError("sort_meta is meaningless with collector='count'")
         prune = False  # exact totals need the exhaustive path (see docstring)
     elif offset:
         # shard-local selection must keep enough candidates to survive
@@ -921,6 +958,11 @@ def wand_topk(
             queries = queries.withColumn(
                 "k", (F.col("k") + F.lit(offset)).cast("int")
             )
+    if sort_meta is not None:
+        # sort keys replace relevance: membership must be complete
+        # (pruned blocks could hide the max-key doc), so the exhaustive
+        # path is forced, exactly like counting
+        prune = False
     # analyzer dispatch (round 5): queries tokenize with the SAME
     # versioned analyzer the index was built with (IndexMeta.analyzer;
     # Lucene's Analyzer-per-index contract). The structured-grammar
@@ -1204,6 +1246,7 @@ def wand_topk(
             spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
             prune, shard_segments, deletes, mode, slop, doc_filter,
             fieldsets=fieldsets, offset=offset, collector=collector,
+            sort_meta=sort_meta, sort_ascending=sort_ascending,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1261,6 +1304,7 @@ def wand_topk(
         spark, merged, meta, tokenized, rows, cand_terms, keep_positions,
         prune, shard_segments, deletes, mode, slop, doc_filter,
         offset=offset, collector=collector,
+        sort_meta=sort_meta, sort_ascending=sort_ascending,
     )
 
 
@@ -1303,6 +1347,8 @@ def _shard_and_rank(
     fieldsets: DataFrame | None = None,
     offset: int = 0,
     collector: str = "topk",
+    sort_meta: DataFrame | None = None,
+    sort_ascending: bool = False,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -1368,6 +1414,22 @@ def _shard_and_rank(
         side = side.withColumn("leaf", F.lit(-1).cast("long"))
     if fieldsets is not None:
         side = fieldsets if side is None else side.unionByName(fieldsets)
+    if side is not None:
+        # the side channel gains a value column only sort keys use;
+        # tombstone/allow/fieldset rows carry NULL
+        side = side.withColumn("val", F.lit(None).cast("double"))
+    if sort_meta is not None:
+        # sort keys ride the same cogrouped channel, tagged leaf = -2;
+        # ascending sorts negate the key here so the shared
+        # largest-first selection and final window stay unchanged (the
+        # final select un-negates)
+        skey = F.col("sort_key").cast("double")
+        sd = sort_meta.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(-2).cast("long").alias("leaf"),
+            (-skey if sort_ascending else skey).alias("val"),
+        )
+        side = sd if side is None else side.unionByName(sd)
 
     count_only = collector == "count"
     out_schema = _COUNT_SCHEMA if count_only else _OUT_SCHEMA
@@ -1398,11 +1460,20 @@ def _shard_and_rank(
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
-            arr = np.sort(np.unique(docs[leaves < 0]))
+            # leaf == -1 is the base tombstone/allow set; -2 tags sort
+            # keys (never membership); >= 0 are field-leaf docID sets
+            arr = np.sort(np.unique(docs[leaves == -1]))
             fsets = {
                 int(l): np.sort(np.unique(docs[leaves == l]))
                 for l in np.unique(leaves[leaves >= 0])
             }
+            skeys = None
+            smask = leaves == -2
+            if smask.any():
+                sdocs = docs[smask]
+                svals = ids["val"].to_numpy(dtype=np.float64)[smask]
+                o = np.argsort(sdocs, kind="stable")
+                skeys = (sdocs[o], svals[o])
             return _score_shard_multi(
                 pdf,
                 b_qt.value,
@@ -1414,6 +1485,7 @@ def _shard_and_rank(
                 allowed=arr if allow else None,
                 field_sets=fsets,
                 count_only=count_only,
+                sort_keys=skeys,
             )
 
         local = (
@@ -1442,4 +1514,10 @@ def _shard_and_rank(
         # global-rank window (offset, k]. rank stays GLOBAL so
         # consecutive pages tile the unpaged ranking exactly.
         out = out.filter(F.col("rank") > F.lit(offset))
+    if sort_meta is not None and sort_ascending:
+        # keys were negated on the way in so the shared largest-first
+        # selection could run unchanged; hand back the true key. A doc
+        # missing its key came through as -inf and flips to +inf —
+        # still "missing sorts last" under the ascending order
+        out = out.withColumn("score", -F.col("score"))
     return out.select("query_id", "rank", "doc_id", "score")

@@ -169,6 +169,101 @@ def test_count_composes_with_doc_filter(spark, index_dir, corpus):
     assert dict(zip(out["query_id"], out["total_hits"])) == {"q": want}
 
 
+def _sort_golden(toks, member, keys, k, ascending=False):
+    """brute-force sort-by-field: matched docs ordered by key (missing
+    last), ties on doc_id ascending."""
+    missing = float("inf") if ascending else float("-inf")
+    rows = sorted(
+        ((keys.get(d, missing), d) for d in range(len(toks)) if member(toks[d])),
+        key=lambda kv: ((kv[0] if ascending else -kv[0]), kv[1]),
+    )
+    return [(rank, d, kv) for rank, (kv, d) in enumerate(rows[:k], start=1)]
+
+
+def test_sort_by_field_matches_golden(spark, index_dir, corpus):
+    """desc + asc sort keys, collision ties, missing-keys-sort-last,
+    boolean-mode membership — all vs brute force."""
+    _, toks = corpus
+    a, b, c, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    # deterministic keys with collisions (mod) to exercise the doc_id tie
+    keys = {d: float((d * 7) % 101) for d in range(len(toks))}
+    smeta = spark.createDataFrame(
+        [(int(d), float(v)) for d, v in keys.items()],
+        "doc_id long, sort_key double",
+    )
+    q = _qdf(spark, [("s1", f"{a} {b}", 9)])
+    for ascending in (False, True):
+        got = (
+            wand_topk(spark, merged, tstats, meta, q,
+                      sort_meta=smeta, sort_ascending=ascending)
+            .toPandas().sort_values("rank").reset_index(drop=True)
+        )
+        want = _sort_golden(
+            toks, lambda tk: a in tk or b in tk, keys, 9, ascending
+        )
+        assert [
+            (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+            for _, r in got.iterrows()
+        ] == want
+    # boolean membership under field sort
+    qb = _qdf(spark, [("s2", f"{a} AND NOT {c}", 9)])
+    got = (
+        wand_topk(spark, merged, tstats, meta, qb, mode="boolean",
+                  sort_meta=smeta)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    want = _sort_golden(toks, lambda tk: a in tk and c not in tk, keys, 9)
+    assert [
+        (int(r["rank"]), int(r["doc_id"]), float(r["score"]))
+        for _, r in got.iterrows()
+    ] == want
+    # missing keys sort last: keys only for odd doc_ids, k big enough to
+    # reach the missing tail
+    halfkeys = {d: v for d, v in keys.items() if d % 2}
+    smeta_half = spark.createDataFrame(
+        [(int(d), float(v)) for d, v in halfkeys.items()],
+        "doc_id long, sort_key double",
+    )
+    n_match = sum(1 for tk in toks if a in tk or b in tk)
+    got = (
+        wand_topk(spark, merged, tstats, meta,
+                  _qdf(spark, [("s1", f"{a} {b}", n_match)]),
+                  sort_meta=smeta_half)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    want = _sort_golden(
+        toks, lambda tk: a in tk or b in tk, halfkeys, n_match
+    )
+    assert [(int(r["rank"]), int(r["doc_id"])) for _, r in got.iterrows()] == [
+        (rk, d) for rk, d, _ in want
+    ]
+    tail = got[got["doc_id"] % 2 == 0]
+    assert (tail["rank"] > len(got) - len(tail)).all()  # keyless docs last
+
+
+def test_sort_by_field_pages_tile(spark, index_dir, corpus):
+    _, toks = corpus
+    a, b, _, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    smeta = spark.createDataFrame(
+        [(int(d), float((d * 13) % 97)) for d in range(len(toks))],
+        "doc_id long, sort_key double",
+    )
+    q = _qdf(spark, [("p", f"{a} {b}", 8)])
+    full = (
+        wand_topk(spark, merged, tstats, meta,
+                  _qdf(spark, [("p", f"{a} {b}", 16)]), sort_meta=smeta)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    tiled = pd.concat([
+        wand_topk(spark, merged, tstats, meta, q,
+                  sort_meta=smeta, offset=o).toPandas()
+        for o in (0, 8)
+    ]).sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(tiled, full)
+
+
 def test_searcher_count_applies_tombstones(
     spark, index_dir, corpus, tmp_path_factory
 ):
