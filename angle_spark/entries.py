@@ -1341,6 +1341,97 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# Metric aggregation over matched docs (ES stats agg): st3's negation
+# shrinks the doc set the values fold over; st4's dead OR arm leaves a
+# single-term answer set.
+STATS_QUERY_SET: list[tuple[str, str, int]] = [
+    ("st1", "dup OR spark", 1),
+    ("st2", "hash AND join", 1),
+    ("st3", "scan AND NOT merge", 1),
+    ("st4", "zzzz OR batch", 1),
+]
+
+
+# --- SEARCH-AS-ANALYTICS (round 5, the Elasticsearch ``stats``
+#     aggregation): aggregate_matches() folds a numeric column over each
+#     query's matched docs — n_docs / n_values / sum / min / max / avg of
+#     n_chars here ("how long are the docs mentioning X") — WITHOUT
+#     materializing the hit list: shards emit (count, sum, min, max)
+#     partials over their matched docs and a sum/min/max merge replaces
+#     the rank window. Values ride the cogrouped tombstone channel; sums
+#     here are integer-valued doubles, so the fold is exact and the
+#     oracle's sum()/count() reproduces it bit-for-bit.
+def q_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import aggregate_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = aggregate_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "n_docs",
+        "n_values",
+        F.col("sum").alias("sum"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+def _stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Stats-agg truth: the boolean membership CTEs joined to the
+    documents metadata column, folded with plain SQL aggregates."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       count(d.n_chars)::BIGINT AS n_values,
+       CAST(sum(d.n_chars) AS DOUBLE) AS sum,
+       CAST(min(d.n_chars) AS DOUBLE) AS min,
+       CAST(max(d.n_chars) AS DOUBLE) AS max,
+       round(CAST(sum(d.n_chars) AS DOUBLE) / count(d.n_chars), 6) AS avg
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id
+"""
+
+
 # --- BOOSTED retrieval over the positional compressed index: query-time
 #     ^w weights fold into each term's idf driver-side (one float
 #     multiply — the shard fold is unchanged and stays bit-identical to
@@ -3482,6 +3573,7 @@ QUERIES = {
     "bm25_paged": q_bm25_paged,
     "bm25_total_hits": q_bm25_total_hits,
     "bm25_sort_by": q_bm25_sort_by,
+    "bm25_stats": q_bm25_stats,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3595,6 +3687,7 @@ ORACLE_SQL = {
     ),
     "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
     "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),
+    "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

@@ -180,6 +180,21 @@ class Searcher:
             self.spark, self._merged, self._tstats, self.meta, queries, **kwargs
         )
 
+    def aggregate(self, queries, values, **kwargs) -> DataFrame:
+        """-> (query_id, n_docs, n_values, sum, min, max, avg): metric
+        aggregation of a (doc_id, value) column over each query's
+        matched docs (ES stats-agg shape — wand.aggregate_matches); the
+        session's tombstones apply."""
+        from angle_spark.query.wand import aggregate_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return aggregate_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            values, **kwargs,
+        )
+
     def explain(self, queries, results: DataFrame) -> DataFrame:
         """Per-hit BM25 breakdown (query/explain.py): one row per
         (hit, matching query term) with (tf, dl, idf, contribution);

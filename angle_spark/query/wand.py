@@ -63,6 +63,13 @@ MAXSCORE_MAX_BATCH = 4
 
 _OUT_SCHEMA = "query_id string, doc_id long, score double"
 _COUNT_SCHEMA = "query_id string, n long"
+# stats partials: per-(query, shard) matched-doc count, value count and
+# the value fold (empty-value shards ship the fold identities +inf/-inf/0
+# so the final min/max/sum ignore them without NULL gymnastics)
+_STATS_SCHEMA = (
+    "query_id string, n_docs long, n_vals long, "
+    "vsum double, vmin double, vmax double"
+)
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -244,6 +251,7 @@ def _score_shard_multi(
     field_sets: dict[int, np.ndarray] | None = None,
     count_only: bool = False,
     sort_keys: tuple[np.ndarray, np.ndarray] | None = None,
+    stats_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -567,6 +575,7 @@ def _score_shard_multi(
     small_batch = len(qt) <= MAXSCORE_MAX_BATCH
 
     out_q, out_d, out_s = [], [], []
+    stats_rows: list[tuple] = []
     for q in qt.itertuples(index=False):
         k = int(q.k)
         terms = sorted(zip(q.terms, q.idfs))
@@ -727,6 +736,33 @@ def _score_shard_multi(
             out_d.append(np.array([len(doc_ids)], dtype=np.int64))
             continue
 
+        if stats_only:
+            # metric-aggregation partials over the complete matched set
+            # (prune=False enforced): sort_keys is the (docs, values)
+            # source; docs missing a value count in n_docs but not in
+            # the value fold (the ES stats-agg missing rule). Empty
+            # folds ship the identities (+inf/-inf/0) — the final
+            # min/max/sum ignore them.
+            assert not prune
+            vals = np.empty(0)
+            if sort_keys is not None and sort_keys[0].size and len(doc_ids):
+                sdocs, svals = sort_keys
+                pos = np.searchsorted(sdocs, doc_ids)
+                pos[pos == sdocs.size] = 0
+                hitk = sdocs[pos] == doc_ids
+                vals = svals[pos[hitk]]
+            stats_rows.append(
+                (
+                    q.query_id,
+                    len(doc_ids),
+                    len(vals),
+                    float(vals.sum()) if len(vals) else 0.0,
+                    float(vals.min()) if len(vals) else np.inf,
+                    float(vals.max()) if len(vals) else -np.inf,
+                )
+            )
+            continue
+
         if sort_keys is not None:
             # sort-by-field (prune=False enforced: membership complete):
             # the sort key REPLACES relevance for selection and output;
@@ -746,6 +782,11 @@ def _score_shard_multi(
         out_d.append(doc_ids)
         out_s.append(scores)
 
+    if stats_only:
+        return pd.DataFrame(
+            stats_rows,
+            columns=["query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax"],
+        )
     if count_only:
         if not out_q:
             return pd.DataFrame({"query_id": [], "n": []})
@@ -938,8 +979,10 @@ def wand_topk(
         raise ValueError("min_match is only valid with mode='mm'")
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
-    if collector not in ("topk", "count"):
-        raise ValueError(f"collector must be 'topk' or 'count', got {collector!r}")
+    if collector not in ("topk", "count", "stats"):
+        raise ValueError(
+            f"collector must be 'topk', 'count' or 'stats', got {collector!r}"
+        )
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     if collector == "count":
@@ -948,6 +991,20 @@ def wand_topk(
         if sort_meta is not None:
             raise ValueError("sort_meta is meaningless with collector='count'")
         prune = False  # exact totals need the exhaustive path (see docstring)
+    elif collector == "stats":
+        # metric aggregation over matched docs (the ES stats-agg shape):
+        # sort_meta is the (doc_id, value) source; exhaustive membership
+        # for the same reason counting is
+        if sort_meta is None:
+            raise ValueError(
+                "collector='stats' needs sort_meta as the (doc_id, value) "
+                "source — use aggregate_matches()"
+            )
+        if offset or sort_ascending:
+            raise ValueError(
+                "offset/sort_ascending are meaningless with collector='stats'"
+            )
+        prune = False
     elif offset:
         # shard-local selection must keep enough candidates to survive
         # the page filter: inflate every query's k by the offset; the
@@ -1330,6 +1387,41 @@ def count_matches(
     )
 
 
+def aggregate_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_docs, n_values, sum, min, max, avg): metric
+    aggregation of a numeric column over each query's matched docs —
+    the Elasticsearch ``stats`` aggregation shape (search-as-analytics:
+    "average turn length of every conversation mentioning X" without
+    materializing the hits). ``values`` is a (doc_id, value) DataFrame;
+    it rides the same shard-cogrouped channel as tombstones (one narrow
+    shuffle per batch), each shard folds its matched docs' values into
+    (count, sum, min, max) partials, and a final sum/min/max merge
+    replaces the rank window — the hit list itself never materializes.
+    Docs missing a value count in n_docs but not in the value stats (the
+    ES missing rule; value stats are NULL when no matched doc has one).
+    Membership is exhaustive (pruning off, as with counting). Works with
+    every wand_topk mode and composes with deletes / doc_filter /
+    field_meta. The ``k`` column of ``queries`` is ignored."""
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    values = values.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(values.columns[1]).cast("double").alias("sort_key"),
+    )
+    return wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="stats", sort_meta=values, **kwargs,
+    )
+
+
 def _shard_and_rank(
     spark: SparkSession,
     merged: DataFrame,
@@ -1364,6 +1456,12 @@ def _shard_and_rank(
     if not rows:
         if collector == "count":
             return spark.createDataFrame([], "query_id string, total_hits long")
+        if collector == "stats":
+            return spark.createDataFrame(
+                [],
+                "query_id string, n_docs long, n_values long, "
+                "sum double, min double, max double, avg double",
+            )
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
@@ -1432,7 +1530,12 @@ def _shard_and_rank(
         side = sd if side is None else side.unionByName(sd)
 
     count_only = collector == "count"
-    out_schema = _COUNT_SCHEMA if count_only else _OUT_SCHEMA
+    stats_only = collector == "stats"
+    out_schema = (
+        _COUNT_SCHEMA if count_only
+        else _STATS_SCHEMA if stats_only
+        else _OUT_SCHEMA
+    )
     if side is None:
 
         def fn(key, pdf):
@@ -1457,6 +1560,11 @@ def _shard_and_rank(
             if len(pdf) == 0:
                 if count_only:
                     return pd.DataFrame({"query_id": [], "n": []})
+                if stats_only:
+                    return pd.DataFrame(
+                        {c: [] for c in
+                         ("query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax")}
+                    )
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
@@ -1486,6 +1594,7 @@ def _shard_and_rank(
                 field_sets=fsets,
                 count_only=count_only,
                 sort_keys=skeys,
+                stats_only=stats_only,
             )
 
         local = (
@@ -1499,6 +1608,31 @@ def _shard_and_rank(
         # is a plain sum — no rank window, no k
         return local.groupBy("query_id").agg(
             F.sum("n").cast("long").alias("total_hits")
+        )
+    if stats_only:
+        # shard partials fold associatively (disjoint doc sets); the
+        # empty-fold identities (+inf/-inf/0) vanish under min/max/sum,
+        # and an all-missing query NULLs its value stats. avg is
+        # sum/count (not a running mean) so integer-valued metrics stay
+        # exact; float sums are shard-fold-order deterministic but the
+        # cross-shard fold is Spark's — ULP tolerance applies, as with
+        # every distributed double sum in this repo.
+        agg = local.groupBy("query_id").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_vals").cast("long").alias("n_values"),
+            F.sum("vsum").alias("sum"),
+            F.min("vmin").alias("min"),
+            F.max("vmax").alias("max"),
+        )
+        has = F.col("n_values") > 0
+        return agg.select(
+            "query_id",
+            "n_docs",
+            "n_values",
+            F.when(has, F.col("sum")).alias("sum"),
+            F.when(has, F.col("min")).alias("min"),
+            F.when(has, F.col("max")).alias("max"),
+            F.when(has, F.col("sum") / F.col("n_values")).alias("avg"),
         )
     kdf = spark.createDataFrame(
         [(qid, k) for qid, k, _, _ in tokenized], schema="query_id string, k int"

@@ -264,6 +264,101 @@ def test_sort_by_field_pages_tile(spark, index_dir, corpus):
     pd.testing.assert_frame_equal(tiled, full)
 
 
+def test_aggregate_matches_stats(spark, index_dir, corpus):
+    """stats agg == brute force: full values, half-missing values (ES
+    missing rule: n_docs counts all matches, value stats skip missing),
+    all-missing query NULLs its value stats; doc_filter composes."""
+    import math
+
+    from angle_spark.query.wand import aggregate_matches
+
+    _, toks = corpus
+    a, b, c, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    keys = {d: float((d * 11) % 47) for d in range(len(toks))}
+
+    def vdf(mapping):
+        return spark.createDataFrame(
+            [(int(d), float(v)) for d, v in mapping.items()],
+            "doc_id long, value double",
+        )
+
+    def brute(member, mapping):
+        docs = [d for d in range(len(toks)) if member(toks[d])]
+        vals = [mapping[d] for d in docs if d in mapping]
+        return {
+            "n_docs": len(docs),
+            "n_values": len(vals),
+            "sum": sum(vals) if vals else None,
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "avg": sum(vals) / len(vals) if vals else None,
+        }
+
+    q = _qdf(spark, [("s", f"{a} {b}", 1)])
+    got = aggregate_matches(spark, merged, tstats, meta, q, vdf(keys)).toPandas()
+    want = brute(lambda tk: a in tk or b in tk, keys)
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == want["n_docs"]
+    assert int(row["n_values"]) == want["n_values"]
+    for col in ("sum", "min", "max"):
+        assert float(row[col]) == want[col]
+    assert math.isclose(float(row["avg"]), want["avg"], rel_tol=1e-12)
+
+    # half the values missing
+    half = {d: v for d, v in keys.items() if d % 3 == 0}
+    got = aggregate_matches(spark, merged, tstats, meta, q, vdf(half)).toPandas()
+    want = brute(lambda tk: a in tk or b in tk, half)
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == want["n_docs"]
+    assert int(row["n_values"]) == want["n_values"] < want["n_docs"]
+    assert float(row["sum"]) == want["sum"]
+
+    # boolean membership + all values missing -> NULL value stats
+    qb = _qdf(spark, [("sb", f"{a} AND NOT {c}", 1)])
+    matched = [d for d, tk in enumerate(toks) if a in tk and c not in tk]
+    none_vals = {d: 1.0 for d in range(len(toks)) if d not in matched}
+    got = aggregate_matches(
+        spark, merged, tstats, meta, qb, vdf(none_vals), mode="boolean"
+    ).toPandas()
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == len(matched) and int(row["n_values"]) == 0
+    assert row[["sum", "min", "max", "avg"]].isna().all()
+
+    # doc_filter composes
+    allow = [d for d in range(len(toks)) if d % 2 == 0]
+    got = aggregate_matches(
+        spark, merged, tstats, meta, q, vdf(keys),
+        doc_filter=spark.createDataFrame([(int(d),) for d in allow], "doc_id long"),
+    ).toPandas()
+    want = brute(lambda tk: False, {})  # recompute below on allowed set
+    docs = [d for d in allow if a in toks[d] or b in toks[d]]
+    assert int(got.iloc[0]["n_docs"]) == len(docs)
+    assert float(got.iloc[0]["sum"]) == sum(keys[d] for d in docs)
+
+
+def test_searcher_aggregate_parity(spark, index_dir, corpus):
+    from angle_spark.query.searcher import Searcher
+    from angle_spark.query.wand import aggregate_matches
+
+    _, toks = corpus
+    a = _common_terms(toks, 1)[0]
+    merged, tstats, meta = load_index(spark, index_dir)
+    vals = spark.createDataFrame(
+        [(int(d), float(len(tk))) for d, tk in enumerate(toks)],
+        "doc_id long, value double",
+    )
+    q = _qdf(spark, [("q", a, 1)])
+    direct = aggregate_matches(spark, merged, tstats, meta, q, vals).toPandas()
+    s = Searcher(spark, index_dir)
+    via = s.aggregate(q, vals).toPandas()
+    s.close()
+    pd.testing.assert_frame_equal(
+        direct.sort_values("query_id").reset_index(drop=True),
+        via.sort_values("query_id").reset_index(drop=True),
+    )
+
+
 def test_searcher_count_applies_tombstones(
     spark, index_dir, corpus, tmp_path_factory
 ):
