@@ -1432,6 +1432,160 @@ GROUP BY m.query_id
 """
 
 
+# --- BUCKETED search-as-analytics (round 5, the Elasticsearch ``terms``
+#     aggregation with a ``stats`` sub-aggregation): group_matches()
+#     buckets each query's matched docs by a label column (lang here)
+#     and folds a metric (n_chars, deterministically missing for
+#     doc_id % 3 == 2 docs to exercise the ES missing rule) per bucket —
+#     shards emit per-(query, bucket-code) fold partials over the
+#     cogrouped side channel and a bucket-bounded merge replaces the
+#     rank window; the hit list never materializes.
+def q_bm25_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang").alias("g")
+    )
+    vals = docs.filter((F.col("doc_id") % 3) != 2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        vals,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        F.col("group").alias("lang"),
+        "n_docs",
+        "n_values",
+        F.col("sum").alias("sum"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+def _group_stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Terms-agg truth: boolean membership CTEs joined to documents,
+    grouped by lang; the metric is NULLed for doc_id % 3 == 2 docs so
+    SQL's null-skipping aggregates replay the ES missing rule."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vals AS (
+  SELECT m.query_id, d.lang,
+         CASE WHEN d.doc_id % 3 <> 2 THEN d.n_chars END AS v
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.lang IS NOT NULL
+)
+SELECT query_id, lang,
+       count(*)::BIGINT AS n_docs,
+       count(v)::BIGINT AS n_values,
+       CAST(sum(v) AS DOUBLE) AS sum,
+       CAST(min(v) AS DOUBLE) AS min,
+       CAST(max(v) AS DOUBLE) AS max,
+       round(CAST(sum(v) AS DOUBLE) / nullif(count(v), 0), 6) AS avg
+FROM vals
+GROUP BY query_id, lang
+"""
+
+
+# --- HISTOGRAM aggregation (round 5, ES ``histogram`` /
+#     ``date_histogram`` analog): the same bucketed collector with a
+#     computed numeric bucket label — matched-doc counts per 150-char
+#     length band, counts-only shape (no metric sub-aggregation).
+def q_bm25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(F.col("n_chars") / F.lit(150)).cast("string").alias("bucket"),
+    )
+    out = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    )
+    return out.select("query_id", F.col("group").alias("bucket"), "n_docs")
+
+
+def _histogram_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Histogram truth: membership CTEs counted per 150-char length
+    band (integer floor division — exact on BIGINT n_chars)."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       CAST(d.n_chars // 150 AS VARCHAR) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars IS NOT NULL
+GROUP BY m.query_id, bucket
+"""
+
+
 # --- BOOSTED retrieval over the positional compressed index: query-time
 #     ^w weights fold into each term's idf driver-side (one float
 #     multiply — the shard fold is unchanged and stays bit-identical to
@@ -3574,6 +3728,8 @@ QUERIES = {
     "bm25_total_hits": q_bm25_total_hits,
     "bm25_sort_by": q_bm25_sort_by,
     "bm25_stats": q_bm25_stats,
+    "bm25_group_stats": q_bm25_group_stats,
+    "bm25_histogram": q_bm25_histogram,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3688,6 +3844,8 @@ ORACLE_SQL = {
     "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
     "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

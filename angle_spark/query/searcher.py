@@ -195,6 +195,22 @@ class Searcher:
             values, **kwargs,
         )
 
+    def group(self, queries, groups, values=None, **kwargs) -> DataFrame:
+        """-> (query_id, group, n_docs[, value stats]): bucketed
+        aggregation of each query's matched docs by a (doc_id, group)
+        label, optionally with a (doc_id, value) stats sub-aggregation
+        (ES terms-agg shape — wand.group_matches); the session's
+        tombstones apply."""
+        from angle_spark.query.wand import group_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return group_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            groups, values, **kwargs,
+        )
+
     def explain(self, queries, results: DataFrame) -> DataFrame:
         """Per-hit BM25 breakdown (query/explain.py): one row per
         (hit, matching query term) with (tf, dl, idf, contribution);

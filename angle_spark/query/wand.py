@@ -70,6 +70,12 @@ _STATS_SCHEMA = (
     "query_id string, n_docs long, n_vals long, "
     "vsum double, vmin double, vmax double"
 )
+# bucketed-stats partials: the stats fold keyed by the doc's
+# dictionary-encoded group code (ES terms-agg buckets)
+_GROUP_SCHEMA = (
+    "query_id string, gcode long, n_docs long, n_vals long, "
+    "vsum double, vmin double, vmax double"
+)
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -252,6 +258,8 @@ def _score_shard_multi(
     count_only: bool = False,
     sort_keys: tuple[np.ndarray, np.ndarray] | None = None,
     stats_only: bool = False,
+    group_keys: tuple[np.ndarray, np.ndarray] | None = None,
+    group_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -736,6 +744,50 @@ def _score_shard_multi(
             out_d.append(np.array([len(doc_ids)], dtype=np.int64))
             continue
 
+        if group_only:
+            # bucketed-stats partials (prune=False enforced): matched
+            # docs map to their group code (group_keys); docs WITHOUT a
+            # group are skipped entirely (the ES terms-agg missing rule
+            # — no bucket, no count), docs with a group but no metric
+            # value count in the bucket's n_docs only. One partial row
+            # per (query, code) this shard sees.
+            assert not prune
+            gd = np.empty(0, dtype=np.int64)
+            gv = None
+            if group_keys is not None and group_keys[0].size and len(doc_ids):
+                gdocs, gcodes = group_keys
+                pos = np.searchsorted(gdocs, doc_ids)
+                pos[pos == gdocs.size] = 0
+                hitg = gdocs[pos] == doc_ids
+                mdocs = doc_ids[hitg]
+                gd = gcodes[pos[hitg]].astype(np.int64)
+                if sort_keys is not None and sort_keys[0].size and mdocs.size:
+                    sdocs, svals = sort_keys
+                    p2 = np.searchsorted(sdocs, mdocs)
+                    p2[p2 == sdocs.size] = 0
+                    gv = np.where(sdocs[p2] == mdocs, svals[p2], np.nan)
+            if gd.size:
+                dfp = pd.DataFrame(
+                    {"c": gd, "v": gv if gv is not None else np.nan}
+                )
+                agg = dfp.groupby("c")["v"].agg(
+                    ["size", "count", "sum", "min", "max"]
+                )
+                for code, r in agg.iterrows():
+                    nv = int(r["count"])
+                    stats_rows.append(
+                        (
+                            q.query_id,
+                            int(code),
+                            int(r["size"]),
+                            nv,
+                            float(r["sum"]) if nv else 0.0,
+                            float(r["min"]) if nv else np.inf,
+                            float(r["max"]) if nv else -np.inf,
+                        )
+                    )
+            continue
+
         if stats_only:
             # metric-aggregation partials over the complete matched set
             # (prune=False enforced): sort_keys is the (docs, values)
@@ -782,6 +834,14 @@ def _score_shard_multi(
         out_d.append(doc_ids)
         out_s.append(scores)
 
+    if group_only:
+        return pd.DataFrame(
+            stats_rows,
+            columns=[
+                "query_id", "gcode", "n_docs", "n_vals",
+                "vsum", "vmin", "vmax",
+            ],
+        )
     if stats_only:
         return pd.DataFrame(
             stats_rows,
@@ -833,6 +893,7 @@ def wand_topk(
     collector: str = "topk",
     sort_meta: DataFrame | None = None,
     sort_ascending: bool = False,
+    group_meta: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -979,12 +1040,31 @@ def wand_topk(
         raise ValueError("min_match is only valid with mode='mm'")
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
-    if collector not in ("topk", "count", "stats"):
+    if collector not in ("topk", "count", "stats", "group_stats"):
         raise ValueError(
-            f"collector must be 'topk', 'count' or 'stats', got {collector!r}"
+            "collector must be 'topk', 'count', 'stats' or 'group_stats', "
+            f"got {collector!r}"
         )
+    if group_meta is not None and collector != "group_stats":
+        raise ValueError("group_meta is only valid with collector='group_stats'")
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if collector == "group_stats":
+        # bucketed aggregation over matched docs (the ES terms-agg /
+        # histogram shape): group_meta is the (doc_id, gcode) bucket
+        # assignment, sort_meta the optional sub-stats metric; exhaustive
+        # membership for the same reason counting is
+        if group_meta is None:
+            raise ValueError(
+                "collector='group_stats' needs group_meta as the "
+                "(doc_id, gcode) bucket source — use group_matches()"
+            )
+        if offset or sort_ascending:
+            raise ValueError(
+                "offset/sort_ascending are meaningless with "
+                "collector='group_stats'"
+            )
+        prune = False
     if collector == "count":
         if offset:
             raise ValueError("offset is meaningless with collector='count'")
@@ -1304,6 +1384,7 @@ def wand_topk(
             prune, shard_segments, deletes, mode, slop, doc_filter,
             fieldsets=fieldsets, offset=offset, collector=collector,
             sort_meta=sort_meta, sort_ascending=sort_ascending,
+            group_meta=group_meta,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1362,6 +1443,7 @@ def wand_topk(
         prune, shard_segments, deletes, mode, slop, doc_filter,
         offset=offset, collector=collector,
         sort_meta=sort_meta, sort_ascending=sort_ascending,
+        group_meta=group_meta,
     )
 
 
@@ -1422,6 +1504,77 @@ def aggregate_matches(
     )
 
 
+def group_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    groups: DataFrame,
+    values: DataFrame | None = None,
+    max_buckets: int = 65536,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, group, n_docs[, n_values, sum, min, max, avg]):
+    bucketed aggregation over each query's matched docs — the
+    Elasticsearch ``terms`` aggregation, with an optional ``stats``
+    sub-aggregation when ``values`` is given ("docs mentioning X, by
+    language, with their length stats"). A histogram / date-histogram is
+    the same call with a computed bucket label (e.g. floor(ts/day)).
+
+    ``groups`` is a (doc_id, group) frame; labels dictionary-encode
+    driver-side (ONE distinct over the narrow group column, bounded by
+    ``max_buckets`` — facet fields are low-cardinality by contract, and
+    the cap raises loudly instead of silently truncating buckets the way
+    ES ``size`` does). Codes ride the shard-cogrouped side channel
+    (leaf = -3) next to tombstones; each shard emits per-(query, code)
+    fold partials and an associative (sum/min/max) merge over the
+    bucket-bounded frame replaces the rank window — the hit list never
+    materializes. Docs with no group label are skipped (the ES
+    missing-bucket default); within a bucket, docs missing a metric
+    value count in n_docs but not the value stats. Membership is
+    exhaustive (pruning off, as with counting); composes with every mode
+    and deletes / doc_filter / field_meta. Queries matching nothing emit
+    no rows. The ``k`` column of ``queries`` is ignored."""
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    kwargs.pop("group_meta", None)
+    gcol = groups.columns[1]
+    g = groups.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(gcol).cast("string").alias("group"),
+    ).filter(F.col("group").isNotNull())
+    labels = sorted(
+        r["group"]
+        for r in g.select("group").distinct().limit(max_buckets + 1).collect()
+    )
+    if len(labels) > max_buckets:
+        raise ValueError(
+            f"group column {gcol!r} exceeds max_buckets={max_buckets} "
+            "distinct values — bucket it coarser (histogram) or raise "
+            "the cap"
+        )
+    dim = spark.createDataFrame(
+        list(enumerate(labels)), "gcode long, group string"
+    )
+    gm = g.join(F.broadcast(dim), "group").select("doc_id", "gcode")
+    sm = None
+    if values is not None:
+        sm = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    out = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="group_stats", group_meta=gm, sort_meta=sm, **kwargs,
+    ).join(F.broadcast(dim), "gcode")
+    if values is None:
+        return out.select("query_id", "group", "n_docs")
+    return out.select(
+        "query_id", "group", "n_docs", "n_values", "sum", "min", "max", "avg"
+    )
+
+
 def _shard_and_rank(
     spark: SparkSession,
     merged: DataFrame,
@@ -1441,6 +1594,7 @@ def _shard_and_rank(
     collector: str = "topk",
     sort_meta: DataFrame | None = None,
     sort_ascending: bool = False,
+    group_meta: DataFrame | None = None,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -1460,6 +1614,12 @@ def _shard_and_rank(
             return spark.createDataFrame(
                 [],
                 "query_id string, n_docs long, n_values long, "
+                "sum double, min double, max double, avg double",
+            )
+        if collector == "group_stats":
+            return spark.createDataFrame(
+                [],
+                "query_id string, gcode long, n_docs long, n_values long, "
                 "sum double, min double, max double, avg double",
             )
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
@@ -1528,12 +1688,22 @@ def _shard_and_rank(
             (-skey if sort_ascending else skey).alias("val"),
         )
         side = sd if side is None else side.unionByName(sd)
+    if group_meta is not None:
+        # bucket codes ride the same cogrouped channel, tagged leaf = -3
+        gd = group_meta.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(-3).cast("long").alias("leaf"),
+            F.col("gcode").cast("double").alias("val"),
+        )
+        side = gd if side is None else side.unionByName(gd)
 
     count_only = collector == "count"
     stats_only = collector == "stats"
+    group_only = collector == "group_stats"
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
+        else _GROUP_SCHEMA if group_only
         else _OUT_SCHEMA
     )
     if side is None:
@@ -1565,11 +1735,18 @@ def _shard_and_rank(
                         {c: [] for c in
                          ("query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax")}
                     )
+                if group_only:
+                    return pd.DataFrame(
+                        {c: [] for c in
+                         ("query_id", "gcode", "n_docs", "n_vals",
+                          "vsum", "vmin", "vmax")}
+                    )
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
             # leaf == -1 is the base tombstone/allow set; -2 tags sort
-            # keys (never membership); >= 0 are field-leaf docID sets
+            # keys and metric values, -3 bucket codes (never membership);
+            # >= 0 are field-leaf docID sets
             arr = np.sort(np.unique(docs[leaves == -1]))
             fsets = {
                 int(l): np.sort(np.unique(docs[leaves == l]))
@@ -1582,6 +1759,13 @@ def _shard_and_rank(
                 svals = ids["val"].to_numpy(dtype=np.float64)[smask]
                 o = np.argsort(sdocs, kind="stable")
                 skeys = (sdocs[o], svals[o])
+            gkeys = None
+            gmask = leaves == -3
+            if gmask.any():
+                gdocs = docs[gmask]
+                gvals = ids["val"].to_numpy(dtype=np.float64)[gmask]
+                o = np.argsort(gdocs, kind="stable")
+                gkeys = (gdocs[o], gvals[o])
             return _score_shard_multi(
                 pdf,
                 b_qt.value,
@@ -1595,6 +1779,8 @@ def _shard_and_rank(
                 count_only=count_only,
                 sort_keys=skeys,
                 stats_only=stats_only,
+                group_keys=gkeys,
+                group_only=group_only,
             )
 
         local = (
@@ -1627,6 +1813,28 @@ def _shard_and_rank(
         has = F.col("n_values") > 0
         return agg.select(
             "query_id",
+            "n_docs",
+            "n_values",
+            F.when(has, F.col("sum")).alias("sum"),
+            F.when(has, F.col("min")).alias("min"),
+            F.when(has, F.col("max")).alias("max"),
+            F.when(has, F.col("sum") / F.col("n_values")).alias("avg"),
+        )
+    if group_only:
+        # same associative fold as stats, keyed by (query, bucket code);
+        # the bucket count is facet-cardinality bounded so this groupBy
+        # is a narrow-frame shuffle, never corpus-sized
+        agg = local.groupBy("query_id", "gcode").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_vals").cast("long").alias("n_values"),
+            F.sum("vsum").alias("sum"),
+            F.min("vmin").alias("min"),
+            F.max("vmax").alias("max"),
+        )
+        has = F.col("n_values") > 0
+        return agg.select(
+            "query_id",
+            "gcode",
             "n_docs",
             "n_values",
             F.when(has, F.col("sum")).alias("sum"),

@@ -359,6 +359,108 @@ def test_searcher_aggregate_parity(spark, index_dir, corpus):
     )
 
 
+def test_group_matches_buckets(spark, index_dir, corpus):
+    """terms-agg == brute force: per-bucket doc counts and value stats;
+    docs without a group label are skipped (ES missing-bucket default);
+    within a bucket the value missing rule holds; an all-missing bucket
+    NULLs its value stats; counts-only shape when no metric is given;
+    deletes compose through the Searcher."""
+    import collections
+
+    from angle_spark.query.wand import group_matches
+
+    _, toks = corpus
+    a, b = _common_terms(toks, 2)
+    merged, tstats, meta = load_index(spark, index_dir)
+    grp = {d: f"g{d % 5}" for d in range(len(toks)) if d % 7 != 6}
+    val = {d: float((d * 17) % 31) for d in range(len(toks)) if d % 3 != 2}
+    gdf = spark.createDataFrame(
+        [(int(d), g) for d, g in grp.items()], "doc_id long, lang string"
+    )
+    vdf = spark.createDataFrame(
+        [(int(d), v) for d, v in val.items()], "doc_id long, value double"
+    )
+    q = _qdf(spark, [("q1", f"{a} {b}", 1)])
+
+    def brute(universe):
+        matched = [d for d in universe if a in toks[d] or b in toks[d]]
+        nd: collections.Counter = collections.Counter()
+        vals = collections.defaultdict(list)
+        for d in matched:
+            if d in grp:
+                nd[grp[d]] += 1
+                if d in val:
+                    vals[grp[d]].append(val[d])
+        return nd, vals
+
+    nd, vals = brute(range(len(toks)))
+    got = group_matches(spark, merged, tstats, meta, q, gdf, vdf).toPandas()
+    assert set(got["group"]) == set(nd)
+    for _, r in got.iterrows():
+        g = r["group"]
+        vs = vals.get(g, [])
+        assert int(r["n_docs"]) == nd[g] and int(r["n_values"]) == len(vs)
+        if vs:
+            assert abs(float(r["sum"]) - sum(vs)) < 1e-9
+            assert float(r["min"]) == min(vs) and float(r["max"]) == max(vs)
+            assert abs(float(r["avg"]) - sum(vs) / len(vs)) < 1e-9
+        else:
+            assert r[["sum", "min", "max", "avg"]].isna().all()
+
+    # bucket whose matched docs all lack the metric -> NULL value stats
+    g0_docs = [d for d, g in grp.items() if g == "g0"]
+    vdf_no_g0 = spark.createDataFrame(
+        [(int(d), v) for d, v in val.items() if d not in set(g0_docs)],
+        "doc_id long, value double",
+    )
+    got = group_matches(spark, merged, tstats, meta, q, gdf, vdf_no_g0).toPandas()
+    row = got[got["group"] == "g0"].iloc[0]
+    assert int(row["n_docs"]) == nd["g0"] and int(row["n_values"]) == 0
+    assert row[["sum", "min", "max", "avg"]].isna().all()
+
+    # counts-only shape (no metric frame)
+    got = group_matches(spark, merged, tstats, meta, q, gdf).toPandas()
+    assert list(got.columns) == ["query_id", "group", "n_docs"]
+    assert dict(zip(got["group"], got["n_docs"])) == dict(nd)
+
+    # max_buckets guard raises loudly instead of truncating
+    wide = spark.createDataFrame(
+        [(int(d), str(d)) for d in range(len(toks))], "doc_id long, g string"
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        group_matches(spark, merged, tstats, meta, q, wide, max_buckets=10)
+
+
+def test_searcher_group_applies_tombstones(
+    spark, index_dir, corpus, tmp_path_factory
+):
+    import collections
+    import shutil
+
+    from angle_spark.index.deletes import delete_docs
+    from angle_spark.query.searcher import Searcher
+
+    _, toks = corpus
+    a = _common_terms(toks, 1)[0]
+    idx = str(tmp_path_factory.mktemp("grpdel") / "idx")
+    shutil.copytree(index_dir, idx)
+    matched = [d for d in range(len(toks)) if a in toks[d]]
+    dead = set(matched[::2])
+    delete_docs(
+        spark, idx,
+        spark.createDataFrame([(int(d),) for d in dead], "doc_id long"),
+    )
+    grp = {d: f"g{d % 3}" for d in range(len(toks))}
+    gdf = spark.createDataFrame(
+        [(int(d), g) for d, g in grp.items()], "doc_id long, lang string"
+    )
+    s = Searcher(spark, idx)
+    got = s.group(_qdf(spark, [("q", a, 1)]), gdf).toPandas()
+    s.close()
+    nd = collections.Counter(grp[d] for d in matched if d not in dead)
+    assert dict(zip(got["group"], got["n_docs"])) == dict(nd)
+
+
 def test_searcher_count_applies_tombstones(
     spark, index_dir, corpus, tmp_path_factory
 ):
