@@ -1304,6 +1304,44 @@ def q_bm25_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SORT BY STORED DOCVALUES (round 5, Lucene NumericDocValues): the
+#     same sort-by-field semantics with the key persisted at INDEX time
+#     (index/docvalues.py — parquet partitioned by segment) instead of
+#     shipped per batch: each shard task reads exactly its own segments'
+#     column files task-locally (pyarrow, partition-pruned), so the
+#     side-channel shuffle disappears from the plan
+#     (tests/test_docvalues.py asserts the exchange-count drop). Results
+#     are frame-identical to bm25_sort_by — same oracle.
+def q_bm25_sort_docvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.index.docvalues import load_docvalues, write_docvalues
+    from angle_spark.query.wand import wand_topk
+
+    idx = _cached_doc_index(spark, sf_dir, positional=True)
+    merged, tstats, meta = load_index(spark, idx)
+    try:
+        dv = load_docvalues(spark, idx, "n_chars")
+    except Exception:
+        docs = _read(spark, sf_dir, "documents")
+        dv = write_docvalues(
+            spark, idx, "n_chars", docs.select("doc_id", "n_chars")
+        )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, SORT_QUERY_SET),
+        sort_meta=dv,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("score").alias("sort_key"),
+    )
+
+
 def _sort_by_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
     """Sort-by-field truth: disjunctive term membership (tf CTE), the
     n_chars metadata key, ORDER BY key DESC with the doc_id tiebreak —
@@ -3727,6 +3765,7 @@ QUERIES = {
     "bm25_paged": q_bm25_paged,
     "bm25_total_hits": q_bm25_total_hits,
     "bm25_sort_by": q_bm25_sort_by,
+    "bm25_sort_docvalues": q_bm25_sort_docvalues,
     "bm25_stats": q_bm25_stats,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
@@ -3843,6 +3882,7 @@ ORACLE_SQL = {
     ),
     "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
     "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),
+    "bm25_sort_docvalues": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),

@@ -195,6 +195,16 @@ class Searcher:
             values, **kwargs,
         )
 
+    def docvalues(self, name: str):
+        """Open the handle of a stored docvalues field of this index
+        (index/docvalues.py) — pass it to search(sort_meta=...),
+        aggregate(values=...) or group(groups=/values=...) so shard
+        tasks read the field task-locally instead of shipping a
+        per-batch metadata frame."""
+        from angle_spark.index.docvalues import load_docvalues
+
+        return load_docvalues(self.spark, self.out_dir, name)
+
     def group(self, queries, groups, values=None, **kwargs) -> DataFrame:
         """-> (query_id, group, n_docs[, value stats]): bucketed
         aggregation of each query's matched docs by a (doc_id, group)

@@ -48,6 +48,7 @@ from angle_spark.codec import (
 )
 from angle_spark.index.build import IndexMeta
 from angle_spark.index.deletes import mask_postings
+from angle_spark.index.docvalues import DocValues, read_segment_values
 from angle_spark.index.stats import idf_value
 
 SHARD_SEGMENTS = None  # auto: data-derived shard count (see _shard_and_rank)
@@ -1491,13 +1492,16 @@ def aggregate_matches(
     ES missing rule; value stats are NULL when no matched doc has one).
     Membership is exhaustive (pruning off, as with counting). Works with
     every wand_topk mode and composes with deletes / doc_filter /
-    field_meta. The ``k`` column of ``queries`` is ignored."""
+    field_meta. The ``k`` column of ``queries`` is ignored. ``values``
+    may be a DocValues handle (index/docvalues.py): the metric then
+    reads task-locally from the stored field, no per-batch shuffle."""
     kwargs.pop("collector", None)
     kwargs.pop("sort_meta", None)
-    values = values.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(values.columns[1]).cast("double").alias("sort_key"),
-    )
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
     return wand_topk(
         spark, merged, tstats, meta, queries,
         collector="stats", sort_meta=values, **kwargs,
@@ -1535,35 +1539,52 @@ def group_matches(
     value count in n_docs but not the value stats. Membership is
     exhaustive (pruning off, as with counting); composes with every mode
     and deletes / doc_filter / field_meta. Queries matching nothing emit
-    no rows. The ``k`` column of ``queries`` is ignored."""
+    no rows. The ``k`` column of ``queries`` is ignored. ``groups``
+    and/or ``values`` may be DocValues handles (index/docvalues.py) —
+    ``groups`` must then be a keyword field (its stored dictionary
+    decodes the buckets) — and read task-locally from the stored
+    fields, no per-batch shuffle."""
     kwargs.pop("collector", None)
     kwargs.pop("sort_meta", None)
     kwargs.pop("group_meta", None)
-    gcol = groups.columns[1]
-    g = groups.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col(gcol).cast("string").alias("group"),
-    ).filter(F.col("group").isNotNull())
-    labels = sorted(
-        r["group"]
-        for r in g.select("group").distinct().limit(max_buckets + 1).collect()
-    )
-    if len(labels) > max_buckets:
-        raise ValueError(
-            f"group column {gcol!r} exceeds max_buckets={max_buckets} "
-            "distinct values — bucket it coarser (histogram) or raise "
-            "the cap"
+    if isinstance(groups, DocValues):
+        if groups.labels is None:
+            raise ValueError(
+                f"group docvalues field {groups.name!r} is numeric — "
+                "grouping needs a keyword field (stored label dictionary)"
+            )
+        labels = groups.labels
+        gm: DataFrame | DocValues = groups
+    else:
+        gcol = groups.columns[1]
+        g = groups.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(gcol).cast("string").alias("group"),
+        ).filter(F.col("group").isNotNull())
+        labels = sorted(
+            r["group"]
+            for r in g.select("group").distinct().limit(max_buckets + 1).collect()
         )
+        if len(labels) > max_buckets:
+            raise ValueError(
+                f"group column {gcol!r} exceeds max_buckets={max_buckets} "
+                "distinct values — bucket it coarser (histogram) or raise "
+                "the cap"
+            )
     dim = spark.createDataFrame(
         list(enumerate(labels)), "gcode long, group string"
     )
-    gm = g.join(F.broadcast(dim), "group").select("doc_id", "gcode")
+    if not isinstance(groups, DocValues):
+        gm = g.join(F.broadcast(dim), "group").select("doc_id", "gcode")
     sm = None
     if values is not None:
-        sm = values.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col(values.columns[1]).cast("double").alias("sort_key"),
-        )
+        if isinstance(values, DocValues):
+            sm = values
+        else:
+            sm = values.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col(values.columns[1]).cast("double").alias("sort_key"),
+            )
     out = wand_topk(
         spark, merged, tstats, meta, queries,
         collector="group_stats", group_meta=gm, sort_meta=sm, **kwargs,
@@ -1606,7 +1627,20 @@ def _shard_and_rank(
     docID set of each field:value leaf. It rides the SAME cogrouped side
     channel as tombstones/allow-lists: rows tagged leaf >= 0 become the
     per-leaf membership arrays, leaf == -1 rows are the base
-    tombstone/allow set."""
+    tombstone/allow set.
+
+    ``sort_meta`` / ``group_meta`` given as a DocValues handle
+    (index/docvalues.py) skip the side channel entirely: each shard task
+    reads its own segments' stored column task-locally (pyarrow,
+    partition-pruned) — no per-batch metadata shuffle, the Lucene
+    docvalues access pattern."""
+    dv_sort = sort_meta if isinstance(sort_meta, DocValues) else None
+    if dv_sort is not None:
+        sort_meta = None
+    dv_group = group_meta if isinstance(group_meta, DocValues) else None
+    if dv_group is not None:
+        group_meta = None
+    sorted_output = sort_meta is not None or dv_sort is not None
     if not rows:
         if collector == "count":
             return spark.createDataFrame([], "query_id string, total_hits long")
@@ -1706,12 +1740,35 @@ def _shard_and_rank(
         else _GROUP_SCHEMA if group_only
         else _OUT_SCHEMA
     )
+
+    # docvalues reads happen INSIDE the shard task: segments
+    # [shard*G, (shard+1)*G) are this task's blocks by construction, so
+    # the pruned parquet read touches exactly the task's own rows —
+    # no shuffle ever carries the field
+    _g = shard_segments
+    _neg = bool(sort_ascending)
+
+    def _dv_keys(dv, shard):
+        if dv is None:
+            return None
+        r = read_segment_values(dv.data_path, int(shard) * _g, (int(shard) + 1) * _g)
+        if r is not None and dv is dv_sort and _neg:
+            # the DataFrame path negates ascending keys driver-side;
+            # the dv path negates after the task-local read — same
+            # largest-first selection, same final un-negate
+            r = (r[0], -r[1])
+        return r
+
     if side is None:
 
         def fn(key, pdf):
             return _score_shard_multi(
                 pdf, b_qt.value, avgdl, prune, mode=mode, slop=slop,
                 count_only=count_only,
+                sort_keys=_dv_keys(dv_sort, key[0]),
+                stats_only=stats_only,
+                group_keys=_dv_keys(dv_group, key[0]),
+                group_only=group_only,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -1766,6 +1823,10 @@ def _shard_and_rank(
                 gvals = ids["val"].to_numpy(dtype=np.float64)[gmask]
                 o = np.argsort(gdocs, kind="stable")
                 gkeys = (gdocs[o], gvals[o])
+            if dv_sort is not None:
+                skeys = _dv_keys(dv_sort, key[0])
+            if dv_group is not None:
+                gkeys = _dv_keys(dv_group, key[0])
             return _score_shard_multi(
                 pdf,
                 b_qt.value,
@@ -1856,7 +1917,7 @@ def _shard_and_rank(
         # global-rank window (offset, k]. rank stays GLOBAL so
         # consecutive pages tile the unpaged ranking exactly.
         out = out.filter(F.col("rank") > F.lit(offset))
-    if sort_meta is not None and sort_ascending:
+    if sorted_output and sort_ascending:
         # keys were negated on the way in so the shared largest-first
         # selection could run unchanged; hand back the true key. A doc
         # missing its key came through as -inf and flips to +inf —
