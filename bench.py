@@ -204,6 +204,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         searcher.search(field_q, mode="boolean", field_meta=fm).count()
         timings["wand_field_queries"] = time.monotonic() - t0
 
+        # --- leg 2b5 (round 5): sort-by-field two ways on the same
+        #     stored key — shipped per batch through the cogrouped side
+        #     channel vs read task-locally from index-time docvalues
+        #     (Lucene DocValues shape). Metadata/docvalues setup is
+        #     untimed: a deployment stores both once.
+        from angle_spark.index.docvalues import write_docvalues
+
+        sm_dir = os.path.join(corpus_root, f"angle_bench_sortmeta_{n_convs}.parquet")
+        if not os.path.exists(os.path.join(sm_dir, "_SUCCESS")):
+            assign_doc_ids(raw, num_partitions=cpus * 2).selectExpr(
+                "cast(doc_id as long) as doc_id",
+                "cast(ts as double) as sort_key",
+            ).write.mode("overwrite").parquet(sm_dir)
+        sm = spark.read.parquet(sm_dir)
+        dv_ts = write_docvalues(spark, out_dir, "ts", sm)
+        dv_role = write_docvalues(
+            spark,
+            out_dir,
+            "role",
+            spark.read.parquet(fm_dir).selectExpr("doc_id", "value as role"),
+        )
+        t0 = time.monotonic()
+        searcher.search(queries_df(spark), sort_meta=sm).count()
+        timings["wand_sort_ship"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        searcher.search(queries_df(spark), sort_meta=dv_ts).count()
+        timings["wand_sort_dv"] = time.monotonic() - t0
+
+        # --- leg 2b6 (round 5): search-as-analytics — ES terms-agg with
+        #     a stats sub-agg (matched docs bucketed by role, ts stats
+        #     per bucket), both fields from docvalues: the whole batch
+        #     answers without materializing any hit list
+        t0 = time.monotonic()
+        searcher.group(queries_df(spark), dv_role, dv_ts).count()
+        timings["wand_group_stats_dv"] = time.monotonic() - t0
+
         # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
         #     tombstone 1% of docs + cheap tombstone pickup + masked batch
         #     (the block cache stays valid), then the physical purge
