@@ -1624,6 +1624,111 @@ GROUP BY m.query_id, bucket
 """
 
 
+# --- SIGNIFICANT TERMS (round 5, the ES significant_terms aggregation /
+#     Lucene SignificantTermsAggregation): "docs matching X are also
+#     about Y" — each query's full boolean answer set is the foreground,
+#     terms score by JLH lift vs the corpus background df, top-10 per
+#     query by (rounded score DESC, term ASC). The foreground here is
+#     exact membership (oracle-deterministic); production pairs the same
+#     operator with top-k hits as the ES sampler does
+#     (query/sigterms.py scale notes).
+def q_bm25_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.sigterms import significant_terms
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats_c, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    hits = wand_topk(
+        spark,
+        merged,
+        tstats_c,
+        meta,
+        _doc_queries_df(spark, [(q, t, 10**6) for q, t, _ in STATS_QUERY_SET]),
+        mode="boolean",
+    ).select("query_id", "doc_id")
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, _avgdl = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    out = significant_terms(tf, tstats, hits, n_docs)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "fg_count",
+        "bg_count",
+        F.col("score").alias("score"),
+    )
+
+
+def _sig_terms_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    top_terms: int = 10,
+    min_doc_count: int = 3,
+) -> str:
+    """Significant-terms truth: boolean membership CTEs as the
+    foreground, JLH = (fg% - bg%) * (fg% / bg%) on the same rounded
+    fold, rank on (rounded score DESC, term ASC)."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), m AS (
+  SELECT DISTINCT query_id, doc_id FROM matches
+), sizes AS (
+  SELECT query_id, count(*)::BIGINT AS fg_docs FROM m GROUP BY query_id
+), fg AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS fg_count
+  FROM m JOIN tf ON tf.doc_id = m.doc_id
+  GROUP BY m.query_id, tf.term
+  HAVING count(*) >= {min_doc_count}
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM docs
+), scored AS (
+  SELECT fg.query_id, fg.term, fg.fg_count, dft.df AS bg_count,
+         round(
+           ((fg.fg_count / CAST(sizes.fg_docs AS DOUBLE)) - (dft.df / n.n_docs))
+           * ((fg.fg_count / CAST(sizes.fg_docs AS DOUBLE)) / (dft.df / n.n_docs)),
+           6
+         ) AS score
+  FROM fg
+  JOIN dft ON dft.term = fg.term
+  JOIN sizes ON sizes.query_id = fg.query_id
+  CROSS JOIN n
+), ranked AS (
+  SELECT query_id, term, fg_count, bg_count, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
+FROM ranked WHERE rank <= {top_terms}
+"""
+
+
 # --- BOOSTED retrieval over the positional compressed index: query-time
 #     ^w weights fold into each term's idf driver-side (one float
 #     multiply — the shard fold is unchanged and stays bit-identical to
@@ -3769,6 +3874,7 @@ QUERIES = {
     "bm25_stats": q_bm25_stats,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
+    "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -3886,6 +3992,7 @@ ORACLE_SQL = {
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
+    "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
