@@ -1225,6 +1225,54 @@ def q_bm25_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CURSOR paging (round 5, Lucene IndexSearcher.searchAfter / ES
+#     search_after): page 1 (k = PAGE_OFFSET) is collected driver-side
+#     and its LAST hit's (raw score, doc_id) becomes each query's
+#     cursor — the ES handshake — then page 2 filters shard-locally at
+#     the cursor BEFORE the top-k cut, so per-shard candidate cost
+#     stays k instead of offset + k (the deep-paging scale shape;
+#     query/wand.py docstring). Truth: cursor pages tile the unpaged
+#     ranking exactly, so the oracle is the OFFSET page (global ranks
+#     (10, 25]) with ranks renumbered 1..k — the two paging shapes must
+#     agree bitwise.
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    page1 = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(
+            spark, [(q, t, PAGE_OFFSET) for q, t, _ in PAGED_QUERY_SET]
+        ),
+        mode="boolean",
+    )
+    cursors = {
+        r["query_id"]: (float(r["score"]), int(r["doc_id"]))
+        for r in page1.filter(F.col("rank") == PAGE_OFFSET).collect()
+    }
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, PAGED_QUERY_SET),
+        mode="boolean",
+        search_after=cursors,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- TOTAL HITS (round 5, Lucene TotalHitCountCollector /
 #     track_total_hits): count_matches() returns the EXACT matched-doc
 #     count per query — same one-shuffle job shape, a sum-aggregate
@@ -3868,6 +3916,7 @@ QUERIES = {
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
+    "bm25_search_after": q_bm25_search_after,
     "bm25_total_hits": q_bm25_total_hits,
     "bm25_sort_by": q_bm25_sort_by,
     "bm25_sort_docvalues": q_bm25_sort_docvalues,
@@ -3985,6 +4034,16 @@ ORACLE_SQL = {
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
         PAGED_QUERY_SET, rank_on_rounded=False, offset=PAGE_OFFSET
+    ),
+    # cursor pages tile the offset ranking exactly — same truth, ranks
+    # renumbered per page (search_after restarts at 1)
+    "bm25_search_after": (
+        f"SELECT query_id, (rank - {PAGE_OFFSET})::BIGINT AS rank, "
+        "doc_id, score FROM ("
+        + _bm25_boolean_oracle_sql(
+            PAGED_QUERY_SET, rank_on_rounded=False, offset=PAGE_OFFSET
+        )
+        + ")"
     ),
     "bm25_total_hits": _bool_count_oracle_sql(BOOL_QUERY_SET),
     "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),

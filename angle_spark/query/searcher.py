@@ -117,6 +117,7 @@ class Searcher:
         offset: int = 0,
         sort_meta: DataFrame | None = None,
         sort_ascending: bool = False,
+        search_after: dict[str, tuple[float, int]] | None = None,
     ) -> DataFrame:
         """queries: Spark or pandas DataFrame (query_id, text, k) — the
         same contract as wand_topk (mode or/and/phrase/near/boolean/
@@ -161,6 +162,7 @@ class Searcher:
             offset=offset,
             sort_meta=sort_meta,
             sort_ascending=sort_ascending,
+            search_after=search_after,
         )
         if hydrate_with is not None:
             out = hydrate(out, hydrate_with, hydrate_columns)

@@ -587,6 +587,12 @@ def _score_shard_multi(
     stats_rows: list[tuple] = []
     for q in qt.itertuples(index=False):
         k = int(q.k)
+        # search_after cursor (Lucene IndexSearcher.searchAfter): docs
+        # rank strictly AFTER (after_s, after_d) under the shared
+        # (score DESC, doc_id ASC) order. NaN = no cursor (page 1).
+        a_s = float(getattr(q, "after_s", np.nan))
+        has_cursor = a_s == a_s
+        a_d = int(getattr(q, "after_d", -1))
         terms = sorted(zip(q.terms, q.idfs))
         present = [(t, idf) for t, idf in terms if t in by_term]
         if not present:
@@ -692,9 +698,17 @@ def _score_shard_multi(
                 if n_seen >= k and ubs[bi] < theta:
                     break
                 d, tf, denom = decode(rows[bi])
-                doc_parts.append(d)
                 # same associativity as the oracle: ((idf*tf)*(k1+1))/denom
-                score_parts.append(idf * tf * (K1 + 1.0) / denom)
+                s = idf * tf * (K1 + 1.0) / denom
+                if has_cursor:
+                    # cursor filter BEFORE theta accounting: theta is
+                    # the kth-best AFTER-cursor score (Lucene's
+                    # searchAfter min-competitive rule) — an unfiltered
+                    # theta would over-prune blocks holding page docs
+                    keepc = (s < a_s) | ((s == a_s) & (d > a_d))
+                    d, s = d[keepc], s[keepc]
+                doc_parts.append(d)
+                score_parts.append(s)
                 n_seen += len(d)
                 if n_seen >= k:
                     theta = np.partition(np.concatenate(score_parts), -k)[-k]
@@ -703,9 +717,12 @@ def _score_shard_multi(
         elif (
             prune
             and small_batch
+            and not has_cursor
             and any(term_heat.get(t, 0) < 1 for t, _ in present)
         ):
             # small batch AND a cold term -> decode dominates: MaxScore
+            # (cursored queries skip it — its theta is built on
+            # pre-cursor scores — and take the exhaustive fold below)
             doc_ids, scores = _maxscore_multi(
                 present, by_term, decode, term_arrays, acc, acc2, base, avgdl,
                 k, term_heat, bounds_cache,
@@ -830,6 +847,15 @@ def _score_shard_multi(
                 hitk = sdocs[pos] == doc_ids
                 scores[hitk] = svals[pos[hitk]]
 
+        if has_cursor:
+            # page membership: strictly after the cursor under the
+            # selection order. Applied AFTER any sort-key replacement
+            # (the cursor lives in selection-key space) and before the
+            # shard-local cut, so per-shard candidate cost stays k —
+            # the scale advantage over offset paging. Idempotent where
+            # the pruned walk already filtered.
+            keepc = (scores < a_s) | ((scores == a_s) & (doc_ids > a_d))
+            doc_ids, scores = doc_ids[keepc], scores[keepc]
         doc_ids, scores = _topk_arrays(doc_ids, scores, k)
         out_q.append(np.full(len(doc_ids), q.query_id, dtype=object))
         out_d.append(doc_ids)
@@ -895,8 +921,27 @@ def wand_topk(
     sort_meta: DataFrame | None = None,
     sort_ascending: bool = False,
     group_meta: DataFrame | None = None,
+    search_after: dict[str, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    ``search_after`` (round 5, Lucene IndexSearcher.searchAfter / the
+    ES search_after cursor — the scale-correct deep-paging shape):
+    ``{query_id: (last_score, last_doc_id)}`` — the selection-key pair
+    of the previous page's LAST hit. Each query returns its top-k docs
+    ranking strictly after the cursor under the selection order
+    (score DESC, doc_id ASC — or the sort key when ``sort_meta`` is
+    given, either direction); ranks restart at 1 per page.
+    Consecutive cursor pages tile the unpaged ranking exactly, like
+    offset pages — but the cursor filters SHARD-LOCALLY before the
+    top-k cut, so per-shard candidate cost stays k instead of
+    offset + k: page 1000 costs the same as page 1 (why ES caps
+    from+size at 10k but search_after is unbounded). Queries absent
+    from the dict return page 1. Single-term pruning stays on with the
+    theta built from after-cursor docs only (Lucene's searchAfter
+    min-competitive rule); multi-term cursored queries take the
+    exhaustive fold. Mutually exclusive with ``offset``; meaningless
+    with the count/stats/group collectors.
 
     ``sort_meta`` (round 5, Lucene Sort / SortField analog): a
     (doc_id, sort_key double) DataFrame — when given, results rank by
@@ -1050,6 +1095,30 @@ def wand_topk(
         raise ValueError("group_meta is only valid with collector='group_stats'")
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if search_after is not None:
+        if collector != "topk":
+            raise ValueError(
+                "search_after is only valid with collector='topk', "
+                f"got {collector!r}"
+            )
+        if offset:
+            raise ValueError(
+                "search_after and offset are mutually exclusive — the "
+                "cursor already names the page boundary"
+            )
+        for qid, cur in search_after.items():
+            if len(cur) != 2:
+                raise ValueError(
+                    f"search_after[{qid!r}] must be (last_score, "
+                    f"last_doc_id), got {cur!r}"
+                )
+        if sort_meta is not None and sort_ascending:
+            # ascending sorts negate keys on the way in so the shared
+            # largest-first selection runs unchanged — the cursor lives
+            # in the same negated key space
+            search_after = {
+                qid: (-float(s), int(d)) for qid, (s, d) in search_after.items()
+            }
     if collector == "group_stats":
         # bucketed aggregation over matched docs (the ES terms-agg /
         # histogram shape): group_meta is the (doc_id, gcode) bucket
@@ -1385,7 +1454,7 @@ def wand_topk(
             prune, shard_segments, deletes, mode, slop, doc_filter,
             fieldsets=fieldsets, offset=offset, collector=collector,
             sort_meta=sort_meta, sort_ascending=sort_ascending,
-            group_meta=group_meta,
+            group_meta=group_meta, search_after=search_after,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1444,7 +1513,7 @@ def wand_topk(
         prune, shard_segments, deletes, mode, slop, doc_filter,
         offset=offset, collector=collector,
         sort_meta=sort_meta, sort_ascending=sort_ascending,
-        group_meta=group_meta,
+        group_meta=group_meta, search_after=search_after,
     )
 
 
@@ -1616,6 +1685,7 @@ def _shard_and_rank(
     sort_meta: DataFrame | None = None,
     sort_ascending: bool = False,
     group_meta: DataFrame | None = None,
+    search_after: dict | None = None,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -1660,6 +1730,23 @@ def _shard_and_rank(
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
     )
+    if search_after:
+        # per-query cursors ride the broadcast query frame (bounded:
+        # one (float, long) per query); NaN marks a cursor-less query
+        grouped["after_s"] = np.array(
+            [
+                float(search_after[qid][0]) if qid in search_after else np.nan
+                for qid in grouped["query_id"]
+            ],
+            dtype=np.float64,
+        )
+        grouped["after_d"] = np.array(
+            [
+                int(search_after[qid][1]) if qid in search_after else -1
+                for qid in grouped["query_id"]
+            ],
+            dtype=np.int64,
+        )
     b_qt = spark.sparkContext.broadcast(grouped)
 
     if shard_segments is None:
