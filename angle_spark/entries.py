@@ -1672,6 +1672,87 @@ GROUP BY m.query_id, bucket
 """
 
 
+# --- PERCENTILES aggregation (round 5, the Elasticsearch
+#     ``percentiles`` aggregation): exact p25/p50/p75/p95 of a metric
+#     over each query's matched docs. Order statistics don't fold into
+#     constant partials, so shards emit one (query, value) row per
+#     matched doc WITH a value (collector="values" — O(matches) narrow
+#     rows) and one exact percentile aggregate per query replaces the
+#     rank window; Spark's exact ``percentile`` and DuckDB's
+#     quantile_cont share the linear-interpolation definition, so the
+#     oracle matches bitwise after round(6). The metric is n_chars,
+#     deterministically missing for doc_id % 3 == 2 (the ES missing
+#     rule — skipped entirely). percentile_matches(exact=False) is the
+#     disclosed t-digest-style sketch for huge match sets.
+def q_bm25_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import percentile_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 3) != 2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = percentile_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        percentiles=(0.25, 0.5, 0.75, 0.95),
+        mode="boolean",
+    )
+    return out.select(
+        "query_id", "pct", F.round("value", 6).alias("value")
+    )
+
+
+def _percentiles_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Percentiles truth: boolean membership CTEs joined to the metric
+    (missing for doc_id % 3 == 2), one quantile_cont per requested pct
+    — the same linear-interpolation definition Spark's exact percentile
+    uses."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({p} AS DOUBLE) AS pct, "
+        f"round(quantile_cont(v, {p}), 6) AS value FROM mv GROUP BY query_id"
+        for p in (0.25, 0.5, 0.75, 0.95)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), mv AS (
+  SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE (d.doc_id % 3) != 2
+)
+{arms}
+"""
+
+
 # --- SIGNIFICANT TERMS (round 5, the ES significant_terms aggregation /
 #     Lucene SignificantTermsAggregation): "docs matching X are also
 #     about Y" — each query's full boolean answer set is the foreground,
@@ -3924,6 +4005,7 @@ QUERIES = {
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
     "bm25_sig_terms": q_bm25_sig_terms,
+    "bm25_percentiles": q_bm25_percentiles,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -4052,6 +4134,7 @@ ORACLE_SQL = {
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
+    "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql

@@ -197,6 +197,22 @@ class Searcher:
             values, **kwargs,
         )
 
+    def percentiles(self, queries, values, percentiles=(0.25, 0.5, 0.75),
+                    **kwargs) -> DataFrame:
+        """-> (query_id, pct, value): percentiles of a (doc_id, value)
+        column over each query's matched docs (ES percentiles-agg shape
+        — wand.percentile_matches, exact by default, exact=False for
+        the t-digest-style sketch); the session's tombstones apply."""
+        from angle_spark.query.wand import percentile_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return percentile_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            values, percentiles=percentiles, **kwargs,
+        )
+
     def docvalues(self, name: str):
         """Open the handle of a stored docvalues field of this index
         (index/docvalues.py) — pass it to search(sort_meta=...),

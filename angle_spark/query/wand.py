@@ -77,6 +77,10 @@ _GROUP_SCHEMA = (
     "query_id string, gcode long, n_docs long, n_vals long, "
     "vsum double, vmin double, vmax double"
 )
+# matched-value rows (collector="values"): one row per (query, matched
+# doc WITH a value) — the exact-percentile feed; O(matches), not a
+# constant-size partial by nature (order statistics don't fold)
+_VALUES_SCHEMA = "query_id string, val double"
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -261,6 +265,7 @@ def _score_shard_multi(
     stats_only: bool = False,
     group_keys: tuple[np.ndarray, np.ndarray] | None = None,
     group_only: bool = False,
+    values_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -806,6 +811,25 @@ def _score_shard_multi(
                     )
             continue
 
+        if values_only:
+            # matched-value rows (prune=False enforced): ship each
+            # matched doc's metric value — the exact-percentile feed.
+            # Docs without a value are skipped (the ES missing rule);
+            # the row volume is O(matches), the honest cost of exact
+            # order statistics (the t-digest sketch is the disclosed
+            # approximate alternative — percentile_matches(exact=False))
+            assert not prune
+            if sort_keys is not None and sort_keys[0].size and len(doc_ids):
+                sdocs, svals = sort_keys
+                pos = np.searchsorted(sdocs, doc_ids)
+                pos[pos == sdocs.size] = 0
+                hitk = sdocs[pos] == doc_ids
+                vals = svals[pos[hitk]]
+                if len(vals):
+                    out_q.append(np.full(len(vals), q.query_id, dtype=object))
+                    out_s.append(vals)
+            continue
+
         if stats_only:
             # metric-aggregation partials over the complete matched set
             # (prune=False enforced): sort_keys is the (docs, values)
@@ -873,6 +897,15 @@ def _score_shard_multi(
         return pd.DataFrame(
             stats_rows,
             columns=["query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax"],
+        )
+    if values_only:
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "val": []})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "val": np.concatenate(out_s),
+            }
         )
     if count_only:
         if not out_q:
@@ -1086,10 +1119,10 @@ def wand_topk(
         raise ValueError("min_match is only valid with mode='mm'")
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
-    if collector not in ("topk", "count", "stats", "group_stats"):
+    if collector not in ("topk", "count", "stats", "group_stats", "values"):
         raise ValueError(
-            "collector must be 'topk', 'count', 'stats' or 'group_stats', "
-            f"got {collector!r}"
+            "collector must be 'topk', 'count', 'stats', 'group_stats' "
+            f"or 'values', got {collector!r}"
         )
     if group_meta is not None and collector != "group_stats":
         raise ValueError("group_meta is only valid with collector='group_stats'")
@@ -1141,6 +1174,20 @@ def wand_topk(
         if sort_meta is not None:
             raise ValueError("sort_meta is meaningless with collector='count'")
         prune = False  # exact totals need the exhaustive path (see docstring)
+    elif collector == "values":
+        # matched-value rows (the exact-percentile feed): sort_meta is
+        # the (doc_id, value) source; exhaustive membership, as with
+        # every aggregation collector
+        if sort_meta is None:
+            raise ValueError(
+                "collector='values' needs sort_meta as the (doc_id, value) "
+                "source — use percentile_matches()"
+            )
+        if offset or sort_ascending:
+            raise ValueError(
+                "offset/sort_ascending are meaningless with collector='values'"
+            )
+        prune = False
     elif collector == "stats":
         # metric aggregation over matched docs (the ES stats-agg shape):
         # sort_meta is the (doc_id, value) source; exhaustive membership
@@ -1577,6 +1624,75 @@ def aggregate_matches(
     )
 
 
+def percentile_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+    accuracy: int = 10000,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, pct, value): percentiles of a numeric column over
+    each query's matched docs — the Elasticsearch ``percentiles``
+    aggregation ("p95 conversation length among docs mentioning X").
+
+    Order statistics don't fold into constant-size partials the way
+    sum/min/max do, so shards emit one (query_id, value) row per
+    matched doc WITH a value (collector="values" — O(matches) narrow
+    rows, the honest exact cost) and one percentile aggregate per query
+    replaces the rank window. ``exact=True`` (default) uses Spark's
+    exact ``percentile`` (linear interpolation between closest ranks —
+    the same definition as DuckDB's quantile_cont, so oracles match
+    bitwise after round(6)); ``exact=False`` switches to
+    ``percentile_approx`` (the t-digest-style sketch ES itself ships —
+    the production shape when matches per query are huge), trading
+    exactness for a bounded-memory fold at the given ``accuracy``.
+
+    Docs missing a value are skipped entirely (the ES missing rule);
+    a query whose matches all lack values emits no rows. Works with
+    every wand_topk mode, composes with deletes / doc_filter /
+    field_meta; ``values`` may be a DocValues handle (task-local
+    reads, no per-batch shuffle). The ``k`` column is ignored."""
+    pcts = [float(p) for p in percentiles]
+    if not pcts or any(not (0.0 <= p <= 1.0) for p in pcts):
+        raise ValueError(
+            f"percentiles must be a non-empty list in [0, 1], got {percentiles!r}"
+        )
+    if len(set(pcts)) != len(pcts):
+        raise ValueError(f"duplicate percentiles: {percentiles!r}")
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    vals = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="values", sort_meta=values, **kwargs,
+    )
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    fold = (
+        F.percentile(F.col("val"), pct_arr)
+        if exact
+        else F.percentile_approx(F.col("val"), pct_arr, F.lit(int(accuracy)))
+    )
+    return (
+        vals.groupBy("query_id")
+        .agg(fold.alias("vs"))
+        .select("query_id", F.posexplode("vs").alias("i", "value"))
+        .select(
+            "query_id",
+            F.element_at(pct_arr, F.col("i") + 1).alias("pct"),
+            "value",
+        )
+    )
+
+
 def group_matches(
     spark: SparkSession,
     merged: DataFrame,
@@ -1726,6 +1842,8 @@ def _shard_and_rank(
                 "query_id string, gcode long, n_docs long, n_values long, "
                 "sum double, min double, max double, avg double",
             )
+        if collector == "values":
+            return spark.createDataFrame([], _VALUES_SCHEMA)
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
@@ -1821,10 +1939,12 @@ def _shard_and_rank(
     count_only = collector == "count"
     stats_only = collector == "stats"
     group_only = collector == "group_stats"
+    values_only = collector == "values"
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
         else _GROUP_SCHEMA if group_only
+        else _VALUES_SCHEMA if values_only
         else _OUT_SCHEMA
     )
 
@@ -1856,6 +1976,7 @@ def _shard_and_rank(
                 stats_only=stats_only,
                 group_keys=_dv_keys(dv_group, key[0]),
                 group_only=group_only,
+                values_only=values_only,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -1885,6 +2006,8 @@ def _shard_and_rank(
                          ("query_id", "gcode", "n_docs", "n_vals",
                           "vsum", "vmin", "vmax")}
                     )
+                if values_only:
+                    return pd.DataFrame({"query_id": [], "val": []})
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
@@ -1929,6 +2052,7 @@ def _shard_and_rank(
                 stats_only=stats_only,
                 group_keys=gkeys,
                 group_only=group_only,
+                values_only=values_only,
             )
 
         local = (
@@ -1936,6 +2060,11 @@ def _shard_and_rank(
             .cogroup(side.groupby("shard"))
             .applyInPandas(fn2, schema=out_schema)
         )
+    if values_only:
+        # one row per (query, matched doc with a value) — the caller
+        # (percentile_matches) owns the order-statistics fold; shards
+        # are disjoint so no dedup is needed
+        return local
     if count_only:
         # shard-local matched counts are disjoint by construction (a
         # doc's postings live in exactly one shard), so the global total
