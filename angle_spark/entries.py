@@ -1753,6 +1753,96 @@ WITH docs AS (
 """
 
 
+# --- PERCOLATOR (round 5, Lucene/ES percolate — reverse search): a
+#     stored catalog of boolean queries, every document classified
+#     against all of them in ONE corpus scan (query/percolate.py). The
+#     catalog mixes every leaf kind; fuzzy/regex/prefix use PER-DOC
+#     semantics (any doc token within d edits / full-matching the
+#     pattern / starting with the stem — Lucene MemoryIndex, no global
+#     vocabulary cap), which the oracle expresses directly as
+#     levenshtein / regexp_full_match / LIKE predicates instead of the
+#     forward-retrieval capped rewrites.
+PERC_CATALOG: list[tuple[str, str]] = [
+    ("pc01", "hash AND join AND spark"),
+    ("pc02", "scan AND NOT filter"),
+    ("pc03", "dup OR (group AND batch)"),
+    ("pc04", '"join hash"'),
+    ("pc05", '"customer order"~5'),
+    ("pc06", "fil* AND merge"),
+    ("pc07", "merge~1"),
+    ("pc08", "/quer(y|ies)/ AND the"),
+    ("pc09", "zzzz AND scan"),
+    ("pc10", '("the fast" OR sort*) AND NOT du*'),
+]
+
+
+def q_percolate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.percolate import compile_catalog, percolate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return percolate(docs, compile_catalog(PERC_CATALOG)).select(
+        "query_id", F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _perc_match_sql(node) -> str:
+    """AST -> DuckDB membership under PERCOLATION semantics: term /
+    phrase / AND / OR exactly as _bool_match_sql; prefix, fuzzy and
+    regex leaves match against the document's OWN tokens (uncapped —
+    Lucene MemoryIndex), not a capped global-vocabulary rewrite."""
+    kind = node[0]
+    if kind == "boost":
+        return _perc_match_sql(node[1])
+    if kind == "prefix":
+        return (
+            "SELECT DISTINCT doc_id FROM tf "
+            f"WHERE term LIKE '{node[1]}%'"
+        )
+    if kind == "fuzzy":
+        return (
+            "SELECT DISTINCT doc_id FROM tf "
+            f"WHERE levenshtein(term, '{node[1]}') <= {int(node[2])}"
+        )
+    if kind == "regex":
+        pat = node[1].replace("'", "''")
+        return (
+            "SELECT DISTINCT doc_id FROM tf "
+            f"WHERE regexp_full_match(term, '{pat}')"
+        )
+    if kind == "and":
+        s = " INTERSECT ".join(f"({_perc_match_sql(c)})" for c in node[1])
+        for c in node[2]:
+            s = f"({s}) EXCEPT ({_perc_match_sql(c)})"
+        return s
+    if kind == "or":
+        return " UNION ".join(f"({_perc_match_sql(c)})" for c in node[1])
+    return _bool_match_sql(node)  # term / phrase / near primitives
+
+
+def _percolate_oracle_sql(catalog: list[tuple[str, str]] = PERC_CATALOG) -> str:
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_perc_match_sql(parse_query(text))})"
+        for qid, text in catalog
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+)
+{matches}
+"""
+
+
 # --- SIGNIFICANT TERMS (round 5, the ES significant_terms aggregation /
 #     Lucene SignificantTermsAggregation): "docs matching X are also
 #     about Y" — each query's full boolean answer set is the foreground,
@@ -4006,6 +4096,7 @@ QUERIES = {
     "bm25_histogram": q_bm25_histogram,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
+    "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
@@ -4135,6 +4226,7 @@ ORACLE_SQL = {
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
+    "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
