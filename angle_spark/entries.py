@@ -1753,6 +1753,72 @@ WITH docs AS (
 """
 
 
+# --- CARDINALITY aggregation (round 5, the ES ``cardinality``
+#     aggregation): exact distinct count of a metric over each query's
+#     matched docs. Shards ship (query, value) pairs deduped
+#     shard-locally (the map-side combine — collector="distinct_values")
+#     and one count_distinct per query replaces the rank window. The
+#     metric is n_chars, deterministically missing for doc_id % 5 == 4
+#     (the ES missing rule — skipped entirely); exact=False is the
+#     disclosed HLL++ sketch for huge distinct sets.
+def q_bm25_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import cardinality_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 5) != 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    return cardinality_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+    )
+
+
+def _cardinality_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Cardinality truth: boolean membership CTEs joined to the metric
+    (missing for doc_id % 5 == 4), COUNT(DISTINCT value) per query."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       count(DISTINCT CAST(d.n_chars AS DOUBLE))::BIGINT AS cardinality
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE (d.doc_id % 5) != 4
+GROUP BY m.query_id
+"""
+
+
 # --- PERCOLATOR (round 5, Lucene/ES percolate — reverse search): a
 #     stored catalog of boolean queries, every document classified
 #     against all of them in ONE corpus scan (query/percolate.py). The
@@ -4096,6 +4162,7 @@ QUERIES = {
     "bm25_histogram": q_bm25_histogram,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
+    "bm25_cardinality": q_bm25_cardinality,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -4226,6 +4293,7 @@ ORACLE_SQL = {
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
+    "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

@@ -213,6 +213,22 @@ class Searcher:
             values, percentiles=percentiles, **kwargs,
         )
 
+    def cardinality(self, queries, values, **kwargs) -> DataFrame:
+        """-> (query_id, cardinality): distinct count of a (doc_id,
+        value) column over each query's matched docs (ES
+        cardinality-agg shape — wand.cardinality_matches, exact by
+        default, exact=False for the HLL++ sketch); the session's
+        tombstones apply."""
+        from angle_spark.query.wand import cardinality_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return cardinality_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            values, **kwargs,
+        )
+
     def docvalues(self, name: str):
         """Open the handle of a stored docvalues field of this index
         (index/docvalues.py) — pass it to search(sort_meta=...),

@@ -266,6 +266,7 @@ def _score_shard_multi(
     group_keys: tuple[np.ndarray, np.ndarray] | None = None,
     group_only: bool = False,
     values_only: bool = False,
+    values_unique: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -901,12 +902,17 @@ def _score_shard_multi(
     if values_only:
         if not out_q:
             return pd.DataFrame({"query_id": [], "val": []})
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
                 "val": np.concatenate(out_s),
             }
         )
+        if values_unique:
+            # shard-local map-side combine for distinct counting: a
+            # value seen by many matched docs in this shard ships once
+            df = df.drop_duplicates(ignore_index=True)
+        return df
     if count_only:
         if not out_q:
             return pd.DataFrame({"query_id": [], "n": []})
@@ -1119,10 +1125,12 @@ def wand_topk(
         raise ValueError("min_match is only valid with mode='mm'")
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
-    if collector not in ("topk", "count", "stats", "group_stats", "values"):
+    if collector not in (
+        "topk", "count", "stats", "group_stats", "values", "distinct_values"
+    ):
         raise ValueError(
-            "collector must be 'topk', 'count', 'stats', 'group_stats' "
-            f"or 'values', got {collector!r}"
+            "collector must be 'topk', 'count', 'stats', 'group_stats', "
+            f"'values' or 'distinct_values', got {collector!r}"
         )
     if group_meta is not None and collector != "group_stats":
         raise ValueError("group_meta is only valid with collector='group_stats'")
@@ -1174,18 +1182,23 @@ def wand_topk(
         if sort_meta is not None:
             raise ValueError("sort_meta is meaningless with collector='count'")
         prune = False  # exact totals need the exhaustive path (see docstring)
-    elif collector == "values":
-        # matched-value rows (the exact-percentile feed): sort_meta is
-        # the (doc_id, value) source; exhaustive membership, as with
-        # every aggregation collector
+    elif collector in ("values", "distinct_values"):
+        # matched-value rows (the exact-percentile / cardinality feed):
+        # sort_meta is the (doc_id, value) source; exhaustive
+        # membership, as with every aggregation collector.
+        # 'distinct_values' additionally dedupes (query, value) pairs
+        # SHARD-LOCALLY before shipping (the map-side combine of a
+        # distinct-count — rows leave each shard bounded by the shard's
+        # distinct values, not its matches)
         if sort_meta is None:
             raise ValueError(
-                "collector='values' needs sort_meta as the (doc_id, value) "
-                "source — use percentile_matches()"
+                f"collector={collector!r} needs sort_meta as the "
+                "(doc_id, value) source — use percentile_matches() / "
+                "cardinality_matches()"
             )
         if offset or sort_ascending:
             raise ValueError(
-                "offset/sort_ascending are meaningless with collector='values'"
+                f"offset/sort_ascending are meaningless with collector={collector!r}"
             )
         prune = False
     elif collector == "stats":
@@ -1693,6 +1706,61 @@ def percentile_matches(
     )
 
 
+def cardinality_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    exact: bool = True,
+    rsd: float = 0.05,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, cardinality): distinct count of a docvalue over
+    each query's matched docs — the Elasticsearch ``cardinality``
+    aggregation ("how many distinct sources mention X?").
+
+    Shards emit (query_id, value) pairs ALREADY DEDUPED shard-locally
+    (collector="distinct_values" — the map-side combine: rows leave a
+    shard bounded by its distinct values, not its matches), then one
+    global distinct-count per query. ``exact=True`` (default) is the
+    exact count; ``exact=False`` switches the global fold to Spark's
+    HyperLogLog++ ``approx_count_distinct`` at the given relative
+    standard deviation — the sketch ES itself ships, the production
+    shape when per-query distinct sets are themselves huge. (ES is
+    approximate-only; exact is the stronger default here because the
+    shard-deduped feed makes it affordable, and it is what the DuckDB
+    oracle can assert.)
+
+    ``values`` is a (doc_id, value) frame with a NUMERIC value column,
+    or a DocValues handle (index/docvalues.py — keyword fields count
+    their stored dictionary codes, so string cardinality rides the
+    same path; task-local reads, no per-batch shuffle). Docs missing a
+    value are skipped (the ES missing rule); a query whose matches all
+    lack values emits no row. Composes with every wand_topk mode and
+    deletes / doc_filter / field_meta. The ``k`` column is ignored."""
+    if not 0.0 < rsd < 1.0:
+        raise ValueError(f"rsd must be in (0, 1), got {rsd!r}")
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    vals = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="distinct_values", sort_meta=values, **kwargs,
+    )
+    fold = (
+        F.count_distinct(F.col("val"))
+        if exact
+        else F.approx_count_distinct(F.col("val"), rsd)
+    )
+    return vals.groupBy("query_id").agg(fold.alias("cardinality"))
+
+
 def group_matches(
     spark: SparkSession,
     merged: DataFrame,
@@ -1842,7 +1910,7 @@ def _shard_and_rank(
                 "query_id string, gcode long, n_docs long, n_values long, "
                 "sum double, min double, max double, avg double",
             )
-        if collector == "values":
+        if collector in ("values", "distinct_values"):
             return spark.createDataFrame([], _VALUES_SCHEMA)
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
@@ -1939,7 +2007,8 @@ def _shard_and_rank(
     count_only = collector == "count"
     stats_only = collector == "stats"
     group_only = collector == "group_stats"
-    values_only = collector == "values"
+    values_only = collector in ("values", "distinct_values")
+    values_unique = collector == "distinct_values"
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
@@ -1977,6 +2046,7 @@ def _shard_and_rank(
                 group_keys=_dv_keys(dv_group, key[0]),
                 group_only=group_only,
                 values_only=values_only,
+                values_unique=values_unique,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -2053,6 +2123,7 @@ def _shard_and_rank(
                 group_keys=gkeys,
                 group_only=group_only,
                 values_only=values_only,
+                values_unique=values_unique,
             )
 
         local = (
