@@ -746,12 +746,13 @@ def _fuzzy_expansion_sql(word: str, max_dist: int, cap: int = BOOL_PREFIX_CAP) -
     )
 
 
-def _bm25_boolean_oracle_sql(
-    query_set: list[tuple[str, str, int]] = BOOL_QUERY_SET,
+def _bool_membership_and_qterms(
+    query_set: list[tuple[str, str, int]],
     cap: int = BOOL_PREFIX_CAP,
-    rank_on_rounded: bool = True,
-    offset: int = 0,
-) -> str:
+) -> tuple[str, str, bool]:
+    """-> (matches_sql, qterms_sql, boosted): the shared front half of
+    every boolean-scored oracle — per-query membership CTE bodies and
+    the distinct positive scoring terms (with max-boost dedup)."""
     from angle_spark.query.boolean import parse_query, positive_leaves_boosted
 
     matches_parts, qterm_rows, qterm_subqueries = [], [], []
@@ -810,6 +811,16 @@ def _bm25_boolean_oracle_sql(
         + "\n  UNION ALL\n  ".join(parts)
         + ") GROUP BY query_id, term"
     )
+    return matches, qterms, boosted
+
+
+def _bm25_boolean_oracle_sql(
+    query_set: list[tuple[str, str, int]] = BOOL_QUERY_SET,
+    cap: int = BOOL_PREFIX_CAP,
+    rank_on_rounded: bool = True,
+    offset: int = 0,
+) -> str:
+    matches, qterms, boosted = _bool_membership_and_qterms(query_set, cap)
     return _bm25_matches_scored_sql(
         matches, qterms, rank_on_rounded=rank_on_rounded, boosted=boosted,
         offset=offset,
@@ -1816,6 +1827,100 @@ FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
 JOIN documents d ON d.doc_id = m.doc_id
 WHERE (d.doc_id % 5) != 4
 GROUP BY m.query_id
+"""
+
+
+# --- TOP-HITS aggregation (round 5, the ES ``top_hits`` sub-agg under
+#     a ``terms`` aggregation / Lucene's grouping module): the 3 best
+#     hits BY SCORE within each lang bucket of each query's matched
+#     docs. Shards ship <= n rows per (query, bucket); the global cut
+#     is a window over that bounded frame (wand.top_hits_matches).
+#     Docs with NULL lang are skipped (the ES missing-bucket default).
+def q_bm25_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import top_hits_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang")
+    )
+    out = top_hits_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        n=3,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "group",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _top_hits_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    n: int = 3,
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    """Top-hits truth: the boolean membership + scoring CTEs of
+    _bm25_boolean_oracle_sql, ranked PER (query, lang) bucket instead of
+    per query, cut at n. NULL-lang docs are skipped (engine's
+    missing-bucket rule); rank ties break (raw DESC, doc_id ASC) — the
+    same exact-score order the engine uses."""
+    matches, qterms, boosted = _bool_membership_and_qterms(query_set, cap)
+    boost_factor = " * qt.boost" if boosted else ""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  {qterms}
+), scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+), ranked AS (
+  SELECT sc.query_id, d.lang AS "group", sc.doc_id, sc.raw,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.raw DESC, sc.doc_id ASC) AS rnk
+  FROM scored sc
+  JOIN documents d ON d.doc_id = sc.doc_id
+  WHERE d.lang IS NOT NULL
+)
+SELECT query_id, "group", rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= {n}
 """
 
 
@@ -4163,6 +4268,7 @@ QUERIES = {
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
+    "bm25_top_hits": q_bm25_top_hits,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -4294,6 +4400,7 @@ ORACLE_SQL = {
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
+    "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

@@ -213,6 +213,21 @@ class Searcher:
             values, percentiles=percentiles, **kwargs,
         )
 
+    def top_hits(self, queries, groups, n=3, **kwargs) -> DataFrame:
+        """-> (query_id, group, rank, doc_id, score): the top-n hits by
+        score within each bucket of each query's matched docs (ES
+        top_hits-under-terms shape — wand.top_hits_matches); the
+        session's tombstones apply."""
+        from angle_spark.query.wand import top_hits_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return top_hits_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            groups, n=n, **kwargs,
+        )
+
     def cardinality(self, queries, values, **kwargs) -> DataFrame:
         """-> (query_id, cardinality): distinct count of a (doc_id,
         value) column over each query's matched docs (ES

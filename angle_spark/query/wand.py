@@ -81,6 +81,10 @@ _GROUP_SCHEMA = (
 # doc WITH a value) — the exact-percentile feed; O(matches), not a
 # constant-size partial by nature (order statistics don't fold)
 _VALUES_SCHEMA = "query_id string, val double"
+# per-bucket top hits (collector="group_topk"): each shard ships at most
+# group_k rows per (query, bucket) it sees — the ES top_hits
+# sub-aggregation's shard-local phase
+_GROUP_TOPK_SCHEMA = "query_id string, gcode long, doc_id long, score double"
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -267,6 +271,7 @@ def _score_shard_multi(
     group_only: bool = False,
     values_only: bool = False,
     values_unique: bool = False,
+    group_topk_n: int | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -590,6 +595,7 @@ def _score_shard_multi(
     small_batch = len(qt) <= MAXSCORE_MAX_BATCH
 
     out_q, out_d, out_s = [], [], []
+    out_g: list = []  # bucket codes (collector="group_topk" only)
     stats_rows: list[tuple] = []
     for q in qt.itertuples(index=False):
         k = int(q.k)
@@ -812,6 +818,42 @@ def _score_shard_multi(
                     )
             continue
 
+        if group_topk_n is not None:
+            # per-bucket top hits (prune=False enforced): matched docs
+            # map to their bucket code (group_keys); docs without a
+            # group are skipped (the ES missing rule). The shard ships
+            # at most group_topk_n rows per (query, bucket) it sees —
+            # the bounded shard-local phase of ES top_hits; the global
+            # per-(query, bucket) window is over shards x buckets x n
+            # rows, never the corpus.
+            assert not prune
+            if group_keys is not None and group_keys[0].size and len(doc_ids):
+                gdocs, gcodes = group_keys
+                pos = np.searchsorted(gdocs, doc_ids)
+                pos[pos == gdocs.size] = 0
+                hitg = gdocs[pos] == doc_ids
+                mdocs = doc_ids[hitg]
+                mscores = scores[hitg]
+                gd = gcodes[pos[hitg]].astype(np.int64)
+                if mdocs.size:
+                    # (bucket asc, score desc, doc asc) — then the first
+                    # group_topk_n rows of each bucket run
+                    order = np.lexsort((mdocs, -mscores, gd))
+                    gd_s, d_s, s_s = gd[order], mdocs[order], mscores[order]
+                    starts = np.flatnonzero(
+                        np.r_[True, gd_s[1:] != gd_s[:-1]]
+                    )
+                    lens = np.diff(np.r_[starts, gd_s.size])
+                    rank = np.arange(gd_s.size) - np.repeat(starts, lens)
+                    keep = rank < group_topk_n
+                    out_q.append(
+                        np.full(int(keep.sum()), q.query_id, dtype=object)
+                    )
+                    out_g.append(gd_s[keep])
+                    out_d.append(d_s[keep])
+                    out_s.append(s_s[keep])
+            continue
+
         if values_only:
             # matched-value rows (prune=False enforced): ship each
             # matched doc's metric value — the exact-percentile feed.
@@ -899,6 +941,19 @@ def _score_shard_multi(
             stats_rows,
             columns=["query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax"],
         )
+    if group_topk_n is not None:
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "gcode": [], "doc_id": [], "score": []}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "gcode": np.concatenate(out_g),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
     if values_only:
         if not out_q:
             return pd.DataFrame({"query_id": [], "val": []})
@@ -961,6 +1016,7 @@ def wand_topk(
     sort_ascending: bool = False,
     group_meta: DataFrame | None = None,
     search_after: dict[str, tuple[float, int]] | None = None,
+    group_k: int = 3,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
 
@@ -1126,14 +1182,17 @@ def wand_topk(
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
     if collector not in (
-        "topk", "count", "stats", "group_stats", "values", "distinct_values"
+        "topk", "count", "stats", "group_stats", "group_topk", "values",
+        "distinct_values",
     ):
         raise ValueError(
             "collector must be 'topk', 'count', 'stats', 'group_stats', "
-            f"'values' or 'distinct_values', got {collector!r}"
+            f"'group_topk', 'values' or 'distinct_values', got {collector!r}"
         )
-    if group_meta is not None and collector != "group_stats":
-        raise ValueError("group_meta is only valid with collector='group_stats'")
+    if group_meta is not None and collector not in ("group_stats", "group_topk"):
+        raise ValueError(
+            "group_meta is only valid with collector='group_stats'/'group_topk'"
+        )
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     if search_after is not None:
@@ -1174,6 +1233,29 @@ def wand_topk(
             raise ValueError(
                 "offset/sort_ascending are meaningless with "
                 "collector='group_stats'"
+            )
+        prune = False
+    if collector == "group_topk":
+        # per-bucket top hits (the ES top_hits sub-aggregation):
+        # group_meta is the bucket assignment, group_k the per-bucket
+        # hit count; exhaustive membership — pruning keeps only the
+        # GLOBAL top-k, which can starve a rare bucket's best hit
+        if group_meta is None:
+            raise ValueError(
+                "collector='group_topk' needs group_meta as the "
+                "(doc_id, gcode) bucket source — use top_hits_matches()"
+            )
+        if group_k < 1:
+            raise ValueError(f"group_k must be >= 1, got {group_k}")
+        if offset or sort_ascending:
+            raise ValueError(
+                "offset/sort_ascending are meaningless with "
+                "collector='group_topk'"
+            )
+        if sort_meta is not None:
+            raise ValueError(
+                "sort_meta is meaningless with collector='group_topk' — "
+                "hits rank by score"
             )
         prune = False
     if collector == "count":
@@ -1515,6 +1597,7 @@ def wand_topk(
             fieldsets=fieldsets, offset=offset, collector=collector,
             sort_meta=sort_meta, sort_ascending=sort_ascending,
             group_meta=group_meta, search_after=search_after,
+            group_k=group_k,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1574,6 +1657,7 @@ def wand_topk(
         offset=offset, collector=collector,
         sort_meta=sort_meta, sort_ascending=sort_ascending,
         group_meta=group_meta, search_after=search_after,
+        group_k=group_k,
     )
 
 
@@ -1761,6 +1845,85 @@ def cardinality_matches(
     return vals.groupBy("query_id").agg(fold.alias("cardinality"))
 
 
+def _encode_groups(spark, groups, max_buckets):
+    """-> (dim, gm): dictionary-encode a (doc_id, group) frame into a
+    (gcode, group) label dim + (doc_id, gcode) assignment; a keyword
+    DocValues handle passes through (its stored dictionary is the dim).
+    ONE distinct over the narrow group column, bounded by max_buckets
+    (the cap raises loudly instead of silently truncating buckets)."""
+    if isinstance(groups, DocValues):
+        if groups.labels is None:
+            raise ValueError(
+                f"group docvalues field {groups.name!r} is numeric — "
+                "grouping needs a keyword field (stored label dictionary)"
+            )
+        labels = groups.labels
+        gm: DataFrame | DocValues = groups
+    else:
+        gcol = groups.columns[1]
+        g = groups.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(gcol).cast("string").alias("group"),
+        ).filter(F.col("group").isNotNull())
+        labels = sorted(
+            r["group"]
+            for r in g.select("group").distinct().limit(max_buckets + 1).collect()
+        )
+        if len(labels) > max_buckets:
+            raise ValueError(
+                f"group column {gcol!r} exceeds max_buckets={max_buckets} "
+                "distinct values — bucket it coarser (histogram) or raise "
+                "the cap"
+            )
+    dim = spark.createDataFrame(
+        list(enumerate(labels)), "gcode long, group string"
+    )
+    if not isinstance(groups, DocValues):
+        gm = g.join(F.broadcast(dim), "group").select("doc_id", "gcode")
+    return dim, gm
+
+
+def top_hits_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    groups: DataFrame,
+    n: int = 3,
+    max_buckets: int = 65536,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, group, rank, doc_id, score): the top-``n`` hits BY
+    SCORE within each bucket of each query's matched docs — the
+    Elasticsearch ``top_hits`` sub-aggregation under a ``terms``
+    aggregation ("the 3 best hits per language"), Lucene's grouping
+    module shape.
+
+    ``groups`` is a (doc_id, group) frame or a keyword DocValues handle
+    (task-local reads). Labels dictionary-encode driver-side exactly as
+    group_matches; codes ride the shard-cogrouped side channel
+    (leaf = -3). Each shard ships at most ``n`` rows per (query, bucket)
+    it sees — the same shard-local/global two-phase ES runs — and the
+    global cut is a window over that bounded frame (shards x buckets x
+    n rows), partitioned by (query, bucket). Docs with no group label
+    are skipped (the ES missing-bucket default). Membership is
+    exhaustive (pruning keeps only the GLOBAL top-k, which can starve a
+    rare bucket's best hit); composes with every mode and deletes /
+    doc_filter / field_meta. Ranks are per (query, bucket), ties break
+    (score DESC, doc_id ASC). The ``k`` column of ``queries`` is
+    ignored — ``n`` is the per-bucket size."""
+    kwargs.pop("collector", None)
+    kwargs.pop("group_meta", None)
+    kwargs.pop("group_k", None)
+    dim, gm = _encode_groups(spark, groups, max_buckets)
+    out = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="group_topk", group_meta=gm, group_k=int(n), **kwargs,
+    ).join(F.broadcast(dim), "gcode")
+    return out.select("query_id", "group", "rank", "doc_id", "score")
+
+
 def group_matches(
     spark: SparkSession,
     merged: DataFrame,
@@ -1800,35 +1963,7 @@ def group_matches(
     kwargs.pop("collector", None)
     kwargs.pop("sort_meta", None)
     kwargs.pop("group_meta", None)
-    if isinstance(groups, DocValues):
-        if groups.labels is None:
-            raise ValueError(
-                f"group docvalues field {groups.name!r} is numeric — "
-                "grouping needs a keyword field (stored label dictionary)"
-            )
-        labels = groups.labels
-        gm: DataFrame | DocValues = groups
-    else:
-        gcol = groups.columns[1]
-        g = groups.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col(gcol).cast("string").alias("group"),
-        ).filter(F.col("group").isNotNull())
-        labels = sorted(
-            r["group"]
-            for r in g.select("group").distinct().limit(max_buckets + 1).collect()
-        )
-        if len(labels) > max_buckets:
-            raise ValueError(
-                f"group column {gcol!r} exceeds max_buckets={max_buckets} "
-                "distinct values — bucket it coarser (histogram) or raise "
-                "the cap"
-            )
-    dim = spark.createDataFrame(
-        list(enumerate(labels)), "gcode long, group string"
-    )
-    if not isinstance(groups, DocValues):
-        gm = g.join(F.broadcast(dim), "group").select("doc_id", "gcode")
+    dim, gm = _encode_groups(spark, groups, max_buckets)
     sm = None
     if values is not None:
         if isinstance(values, DocValues):
@@ -1870,6 +2005,7 @@ def _shard_and_rank(
     sort_ascending: bool = False,
     group_meta: DataFrame | None = None,
     search_after: dict | None = None,
+    group_k: int = 3,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -1912,6 +2048,12 @@ def _shard_and_rank(
             )
         if collector in ("values", "distinct_values"):
             return spark.createDataFrame([], _VALUES_SCHEMA)
+        if collector == "group_topk":
+            return spark.createDataFrame(
+                [],
+                "query_id string, gcode long, rank int, doc_id long, "
+                "score double",
+            )
         return spark.createDataFrame([], "query_id string, rank int, doc_id long, score double")
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
@@ -2009,11 +2151,13 @@ def _shard_and_rank(
     group_only = collector == "group_stats"
     values_only = collector in ("values", "distinct_values")
     values_unique = collector == "distinct_values"
+    group_topk_n = group_k if collector == "group_topk" else None
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
         else _GROUP_SCHEMA if group_only
         else _VALUES_SCHEMA if values_only
+        else _GROUP_TOPK_SCHEMA if group_topk_n is not None
         else _OUT_SCHEMA
     )
 
@@ -2047,6 +2191,7 @@ def _shard_and_rank(
                 group_only=group_only,
                 values_only=values_only,
                 values_unique=values_unique,
+                group_topk_n=group_topk_n,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -2078,6 +2223,11 @@ def _shard_and_rank(
                     )
                 if values_only:
                     return pd.DataFrame({"query_id": [], "val": []})
+                if group_topk_n is not None:
+                    return pd.DataFrame(
+                        {c: [] for c in
+                         ("query_id", "gcode", "doc_id", "score")}
+                    )
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
@@ -2124,6 +2274,7 @@ def _shard_and_rank(
                 group_only=group_only,
                 values_only=values_only,
                 values_unique=values_unique,
+                group_topk_n=group_topk_n,
             )
 
         local = (
@@ -2189,6 +2340,18 @@ def _shard_and_rank(
             F.when(has, F.col("min")).alias("min"),
             F.when(has, F.col("max")).alias("max"),
             F.when(has, F.col("sum") / F.col("n_values")).alias("avg"),
+        )
+    if group_topk_n is not None:
+        # shard-local phases shipped <= n rows per (query, bucket) each;
+        # the global cut is a window over that bounded frame (shards x
+        # buckets x n), partitioned by the bucket key — never corpus
+        wg = Window.partitionBy("query_id", "gcode").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(wg))
+            .filter(F.col("rank") <= F.lit(group_topk_n))
+            .select("query_id", "gcode", "rank", "doc_id", "score")
         )
     kdf = spark.createDataFrame(
         [(qid, k) for qid, k, _, _ in tokenized], schema="query_id string, k int"
