@@ -2686,6 +2686,99 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- DIS_MAX fielded retrieval (round 5, Lucene DisjunctionMaxQuery /
+#     ES multi_match best_fields — query/bm25f.py dismax_topk): each
+#     field scored by standard BM25 with its OWN stats (df_f, avgdl_f)
+#     times its ^w boost, combined as max + tie * (sum - max). Same
+#     (text, source) fields and query set as the BM25F entry, so the
+#     two entries together pin the semantic difference between holistic
+#     (BM25F) and best-field (dis_max) fielded scoring.
+DISMAX_TIE = 0.3
+
+
+def q_dismax_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.bm25f import dismax_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = dismax_topk(
+        docs,
+        FIELDED_WEIGHTS,
+        _doc_queries_df(spark, FIELDED_QUERY_SET),
+        tie=DISMAX_TIE,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _dismax_oracle_sql() -> str:
+    """Dis-max truth: per-field BM25 CTEs with each field's own df and
+    avgdl (idf over the field, not the combined doc), the field boost
+    multiplying the whole field score, then max + tie * (sum - max)
+    per (query, doc)."""
+    ttoks = duckdb_tokens_sql("text")
+    stoks = duckdb_tokens_sql("source")
+    wt, ws = dict(FIELDED_WEIGHTS)["text"], dict(FIELDED_WEIGHTS)["source"]
+    return f"""
+WITH fdocs AS (
+  SELECT doc_id, {ttoks} AS ttoks, {stoks} AS stoks FROM documents
+), ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ttoks) AS term FROM fdocs) GROUP BY doc_id, term
+), stf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(stoks) AS term FROM fdocs) GROUP BY doc_id, term
+), fdl AS (
+  SELECT doc_id, len(ttoks)::BIGINT AS tdl, len(stoks)::BIGINT AS sdl FROM fdocs
+), fstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(tdl) AS tavg, avg(sdl) AS savg FROM fdl
+), tdft AS (
+  SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term
+), sdft AS (
+  SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(FIELDED_QUERY_SET)}
+), tscored AS (
+  SELECT qt.query_id, qt.k, t.doc_id,
+         sum( ln((st.n_docs - tdft.df + 0.5) / (tdft.df + 0.5) + 1.0)
+              * {wt} * t.tf * 2.2
+              / (t.tf + 1.2 * (0.25 + 0.75 * fdl.tdl / st.tavg)) ) AS s
+  FROM qterms qt
+  JOIN tdft ON tdft.term = qt.term
+  JOIN ttf t ON t.term = qt.term
+  JOIN fdl ON fdl.doc_id = t.doc_id
+  CROSS JOIN fstats st
+  GROUP BY qt.query_id, qt.k, t.doc_id
+), sscored AS (
+  SELECT qt.query_id, qt.k, s.doc_id,
+         sum( ln((st.n_docs - sdft.df + 0.5) / (sdft.df + 0.5) + 1.0)
+              * {ws} * s.tf * 2.2
+              / (s.tf + 1.2 * (0.25 + 0.75 * fdl.sdl / st.savg)) ) AS s
+  FROM qterms qt
+  JOIN sdft ON sdft.term = qt.term
+  JOIN stf s ON s.term = qt.term
+  JOIN fdl ON fdl.doc_id = s.doc_id
+  CROSS JOIN fstats st
+  GROUP BY qt.query_id, qt.k, s.doc_id
+), combined AS (
+  SELECT query_id, k, doc_id,
+         max(s) + {DISMAX_TIE} * (sum(s) - max(s)) AS raw
+  FROM (SELECT * FROM tscored UNION ALL SELECT * FROM sscored)
+  GROUP BY query_id, k, doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+  FROM combined
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- A9: document frequency per term (exact, grouped agg)
 def q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
@@ -4269,6 +4362,7 @@ QUERIES = {
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_top_hits": q_bm25_top_hits,
+    "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -4401,6 +4495,7 @@ ORACLE_SQL = {
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
+    "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

@@ -142,3 +142,98 @@ def bm25f_topk(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def dismax_topk(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: DataFrame,
+    tie: float = 0.0,
+    k1: float = K1,
+    b: float = B,
+    rank_on_rounded: bool = True,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score): disjunction-max fielded
+    retrieval — Lucene's DisjunctionMaxQuery, the scorer behind ES
+    ``multi_match type=best_fields`` (its default).
+
+    Where BM25F folds field evidence into ONE saturation curve (holistic
+    relevance), dis_max takes the BEST single field's score and lets the
+    others contribute only through the tie_breaker:
+
+        score(q, d) = max_f s_f(q, d) + tie * sum_{f != argmax} s_f(q, d)
+
+    with each s_f a STANDARD BM25 over field f using the FIELD'S OWN
+    statistics (df_f, avgdl_f; N global) times the field's ^w boost —
+    the Lucene per-field-searcher semantics. tie=0 is the pure max
+    (classic DisMax); tie=1 degrades to the per-field score sum
+    (most_fields). Right when fields are ALTERNATE phrasings of the
+    same content (title vs body): summing saturated per-field scores
+    over-rewards documents that repeat the query everywhere.
+
+    Plan shape: one tokenize+explode+groupBy per field (map-side
+    combined), per-field scoring joins on term (query-term semi-join
+    prunes each field's tf to query terms before any shuffle), a
+    per-(query, doc) max/sum fold over the <= |fields| rows per matched
+    (query, doc), one rank window. Everything JVM-side; no UDFs.
+
+    rank_on_rounded: same oracle-determinism convention as bm25f_topk
+    (per-field sums are SQL-fold-order ULP-noisy)."""
+    if not fields:
+        raise ValueError("need at least one (column, weight) field")
+    if not 0.0 <= tie <= 1.0:
+        raise ValueError(f"tie must be in [0, 1], got {tie!r}")
+    n_docs = docs.count()
+    qterms = queries.select(
+        "query_id",
+        F.col("k").cast("int").alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.coalesce(tokens_col("text"), F.array().cast("array<string>"))
+            )
+        ).alias("term"),
+    )
+
+    per_field = []
+    for col, w in fields:
+        tf, dl = _field_tf(docs, col)
+        avgdl = dl.agg(F.avg("dl")).collect()[0][0] or 0.0
+        if avgdl <= 0:
+            continue  # field empty in every doc — contributes nothing
+        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = F.col("tf") + k1 * (
+            1.0 - b + b * F.col("dl") / F.lit(float(avgdl))
+        )
+        contrib = (
+            F.col("idf") * F.lit(float(w)) * F.col("tf") * (k1 + 1.0) / denom
+        )
+        per_field.append(
+            qterms.join(dft, "term")
+            .withColumn("idf", idf)
+            .join(tf, "term")
+            .join(dl, "doc_id")
+            .groupBy("query_id", "k", "doc_id")
+            .agg(F.sum(contrib).alias("s"))
+        )
+    if not per_field:
+        raise ValueError("every field is empty — nothing to score")
+    allf = per_field[0]
+    for p in per_field[1:]:
+        allf = allf.unionByName(p)
+    combined = allf.groupBy("query_id", "k", "doc_id").agg(
+        (
+            F.max("s") + F.lit(float(tie)) * (F.sum("s") - F.max("s"))
+        ).alias("score")
+    )
+    key = F.round("score", 6) if rank_on_rounded else F.col("score")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        combined.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
