@@ -1764,6 +1764,126 @@ WITH docs AS (
 """
 
 
+# --- FUNCTION_SCORE (round 5, the ES function_score query with a
+#     gauss decay, boost_mode=multiply / Lucene FunctionScoreQuery):
+#     BM25 * exp(-d^2 / 2 sigma^2) where d = |n_chars - origin| — the
+#     recency/utility-boost idiom ("prefer docs near 600 chars"). FULL
+#     answer sets (k > corpus), re-ranked on the rounded product both
+#     sides. The oracle rebuilds the decay in SQL on the same scored
+#     membership CTEs.
+FS_ORIGIN, FS_SCALE, FS_DECAY = 600.0, 300.0, 0.5
+
+
+def q_bm25_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.function_score import (
+        decay_factors,
+        function_score_topk,
+    )
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    factors = decay_factors(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("double").alias("value"),
+        ),
+        decay="gauss",
+        origin=FS_ORIGIN,
+        scale=FS_SCALE,
+        decay_value=FS_DECAY,
+    )
+    # FULL answer sets: k > corpus so the rounded re-rank below is safe
+    fs_set = [(q, t, 10**9) for q, t, _k in STATS_QUERY_SET]
+    out = function_score_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, fs_set),
+        factors,
+        mode="boolean",
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract as
+    # bm25_boolean — safe because no query truncates)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _function_score_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+) -> str:
+    """Function-score truth: the boolean membership + BM25 scoring CTEs,
+    each product multiplied by the same gauss decay on n_chars
+    (sigma^2 = -scale^2 / (2 ln p)), ranked per query on the rounded
+    product."""
+    import math
+
+    matches, qterms, boosted = _bool_membership_and_qterms(query_set)
+    boost_factor = " * qt.boost" if boosted else ""
+    sigma2 = -(FS_SCALE * FS_SCALE) / (2.0 * math.log(FS_DECAY))
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  {qterms}
+), scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+), boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.raw * coalesce(
+           exp(-((abs(CAST(d.n_chars AS DOUBLE) - {FS_ORIGIN!r})
+                  * abs(CAST(d.n_chars AS DOUBLE) - {FS_ORIGIN!r}))
+                 / {2.0 * sigma2!r})), 1.0) AS fscore
+  FROM scored sc
+  JOIN documents d ON d.doc_id = sc.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(fscore, 6) DESC, doc_id ASC) AS rnk
+  FROM boosted
+)
+SELECT query_id, rnk AS rank, doc_id, round(fscore, 6) AS score
+FROM ranked
+"""
+
+
 # --- CARDINALITY aggregation (round 5, the ES ``cardinality``
 #     aggregation): exact distinct count of a metric over each query's
 #     matched docs. Shards ship (query, value) pairs deduped
@@ -4361,6 +4481,7 @@ QUERIES = {
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
+    "bm25_function_score": q_bm25_function_score,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -4494,6 +4615,7 @@ ORACLE_SQL = {
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
+    "bm25_function_score": _function_score_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

@@ -213,6 +213,22 @@ class Searcher:
             values, percentiles=percentiles, **kwargs,
         )
 
+    def function_score(self, queries, factors, **kwargs) -> DataFrame:
+        """-> (query_id, rank, doc_id, score): BM25 * per-doc factor
+        top-k (ES function_score boost_mode=multiply —
+        query/function_score.py; build factors with decay_factors /
+        field_value_factor, or pass a DocValues handle); the session's
+        tombstones apply."""
+        from angle_spark.query.function_score import function_score_topk
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return function_score_topk(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            factors, **kwargs,
+        )
+
     def top_hits(self, queries, groups, n=3, **kwargs) -> DataFrame:
         """-> (query_id, group, rank, doc_id, score): the top-n hits by
         score within each bucket of each query's matched docs (ES

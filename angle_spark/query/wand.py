@@ -272,6 +272,7 @@ def _score_shard_multi(
     values_only: bool = False,
     values_unique: bool = False,
     group_topk_n: int | None = None,
+    sort_mult: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -901,18 +902,32 @@ def _score_shard_multi(
             continue
 
         if sort_keys is not None:
-            # sort-by-field (prune=False enforced: membership complete):
-            # the sort key REPLACES relevance for selection and output;
-            # docs missing a key sort last (-inf under the shared
-            # largest-first selection)
+            # prune=False enforced in both renditions: membership must
+            # be complete before keys apply
             assert not prune
             sdocs, svals = sort_keys
-            scores = np.full(len(doc_ids), -np.inf)
-            if sdocs.size:
-                pos = np.searchsorted(sdocs, doc_ids)
-                pos[pos == sdocs.size] = 0
-                hitk = sdocs[pos] == doc_ids
-                scores[hitk] = svals[pos[hitk]]
+            if sort_mult:
+                # function_score (ES function_score boost_mode=multiply):
+                # the shipped per-doc factor MULTIPLIES relevance; docs
+                # missing a factor keep their BM25 unchanged (factor 1 —
+                # the ES missing rule for score functions)
+                factors = np.ones(len(doc_ids))
+                if sdocs.size:
+                    pos = np.searchsorted(sdocs, doc_ids)
+                    pos[pos == sdocs.size] = 0
+                    hitk = sdocs[pos] == doc_ids
+                    factors[hitk] = svals[pos[hitk]]
+                scores = scores * factors
+            else:
+                # sort-by-field: the sort key REPLACES relevance for
+                # selection and output; docs missing a key sort last
+                # (-inf under the shared largest-first selection)
+                scores = np.full(len(doc_ids), -np.inf)
+                if sdocs.size:
+                    pos = np.searchsorted(sdocs, doc_ids)
+                    pos[pos == sdocs.size] = 0
+                    hitk = sdocs[pos] == doc_ids
+                    scores[hitk] = svals[pos[hitk]]
 
         if has_cursor:
             # page membership: strictly after the cursor under the
@@ -1017,8 +1032,19 @@ def wand_topk(
     group_meta: DataFrame | None = None,
     search_after: dict[str, tuple[float, int]] | None = None,
     group_k: int = 3,
+    sort_multiply: bool = False,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    ``sort_multiply`` (round 5, the ES function_score
+    boost_mode=multiply seam): sort_meta's per-doc values are score
+    FACTORS that MULTIPLY relevance instead of replacing it; docs
+    missing a factor keep their BM25 unchanged (factor 1, the ES
+    missing rule for score functions). Selection, ranks, paging and
+    search_after cursors all live in the multiplied-score space. Use
+    the function_score_topk wrapper (query/function_score.py) for the
+    decay / field-value-factor builders. Exhaustive path (factors can
+    exceed 1, so no posting-list bound survives the multiply).
 
     ``search_after`` (round 5, Lucene IndexSearcher.searchAfter / the
     ES search_after cursor — the scale-correct deep-paging shape):
@@ -1307,10 +1333,27 @@ def wand_topk(
             queries = queries.withColumn(
                 "k", (F.col("k") + F.lit(offset)).cast("int")
             )
+    if sort_multiply:
+        if sort_meta is None:
+            raise ValueError(
+                "sort_multiply needs sort_meta as the (doc_id, factor) "
+                "source — use function_score_topk()"
+            )
+        if collector != "topk":
+            raise ValueError(
+                "sort_multiply is only valid with collector='topk', "
+                f"got {collector!r}"
+            )
+        if sort_ascending:
+            raise ValueError(
+                "sort_ascending is meaningless with sort_multiply — "
+                "ranking is by the multiplied score"
+            )
     if sort_meta is not None:
-        # sort keys replace relevance: membership must be complete
-        # (pruned blocks could hide the max-key doc), so the exhaustive
-        # path is forced, exactly like counting
+        # sort keys replace (or scale) relevance: membership must be
+        # complete (pruned blocks could hide the max-key doc; a factor
+        # > 1 breaks any posting-list bound), so the exhaustive path is
+        # forced, exactly like counting
         prune = False
     # analyzer dispatch (round 5): queries tokenize with the SAME
     # versioned analyzer the index was built with (IndexMeta.analyzer;
@@ -1597,7 +1640,7 @@ def wand_topk(
             fieldsets=fieldsets, offset=offset, collector=collector,
             sort_meta=sort_meta, sort_ascending=sort_ascending,
             group_meta=group_meta, search_after=search_after,
-            group_k=group_k,
+            group_k=group_k, sort_multiply=sort_multiply,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1657,7 +1700,7 @@ def wand_topk(
         offset=offset, collector=collector,
         sort_meta=sort_meta, sort_ascending=sort_ascending,
         group_meta=group_meta, search_after=search_after,
-        group_k=group_k,
+        group_k=group_k, sort_multiply=sort_multiply,
     )
 
 
@@ -2006,6 +2049,7 @@ def _shard_and_rank(
     group_meta: DataFrame | None = None,
     search_after: dict | None = None,
     group_k: int = 3,
+    sort_multiply: bool = False,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -2152,6 +2196,7 @@ def _shard_and_rank(
     values_only = collector in ("values", "distinct_values")
     values_unique = collector == "distinct_values"
     group_topk_n = group_k if collector == "group_topk" else None
+    sort_mult = bool(sort_multiply)
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
@@ -2192,6 +2237,7 @@ def _shard_and_rank(
                 values_only=values_only,
                 values_unique=values_unique,
                 group_topk_n=group_topk_n,
+                sort_mult=sort_mult,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -2275,6 +2321,7 @@ def _shard_and_rank(
                 values_only=values_only,
                 values_unique=values_unique,
                 group_topk_n=group_topk_n,
+                sort_mult=sort_mult,
             )
 
         local = (
