@@ -240,6 +240,34 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         searcher.group(queries_df(spark), dv_role, dv_ts).count()
         timings["wand_group_stats_dv"] = time.monotonic() - t0
 
+        # --- leg 2b7 (round 5, session 3+): the rest of the analytics
+        #     collectors over the same session and stored fields —
+        #     exact percentiles (order statistics: O(matches) value
+        #     rows), cardinality (shard-deduped distinct count), and
+        #     per-bucket top hits (<= n rows per (query, bucket, shard))
+        t0 = time.monotonic()
+        searcher.percentiles(queries_df(spark), dv_ts, percentiles=(0.5, 0.95)).count()
+        timings["wand_percentiles_dv"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        searcher.cardinality(queries_df(spark), dv_ts).count()
+        timings["wand_cardinality_dv"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        searcher.top_hits(queries_df(spark), dv_role, n=3).count()
+        timings["wand_top_hits_dv"] = time.monotonic() - t0
+
+        # --- leg 2b8 (round 5): function_score — BM25 * gauss(ts)
+        #     recency decay, factors shipped per batch (exhaustive
+        #     membership by construction: factors can exceed 1)
+        from angle_spark.query.function_score import decay_factors
+
+        ts_mid = sm.agg({"sort_key": "avg"}).collect()[0][0] or 0.0
+        factors = decay_factors(
+            sm, "gauss", origin=float(ts_mid), scale=86400.0
+        )
+        t0 = time.monotonic()
+        searcher.function_score(queries_df(spark), factors).count()
+        timings["wand_function_score"] = time.monotonic() - t0
+
         # --- leg 2c: deletion lifecycle at corpus scale (index/deletes.py):
         #     tombstone 1% of docs + cheap tombstone pickup + masked batch
         #     (the block cache stays valid), then the physical purge
@@ -264,6 +292,32 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    # --- leg 2d (round 5): percolation — classify the WHOLE corpus
+    #     against a stored boolean-query catalog in one scan (reverse
+    #     search: the routing/alerting primitive). Zero shuffle; the
+    #     corpus is the stored parquet table, the catalog rides the
+    #     closure.
+    from angle_spark.query.percolate import compile_catalog, percolate
+
+    perc_cat = compile_catalog(
+        [
+            ("p_hot", "w0000 AND w0007"),
+            ("p_not", "w0001 AND NOT w0000"),
+            ("p_or", "w0019 OR (w0003 AND w0011)"),
+            ("p_phrase", '"w0000 w0001"'),
+            ("p_near", '"w0004 w0002"~6'),
+            ("p_prefix", "w000* AND w0012"),
+            ("p_mid", "w0100 AND w0200"),
+            ("p_rare", "w5678 OR w8000"),
+        ]
+    )
+    perc_src = spark.read.parquet(corpus_dir).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "text"
+    )
+    t0 = time.monotonic()
+    n_perc = percolate(perc_src, perc_cat).count()
+    timings["percolate_corpus"] = time.monotonic() - t0
+
     # --- leg 3: headline sf-dir queries (driver-visible operators) ---
     from angle_spark.entries import QUERIES
 
@@ -285,6 +339,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "lmd_topk_documents",
         "bm25_rerank",
         "kmeans_clusters",
+        "dismax_fielded",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
