@@ -1764,6 +1764,159 @@ WITH docs AS (
 """
 
 
+# --- RANK_EVAL (round 5, the ES _rank_eval API / standard IR metrics —
+#     the evaluation gate the reference runs over retrieval prompts,
+#     reference tests/test_eval.py:4-20): precision@10 / recall@10 /
+#     MRR / exponential-gain NDCG@10 of the boolean BM25 ranking
+#     against deterministic graded judgments (grade = (doc*13 + q*7) %
+#     4 over every doc, relevant iff grade >= 1). All frames are
+#     metadata-sized; the oracle recomputes the ranking AND the metric
+#     algebra from the shared scoring CTEs.
+RANK_EVAL_K = 10
+
+
+def q_bm25_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.operators.evaluate import rank_eval
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    re_set = [(q, t, RANK_EVAL_K) for q, t, _k in STATS_QUERY_SET]
+    results = wand_topk(
+        spark, merged, tstats, meta, _doc_queries_df(spark, re_set),
+        mode="boolean",
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    qnums = spark.createDataFrame(
+        [(qid, i + 1) for i, (qid, _t, _k) in enumerate(STATS_QUERY_SET)],
+        "query_id string, qnum int",
+    )
+    judgments = qnums.crossJoin(docs).select(
+        "query_id",
+        "doc_id",
+        ((F.col("doc_id") * 13 + F.col("qnum") * 7) % 4)
+        .cast("double")
+        .alias("grade"),
+    )
+    out = rank_eval(results, judgments, k=RANK_EVAL_K)
+    return out.select(
+        "query_id",
+        F.col("retrieved").cast("long").alias("retrieved"),
+        "n_relevant",
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("dcg_at_k", 6).alias("dcg_at_k"),
+        F.round("idcg_at_k", 6).alias("idcg_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    )
+
+
+def _rank_eval_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Rank-eval truth: the boolean scored CTEs cut at k, the same
+    deterministic judgments, and the metric algebra in SQL."""
+    k = RANK_EVAL_K
+    matches, qterms, boosted = _bool_membership_and_qterms(
+        [(q, t, k) for q, t, _k in query_set]
+    )
+    boost_factor = " * qt.boost" if boosted else ""
+    qnum_rows = ", ".join(
+        f"('{qid}', {i + 1})" for i, (qid, _t, _k) in enumerate(query_set)
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  {qterms}
+), scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, doc_id ASC) AS rnk
+  FROM scored
+), results AS (
+  SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {k}
+), qnums AS (
+  SELECT * FROM (VALUES {qnum_rows}) AS q(query_id, qnum)
+), judg AS (
+  SELECT q.query_id,
+         d.doc_id,
+         CAST((d.doc_id * 13 + q.qnum * 7) % 4 AS DOUBLE) AS grade
+  FROM qnums q CROSS JOIN documents d
+), joined AS (
+  SELECT r.query_id, r.rnk,
+         coalesce(j.grade, 0.0) AS grade
+  FROM results r
+  LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+), per_q AS (
+  SELECT query_id,
+         count(*)::BIGINT AS retrieved,
+         sum(CASE WHEN grade >= 1.0 THEN 1 ELSE 0 END) AS rel_retrieved,
+         min(CASE WHEN grade >= 1.0 THEN rnk END) AS first_rel,
+         sum((power(2.0, grade) - 1.0) / log2(rnk + 1.0)) AS dcg
+  FROM joined GROUP BY query_id
+), ideal AS (
+  SELECT query_id,
+         sum((power(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, grade,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY grade DESC, doc_id ASC) AS irank
+    FROM judg
+  ) WHERE irank <= {k} GROUP BY query_id
+), nrel AS (
+  SELECT query_id, count(*)::BIGINT AS n_relevant
+  FROM judg WHERE grade >= 1.0 GROUP BY query_id
+)
+SELECT p.query_id,
+       p.retrieved,
+       coalesce(n.n_relevant, 0)::BIGINT AS n_relevant,
+       round(p.rel_retrieved * 1.0 / p.retrieved, 6) AS precision_at_k,
+       round(CASE WHEN coalesce(n.n_relevant, 0) > 0
+                  THEN p.rel_retrieved * 1.0 / n.n_relevant
+                  ELSE 0.0 END, 6) AS recall_at_k,
+       round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+       round(p.dcg, 6) AS dcg_at_k,
+       round(coalesce(i.idcg, 0.0), 6) AS idcg_at_k,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                  THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_k
+FROM per_q p
+LEFT JOIN ideal i ON i.query_id = p.query_id
+LEFT JOIN nrel n ON n.query_id = p.query_id
+"""
+
+
 # --- FUNCTION_SCORE (round 5, the ES function_score query with a
 #     gauss decay, boost_mode=multiply / Lucene FunctionScoreQuery):
 #     BM25 * exp(-d^2 / 2 sigma^2) where d = |n_chars - origin| — the
@@ -4482,6 +4635,7 @@ QUERIES = {
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_function_score": q_bm25_function_score,
+    "bm25_rank_eval": q_bm25_rank_eval,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -4616,6 +4770,7 @@ ORACLE_SQL = {
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
     "bm25_function_score": _function_score_oracle_sql(STATS_QUERY_SET),
+    "bm25_rank_eval": _rank_eval_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
