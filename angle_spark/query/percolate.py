@@ -257,6 +257,40 @@ def compile_catalog(stored: list[tuple[str, str]]) -> Catalog:
     )
 
 
+def save_catalog(spark, path: str, stored: list[tuple[str, str]]) -> None:
+    """Persist a stored-query catalog as one crash-safe JSON file
+    (fsio.write_text: temp + atomic rename — the same single-writer
+    commit discipline as index metadata; ES persists percolator queries
+    durably in an index the same way). The catalog is validated by a
+    full compile BEFORE anything is written, so a bad query can never
+    poison the stored file."""
+    import json
+
+    from angle_spark import fsio
+
+    compile_catalog(stored)  # validate every query + duplicate ids
+    payload = json.dumps(
+        {"version": 1, "queries": [[q, t] for q, t in stored]},
+        indent=1,
+        sort_keys=True,
+    )
+    fsio.write_text(spark, path, payload)
+
+
+def load_catalog(spark, path: str) -> Catalog:
+    """Load + compile a catalog saved by save_catalog."""
+    import json
+
+    from angle_spark import fsio
+
+    data = json.loads(fsio.read_text(spark, path))
+    if data.get("version") != 1:
+        raise ValueError(
+            f"unknown catalog version {data.get('version')!r} at {path}"
+        )
+    return compile_catalog([(q, t) for q, t in data["queries"]])
+
+
 def percolate(
     docs: DataFrame,
     catalog: Catalog,

@@ -230,3 +230,29 @@ def test_streaming_percolate(spark, docs, tmp_path):
         all_got,
         expected.sort_values(["query_id", "doc_id"]).reset_index(drop=True),
     )
+
+
+def test_catalog_save_load_roundtrip(spark, docs, tmp_path, perc_pdf):
+    from angle_spark.query.percolate import load_catalog, save_catalog
+
+    path = str(tmp_path / "catalog.json")
+    save_catalog(spark, path, CATALOG)
+    cat2 = load_catalog(spark, path)
+    got = (
+        percolate(docs, cat2)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, perc_pdf)
+    # a bad catalog never reaches disk
+    import os
+
+    bad = str(tmp_path / "bad.json")
+    with pytest.raises(Exception):
+        save_catalog(spark, bad, [("x", "NOT w0000")])
+    assert not os.path.exists(bad)
+    # unknown version rejected
+    (tmp_path / "v9.json").write_text('{"version": 9, "queries": []}')
+    with pytest.raises(ValueError, match="version"):
+        load_catalog(spark, str(tmp_path / "v9.json"))
