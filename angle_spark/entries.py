@@ -4143,6 +4143,52 @@ SUGGEST_MAX_DIST = 2
 SUGGEST_K = 3
 
 
+# --- COMPLETION suggester (round 5, Lucene/ES completion suggester —
+#     search-as-you-type): top-k vocabulary completions per prefix,
+#     popularity-weighted by df, (df DESC, term ASC) deterministic.
+#     One term_stats scan with pushable StartsWith predicates; the
+#     vocabulary never reaches the driver.
+COMPLETE_PREFIXES = ["sca", "jo", "qu", "f", "zzqx"]
+COMPLETE_K = 5
+
+
+def q_suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.suggest import complete_terms
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, _ = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    return complete_terms(spark, tstats, COMPLETE_PREFIXES, k=COMPLETE_K)
+
+
+def _suggest_completion_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    pfx = ", ".join(f"('{p}')" for p in sorted(set(COMPLETE_PREFIXES)))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pfx AS (
+  SELECT * FROM (VALUES {pfx}) AS p(prefix)
+), cand AS (
+  SELECT p.prefix, d.term, d.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS rank
+  FROM pfx p JOIN dft d ON starts_with(d.term, p.prefix)
+)
+SELECT prefix, rank::BIGINT AS rank, term, df
+FROM cand WHERE rank <= {COMPLETE_K}
+"""
+
+
 def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.query.suggest import suggest_terms
 
@@ -4655,6 +4701,7 @@ QUERIES = {
     "bm25_snippets": q_bm25_snippets,
     "more_like_this": q_more_like_this,
     "spell_suggest": q_spell_suggest,
+    "suggest_completion": q_suggest_completion,
     "bm25_min_match": q_bm25_min_match,
     "bm25_rerank": q_bm25_rerank,
     "bm25_collapse": q_bm25_collapse,
@@ -4791,6 +4838,7 @@ ORACLE_SQL = {
     "bm25_snippets": _bm25_snippets_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
     "spell_suggest": _spell_suggest_oracle_sql(),
+    "suggest_completion": _suggest_completion_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "
         "(SELECT doc_id FROM documents WHERE lang = 'en')"

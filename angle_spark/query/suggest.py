@@ -62,3 +62,51 @@ def suggest_terms(
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+def complete_terms(
+    spark: SparkSession,
+    tstats: DataFrame,
+    prefixes: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """-> (prefix, rank, term, df): up to ``k`` vocabulary completions
+    per input prefix — the search-as-you-type suggester (Lucene/ES
+    completion suggester, popularity-weighted by document frequency:
+    the closest corpus-derived analog of stored suggestion weights).
+
+    Ranking is deterministic: (df DESC, term ASC), capped at ``k``. An
+    exact vocabulary term is its own first-class completion (``prefix``
+    itself appears when indexed). A prefix completing to nothing yields
+    no rows.
+
+    Scale shape: prefixes broadcast into ONE scan of term_stats with a
+    pushable StartsWith predicate per prefix; the per-prefix top-k
+    window returns |prefixes| x k rows. The vocabulary never reaches
+    the driver — the same contract as suggest_terms/prefix expansion."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not prefixes:
+        return spark.createDataFrame(
+            [], "prefix string, rank long, term string, df long"
+        )
+    clean = sorted(set(prefixes))
+    if any(not p for p in clean):
+        raise ValueError("empty prefix")
+    p = spark.createDataFrame([(x,) for x in clean], "prefix string")
+    cand = (
+        tstats.select("term", "df")
+        .crossJoin(F.broadcast(p))
+        .filter(F.col("term").startswith(F.col("prefix")))
+    )
+    win = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("df").cast("long").alias("df"),
+        )
+    )

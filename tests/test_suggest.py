@@ -36,3 +36,37 @@ def test_suggest_exact_hit_ranks_first(spark):
         (1, "scan", 0),
         (2, "scans", 1),
     ]
+
+
+def test_completion_ranking_and_edges(spark):
+    from angle_spark.query.suggest import complete_terms
+
+    tstats = spark.createDataFrame(
+        [("scan", 50), ("scatter", 50), ("scale", 30), ("join", 90),
+         ("joint", 10), ("sc", 5)],
+        "term string, df long",
+    )
+    out = complete_terms(spark, tstats, ["sc", "joi", "zz"], k=2).collect()
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["prefix"], []).append((r["rank"], r["term"], r["df"]))
+    # df DESC, term ASC ties; k cuts; exact term is its own completion
+    assert by_p["sc"] == [(1, "scan", 50), (2, "scatter", 50)]
+    assert by_p["joi"] == [(1, "join", 90), (2, "joint", 10)]
+    assert "zz" not in by_p  # nothing completes
+    # exact vocabulary term appears as its own completion at full k
+    full = complete_terms(spark, tstats, ["sc"], k=10).collect()
+    assert "sc" in {r["term"] for r in full}
+
+
+def test_completion_validation(spark):
+    import pytest
+
+    from angle_spark.query.suggest import complete_terms
+
+    tstats = spark.createDataFrame([("a", 1)], "term string, df long")
+    assert complete_terms(spark, tstats, []).count() == 0
+    with pytest.raises(ValueError, match="k"):
+        complete_terms(spark, tstats, ["a"], k=0)
+    with pytest.raises(ValueError, match="prefix"):
+        complete_terms(spark, tstats, ["a", ""])
