@@ -1764,6 +1764,63 @@ WITH docs AS (
 """
 
 
+# --- MULTI-INDEX SEARCH with merged statistics (round 5, ES
+#     `GET /a,b/_search` + search_type=dfs_query_then_fetch —
+#     query/multi_index.py): the documents corpus split into TWO
+#     physical indexes by docID range (each index's docID space is
+#     dense-from-zero per the build contract; id_offsets map back), the
+#     DFS phase merges df/N/avgdl, and the fused ranking must equal the
+#     SINGLE full-corpus index's ranking bitwise — so the oracle is the
+#     standard single-index BM25 oracle, unchanged.
+def _cached_split_indexes(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from angle_spark.index.build import build_index
+
+    key = (sf_dir, "split2")
+    cached = _INDEX_CACHE.get(key)
+    if cached is not None and os.path.exists(
+        os.path.join(cached[0], "corpus_stats.json")
+    ):
+        return cached
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "tokens", "dl"
+    )
+    n = docs.count()
+    cut = n // 2
+    halves = []
+    for lo, hi, shift in ((0, cut, 0), (cut, n, cut)):
+        part = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).withColumn("doc_id", F.col("doc_id") - F.lit(shift))
+        d = tempfile.mkdtemp(prefix=f"msearch_idx_{lo}_")
+        build_index(spark, part, d, segment_docs=128, block_size=16)
+        halves.append(d)
+    cached = (halves[0], halves[1], cut)
+    _INDEX_CACHE[key] = cached
+    return cached
+
+
+def q_msearch_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.multi_index import search_indices
+
+    dir_a, dir_b, cut = _cached_split_indexes(spark, sf_dir)
+    out = search_indices(
+        spark,
+        [dir_a, dir_b],
+        _doc_queries_df(spark),
+        dfs=True,
+        id_offsets={dir_b: cut},
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- RANK_EVAL (round 5, the ES _rank_eval API / standard IR metrics —
 #     the evaluation gate the reference runs over retrieval prompts,
 #     reference tests/test_eval.py:4-20): precision@10 / recall@10 /
@@ -4682,6 +4739,7 @@ QUERIES = {
     "bm25_cardinality": q_bm25_cardinality,
     "bm25_function_score": q_bm25_function_score,
     "bm25_rank_eval": q_bm25_rank_eval,
+    "msearch_indices": q_msearch_indices,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -4818,6 +4876,7 @@ ORACLE_SQL = {
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
     "bm25_function_score": _function_score_oracle_sql(STATS_QUERY_SET),
     "bm25_rank_eval": _rank_eval_oracle_sql(STATS_QUERY_SET),
+    "msearch_indices": _bm25_oracle_sql(),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

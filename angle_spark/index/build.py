@@ -106,6 +106,13 @@ class IndexMeta:
     # the delta runs at load. -1 = legacy meta -> stats cover everything
     # merged (pre-runs incremental merges rebuilt term_stats in place).
     stats_docs: int = -1
+    # scoring-statistics override (ES dfs_query_then_fetch — see
+    # query/multi_index.py): when set, idf computes against THIS doc
+    # count instead of the index's own live count, making scores
+    # comparable across a multi-index search. Never persisted with a
+    # value (search_indices sets it on an in-memory copy only); None =
+    # normal single-index scoring.
+    scoring_docs: int | None = None
 
     def __post_init__(self) -> None:
         if self.delta_runs is None:
@@ -117,6 +124,8 @@ class IndexMeta:
 
     @property
     def live_docs(self) -> int:
+        if self.scoring_docs is not None:
+            return self.scoring_docs
         return self.n_docs - self.purged_docs
 
 
