@@ -1647,6 +1647,108 @@ def q_bm25_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", F.col("group").alias("bucket"), "n_docs")
 
 
+# --- PIPELINE aggregations (round 5, the ES pipeline-agg family /
+#     Kibana trend math — query/pipeline_aggs.py): cumulative_sum,
+#     derivative and a 3-bucket moving average over each query's
+#     length-band histogram, ordered by the NUMERIC band index. All
+#     second-order windows over the bucket frame (queries x bands) —
+#     no corpus node anywhere past the histogram itself.
+def q_bm25_histogram_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+        moving_avg,
+    )
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(F.col("n_chars") / F.lit(150)).cast("string").alias("bucket"),
+    )
+    hist = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    ).select(
+        "query_id",
+        F.col("group").cast("long").alias("band"),
+        "n_docs",
+    )
+    out = moving_avg(
+        derivative(
+            cumulative_sum(hist, "n_docs", "band"), "n_docs", "band"
+        ),
+        "n_docs",
+        "band",
+        window=3,
+    )
+    return out.select(
+        "query_id",
+        "band",
+        "n_docs",
+        F.col("cumulative").cast("long").alias("cumulative"),
+        F.col("derivative").cast("long").alias("derivative"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def _histogram_pipeline_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+) -> str:
+    """Pipeline truth: the histogram CTE + SQL window math — running
+    sum, lag difference (NULL on each query's first band), trailing
+    3-band unweighted average."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), hist AS (
+  SELECT m.query_id,
+         (d.n_chars // 150)::BIGINT AS band,
+         count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY m.query_id, (d.n_chars // 150)
+)
+SELECT query_id, band, n_docs,
+       sum(n_docs) OVER (PARTITION BY query_id ORDER BY band
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cumulative,
+       (n_docs - lag(n_docs) OVER (PARTITION BY query_id ORDER BY band))::BIGINT
+         AS derivative,
+       round(avg(n_docs) OVER (PARTITION BY query_id ORDER BY band
+                               ROWS 2 PRECEDING), 6) AS moving_avg
+FROM hist
+"""
+
+
 def _histogram_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
     """Histogram truth: membership CTEs counted per 150-char length
     band (integer floor division — exact on BIGINT n_chars)."""
@@ -4734,6 +4836,7 @@ QUERIES = {
     "bm25_stats": q_bm25_stats,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
+    "bm25_histogram_pipeline": q_bm25_histogram_pipeline,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
@@ -4871,6 +4974,7 @@ ORACLE_SQL = {
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
+    "bm25_histogram_pipeline": _histogram_pipeline_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),

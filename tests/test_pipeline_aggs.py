@@ -1,0 +1,96 @@
+"""Pipeline aggregations (query/pipeline_aggs.py) — bucket-frame math.
+
+Hand-computable goldens per operator, the gap/head semantics (ES:
+derivative NULL on each query's first bucket, moving window shrinks at
+the head), composition over a real group_matches histogram, and the
+string-order trap (validation)."""
+from __future__ import annotations
+
+import pytest
+
+from angle_spark.query.pipeline_aggs import (
+    bucket_selector,
+    cumulative_sum,
+    derivative,
+    moving_avg,
+)
+
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    rows = [
+        ("a", 0, 4), ("a", 1, 6), ("a", 3, 2),  # gap at band 2
+        ("b", 0, 10),
+    ]
+    return spark.createDataFrame(rows, "query_id string, band long, n long")
+
+
+def _by(df, cols=("query_id", "band")):
+    return {
+        tuple(r[c] for c in cols): r.asDict() for r in df.collect()
+    }
+
+
+def test_cumulative_sum(spark, buckets):
+    got = _by(cumulative_sum(buckets, "n", "band"))
+    assert got[("a", 0)]["cumulative"] == 4
+    assert got[("a", 1)]["cumulative"] == 10
+    assert got[("a", 3)]["cumulative"] == 12  # gaps don't reset
+    assert got[("b", 0)]["cumulative"] == 10  # per-query partition
+
+
+def test_derivative_null_on_first(spark, buckets):
+    got = _by(derivative(buckets, "n", "band"))
+    assert got[("a", 0)]["derivative"] is None
+    assert got[("a", 1)]["derivative"] == 2
+    assert got[("a", 3)]["derivative"] == -4
+    assert got[("b", 0)]["derivative"] is None
+
+
+def test_moving_avg_shrinks_at_head(spark, buckets):
+    got = _by(moving_avg(buckets, "n", "band", window=2))
+    assert got[("a", 0)]["moving_avg"] == 4.0
+    assert got[("a", 1)]["moving_avg"] == 5.0
+    assert got[("a", 3)]["moving_avg"] == 4.0  # trailing 2 present rows
+    assert got[("b", 0)]["moving_avg"] == 10.0
+
+
+def test_bucket_selector(spark, buckets):
+    from pyspark.sql import functions as F
+
+    kept = bucket_selector(buckets, F.col("n") >= 4).collect()
+    assert {(r["query_id"], r["band"]) for r in kept} == {
+        ("a", 0), ("a", 1), ("b", 0)
+    }
+
+
+def test_composition_matches_pandas(spark, buckets):
+    out = moving_avg(
+        derivative(cumulative_sum(buckets, "n", "band"), "n", "band"),
+        "n", "band", window=3,
+    ).toPandas().sort_values(["query_id", "band"])
+    pdf = buckets.toPandas().sort_values(["query_id", "band"])
+    g = pdf.groupby("query_id")["n"]
+    assert list(out["cumulative"]) == list(g.cumsum())
+    exp_der = g.diff()
+    for a, b in zip(out["derivative"], exp_der):
+        # toPandas renders the NULL first-bucket derivative as NaN
+        assert (a != a and b != b) or a == b
+    exp_ma = g.rolling(3, min_periods=1).mean().reset_index(drop=True)
+    for a, b in zip(out["moving_avg"], exp_ma):
+        assert a == pytest.approx(b)
+
+
+def test_validation(spark):
+    sbuckets = spark.createDataFrame(
+        [("a", "10", 1), ("a", "2", 2)], "query_id string, band string, n long"
+    )
+    with pytest.raises(ValueError, match="NUMERIC"):
+        cumulative_sum(sbuckets, "n", "band")
+    with pytest.raises(ValueError, match="not in frame"):
+        derivative(sbuckets, "n", "missing")
+    nbuckets = spark.createDataFrame(
+        [("a", 1, 1)], "query_id string, band long, n long"
+    )
+    with pytest.raises(ValueError, match="window"):
+        moving_avg(nbuckets, "n", "band", window=0)
