@@ -2196,6 +2196,131 @@ FROM ranked
 """
 
 
+# --- MATCHED-IDS export + MATRIX_STATS (round 5): collector="ids" is
+#     the bare-membership export surface (no scores — the feed for
+#     metadata joins); matrix_stats (the ES aggregation) computes
+#     pairwise sample covariance / Pearson correlation between numeric
+#     doc fields over each query's matched docs. Fields here: n_chars
+#     (stored) and dl (token count — recomputed identically in the
+#     oracle), which are strongly correlated by construction, so the
+#     correlation numbers are meaningful, not noise.
+def q_bm25_matched_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import matched_ids
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    return matched_ids(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, STATS_QUERY_SET), mode="boolean",
+    )
+
+
+def _matched_ids_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT DISTINCT query_id, doc_id FROM matches
+"""
+
+
+def q_bm25_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import matrix_stats_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = with_tokens(_read(spark, sf_dir, "documents"))
+    vals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dl").cast("double").alias("dl"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    out = matrix_stats_matches(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, STATS_QUERY_SET), vals, mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "field_i",
+        "field_j",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_i", 6).alias("mean_i"),
+        F.round("mean_j", 6).alias("mean_j"),
+        F.round("covariance", 6).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"),
+    )
+
+
+def _matrix_stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Matrix-stats truth: membership CTEs joined to (dl, n_chars), one
+    covar_samp/corr arm per ordered field pair — the same sample
+    definitions Spark's covar_samp/corr use."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT query_id, '{fi}' AS field_i, '{fj}' AS field_j, "
+        f"count(*)::BIGINT AS n, round(avg({fi}), 6) AS mean_i, "
+        f"round(avg({fj}), 6) AS mean_j, "
+        f"round(covar_samp({fi}, {fj}), 6) AS covariance, "
+        f"round(corr({fi}, {fj}), 6) AS correlation "
+        "FROM mv GROUP BY query_id"
+        for fi, fj in (("dl", "dl"), ("dl", "n_chars"), ("n_chars", "n_chars"))
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), mv AS (
+  SELECT m.query_id,
+         CAST(len(dk.tokens) AS DOUBLE) AS dl,
+         CAST(d.n_chars AS DOUBLE) AS n_chars
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  JOIN docs dk ON dk.doc_id = m.doc_id
+)
+{arms}
+"""
+
+
 # --- CARDINALITY aggregation (round 5, the ES ``cardinality``
 #     aggregation): exact distinct count of a metric over each query's
 #     matched docs. Shards ship (query, value) pairs deduped
@@ -4840,6 +4965,8 @@ QUERIES = {
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
+    "bm25_matched_ids": q_bm25_matched_ids,
+    "bm25_matrix_stats": q_bm25_matrix_stats,
     "bm25_function_score": q_bm25_function_score,
     "bm25_rank_eval": q_bm25_rank_eval,
     "msearch_indices": q_msearch_indices,
@@ -4978,6 +5105,8 @@ ORACLE_SQL = {
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),
+    "bm25_matched_ids": _matched_ids_oracle_sql(STATS_QUERY_SET),
+    "bm25_matrix_stats": _matrix_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_function_score": _function_score_oracle_sql(STATS_QUERY_SET),
     "bm25_rank_eval": _rank_eval_oracle_sql(STATS_QUERY_SET),
     "msearch_indices": _bm25_oracle_sql(),

@@ -213,6 +213,34 @@ class Searcher:
             values, percentiles=percentiles, **kwargs,
         )
 
+    def matched_ids(self, queries, **kwargs) -> DataFrame:
+        """-> (query_id, doc_id): complete matched-doc membership, no
+        scores (the export/join surface — wand.matched_ids); the
+        session's tombstones apply."""
+        from angle_spark.query.wand import matched_ids
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return matched_ids(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            **kwargs,
+        )
+
+    def matrix_stats(self, queries, values, **kwargs) -> DataFrame:
+        """-> pairwise covariance/correlation of numeric doc fields over
+        each query's matched docs (ES matrix_stats shape —
+        wand.matrix_stats_matches); the session's tombstones apply."""
+        from angle_spark.query.wand import matrix_stats_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return matrix_stats_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            values, **kwargs,
+        )
+
     def function_score(self, queries, factors, **kwargs) -> DataFrame:
         """-> (query_id, rank, doc_id, score): BM25 * per-doc factor
         top-k (ES function_score boost_mode=multiply —

@@ -85,6 +85,10 @@ _VALUES_SCHEMA = "query_id string, val double"
 # group_k rows per (query, bucket) it sees — the ES top_hits
 # sub-aggregation's shard-local phase
 _GROUP_TOPK_SCHEMA = "query_id string, gcode long, doc_id long, score double"
+# bare membership (collector="ids"): one (query, doc) row per match, no
+# scores — the export/join feed (matrix_stats, terms-lookup joins);
+# narrower than rank rows, O(matches) by nature
+_IDS_SCHEMA = "query_id string, doc_id long"
 
 
 def query_term_stats(tstats, terms: list[str]) -> pd.DataFrame:
@@ -273,6 +277,7 @@ def _score_shard_multi(
     values_unique: bool = False,
     group_topk_n: int | None = None,
     sort_mult: bool = False,
+    ids_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -855,6 +860,14 @@ def _score_shard_multi(
                     out_s.append(s_s[keep])
             continue
 
+        if ids_only:
+            # bare membership (prune=False enforced): every branch above
+            # produced the complete distinct matched set — ship the ids
+            if len(doc_ids):
+                out_q.append(np.full(len(doc_ids), q.query_id, dtype=object))
+                out_d.append(doc_ids)
+            continue
+
         if values_only:
             # matched-value rows (prune=False enforced): ship each
             # matched doc's metric value — the exact-percentile feed.
@@ -967,6 +980,15 @@ def _score_shard_multi(
                 "gcode": np.concatenate(out_g),
                 "doc_id": np.concatenate(out_d),
                 "score": np.concatenate(out_s),
+            }
+        )
+    if ids_only:
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "doc_id": []})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
             }
         )
     if values_only:
@@ -1209,11 +1231,12 @@ def wand_topk(
         raise ValueError("field_meta is only valid with mode='boolean'")
     if collector not in (
         "topk", "count", "stats", "group_stats", "group_topk", "values",
-        "distinct_values",
+        "distinct_values", "ids",
     ):
         raise ValueError(
             "collector must be 'topk', 'count', 'stats', 'group_stats', "
-            f"'group_topk', 'values' or 'distinct_values', got {collector!r}"
+            "'group_topk', 'values', 'distinct_values' or 'ids', "
+            f"got {collector!r}"
         )
     if group_meta is not None and collector not in ("group_stats", "group_topk"):
         raise ValueError(
@@ -1290,6 +1313,14 @@ def wand_topk(
         if sort_meta is not None:
             raise ValueError("sort_meta is meaningless with collector='count'")
         prune = False  # exact totals need the exhaustive path (see docstring)
+    if collector == "ids":
+        # bare membership export: exhaustive for the same reason
+        # counting is; nothing to sort or page
+        if offset or sort_ascending:
+            raise ValueError("offset/sort_ascending are meaningless with collector='ids'")
+        if sort_meta is not None:
+            raise ValueError("sort_meta is meaningless with collector='ids'")
+        prune = False
     elif collector in ("values", "distinct_values"):
         # matched-value rows (the exact-percentile / cardinality feed):
         # sort_meta is the (doc_id, value) source; exhaustive
@@ -1833,6 +1864,110 @@ def percentile_matches(
     )
 
 
+def matched_ids(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, doc_id): each query's complete matched-doc set,
+    no scores, no ranks — the membership EXPORT surface (feed for joins
+    against metadata/embeddings, ES terms-lookup style, and the
+    matrix_stats aggregation). One exhaustive pass (collector="ids"),
+    O(matches) two-column rows, pairs distinct by construction (shards
+    partition docs). Composes with every mode and deletes / doc_filter
+    / field_meta. The ``k`` column is ignored."""
+    kwargs.pop("collector", None)
+    return wand_topk(
+        spark, merged, tstats, meta, queries, collector="ids", **kwargs
+    )
+
+
+def matrix_stats_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, field_i, field_j, n, mean_i, mean_j, covariance,
+    correlation): the Elasticsearch ``matrix_stats`` aggregation —
+    pairwise sample covariance and Pearson correlation between numeric
+    document fields over each query's matched docs ("do longer docs
+    mentioning X also carry more tokens?").
+
+    ``values`` is a (doc_id, <numeric field columns...>) frame; every
+    column after doc_id is a field. One row per ordered field pair
+    (i <= j, field names sorted); the diagonal carries the field's
+    sample variance as its covariance and correlation 1 (0-variance
+    diagonals NULL out, as SQL corr does). Docs missing from ``values``
+    are skipped entirely; rows with a NULL in either field of a pair
+    drop from that pair's fold (SQL pairwise-deletion semantics, which
+    is also what ES does per field pair). n is the pair's row count.
+
+    Shape: the matched ids (collector="ids", O(matches) narrow rows)
+    join the values frame once; the fold is |pairs| declarative
+    covar_samp/corr aggregates per query — map-side combined, bounded
+    output (queries x pairs). Skewness/kurtosis (which ES also reports)
+    are deliberately omitted: Spark and SQL engines disagree on bias
+    corrections, so no oracle could pin them; add them per-deployment
+    if a single engine's definition suffices."""
+    fields = [c for c in values.columns if c != "doc_id"]
+    if not fields:
+        raise ValueError("values needs at least one numeric field column")
+    fields = sorted(fields)
+    ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
+    vals = values.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.col(c).cast("double").alias(c) for c in fields],
+    )
+    joined = ids.join(vals, "doc_id")
+    parts = []
+    for i, fi in enumerate(fields):
+        for fj in fields[i:]:
+            both = joined.filter(
+                F.col(fi).isNotNull() & F.col(fj).isNotNull()
+            )
+            # correlation derives post-agg as cov / (s_i * s_j) —
+            # algebraically Spark's own corr, but NULL on a
+            # zero-variance field instead of ANSI DIVIDE_BY_ZERO
+            # (F.corr throws there; SQL corr returns NULL)
+            agg = both.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(fi).alias("mean_i"),
+                F.avg(fj).alias("mean_j"),
+                F.covar_samp(fi, fj).alias("covariance"),
+                F.stddev_samp(fi).alias("_si"),
+                F.stddev_samp(fj).alias("_sj"),
+            )
+            parts.append(
+                agg.withColumn(
+                    "correlation",
+                    F.when(
+                        (F.col("_si") > 0) & (F.col("_sj") > 0),
+                        F.col("covariance") / (F.col("_si") * F.col("_sj")),
+                    ),
+                ).select(
+                    "query_id",
+                    F.lit(fi).alias("field_i"),
+                    F.lit(fj).alias("field_j"),
+                    "n",
+                    "mean_i",
+                    "mean_j",
+                    "covariance",
+                    "correlation",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cardinality_matches(
     spark: SparkSession,
     merged: DataFrame,
@@ -2092,6 +2227,8 @@ def _shard_and_rank(
             )
         if collector in ("values", "distinct_values"):
             return spark.createDataFrame([], _VALUES_SCHEMA)
+        if collector == "ids":
+            return spark.createDataFrame([], _IDS_SCHEMA)
         if collector == "group_topk":
             return spark.createDataFrame(
                 [],
@@ -2197,12 +2334,14 @@ def _shard_and_rank(
     values_unique = collector == "distinct_values"
     group_topk_n = group_k if collector == "group_topk" else None
     sort_mult = bool(sort_multiply)
+    ids_only = collector == "ids"
     out_schema = (
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
         else _GROUP_SCHEMA if group_only
         else _VALUES_SCHEMA if values_only
         else _GROUP_TOPK_SCHEMA if group_topk_n is not None
+        else _IDS_SCHEMA if ids_only
         else _OUT_SCHEMA
     )
 
@@ -2238,6 +2377,7 @@ def _shard_and_rank(
                 values_unique=values_unique,
                 group_topk_n=group_topk_n,
                 sort_mult=sort_mult,
+                ids_only=ids_only,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -2274,6 +2414,8 @@ def _shard_and_rank(
                         {c: [] for c in
                          ("query_id", "gcode", "doc_id", "score")}
                     )
+                if ids_only:
+                    return pd.DataFrame({"query_id": [], "doc_id": []})
                 return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
             leaves = ids["leaf"].to_numpy(dtype=np.int64)
             docs = ids["doc_id"].to_numpy(dtype=np.int64)
@@ -2322,6 +2464,7 @@ def _shard_and_rank(
                 values_unique=values_unique,
                 group_topk_n=group_topk_n,
                 sort_mult=sort_mult,
+                ids_only=ids_only,
             )
 
         local = (
@@ -2329,6 +2472,10 @@ def _shard_and_rank(
             .cogroup(side.groupby("shard"))
             .applyInPandas(fn2, schema=out_schema)
         )
+    if ids_only:
+        # bare membership rows; shards partition docs, so pairs are
+        # already distinct — no reduce at all
+        return local
     if values_only:
         # one row per (query, matched doc with a value) — the caller
         # (percentile_matches) owns the order-statistics fold; shards
