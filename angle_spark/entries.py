@@ -3563,6 +3563,45 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig)
 
 
+# --- DECONTAMINATION (round 5): n-gram-overlap contamination check —
+#     which training docs share >= 2 shingles with a benchmark probe
+#     set (here: every doc with doc_id % 50 == 7 plays the benchmark).
+#     The standard pre-training leak check; one equi-join on the
+#     shingle key, probe side benchmark-sized.
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.dedup import ngram_contamination, shingles
+
+    sh = shingles(_doc_tokens(spark, sf_dir)).localCheckpoint()
+    probes = sh.filter((F.col("doc_id") % 50) == 7)
+    out = ngram_contamination(sh, probes, min_shared=2)
+    return out.select(
+        "probe_id",
+        "doc_id",
+        "shared_ngrams",
+        "probe_ngrams",
+        F.round("overlap", 6).alias("overlap"),
+    )
+
+
+def _ngram_contamination_oracle_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+probe AS (
+  SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % 50 = 7
+), sizes AS (
+  SELECT probe_id, count(*)::BIGINT AS probe_ngrams FROM probe GROUP BY probe_id
+), shared AS (
+  SELECT p.probe_id, c.doc_id, count(*)::BIGINT AS shared_ngrams
+  FROM sh c JOIN probe p ON c.shingle = p.shingle
+  GROUP BY p.probe_id, c.doc_id
+  HAVING count(*) >= 2
+)
+SELECT s.probe_id, s.doc_id, s.shared_ngrams, z.probe_ngrams,
+       round(s.shared_ngrams * 1.0 / z.probe_ngrams, 6) AS overlap
+FROM shared s JOIN sizes z ON z.probe_id = s.probe_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from angle_spark.operators.dedup import ngram_jaccard_pairs, shingles
 
@@ -5016,6 +5055,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_contamination": q_ngram_contamination,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_topk_pairs": q_embedding_topk_pairs,
@@ -5273,6 +5313,7 @@ ORACLE_SQL = {
         JOIN sig s2 ON s2.doc_id = doc2 AND s2.k = s1.k
         GROUP BY doc1, doc2
     """,
+    "ngram_contamination": _ngram_contamination_oracle_sql(),
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),

@@ -366,3 +366,53 @@ def embedding_topk_pairs(emb: DataFrame, k: int = 20) -> DataFrame:
     return global_topk(
         pairs, [F.desc("cos_raw"), F.asc("id1"), F.asc("id2")], k
     ).select("rank", "id1", "id2", F.round("cos_raw", 6).alias("cosine"))
+
+
+def ngram_contamination(
+    corpus_sh: DataFrame,
+    probe_sh: DataFrame,
+    min_shared: int = 1,
+) -> DataFrame:
+    """-> (probe_id, doc_id, shared_ngrams, probe_ngrams, overlap):
+    benchmark DECONTAMINATION — which training documents share >=
+    ``min_shared`` w-gram shingles with any probe (eval/benchmark)
+    document. The standard n-gram-overlap contamination check every
+    serious LLM training pipeline runs before training (the reference's
+    eval sets would silently leak into its training corpora without it
+    — its golden gate assumes clean splits, reference
+    tests/test_eval.py:4-20).
+
+    Inputs are SHINGLE frames (build with ``shingles()``, same w on
+    both sides — the shared analyzer contract): ``corpus_sh`` =
+    (doc_id, shingle) over the training corpus, ``probe_sh`` =
+    (probe_id renamed doc_id, shingle) over the benchmark. ``overlap``
+    = shared / probe's own shingle count — 1.0 means the probe is
+    fully contained.
+
+    Scale shape (100 TB corpus x small benchmark): one equi-join on the
+    shingle key — the probe side is benchmark-sized, so Spark
+    broadcasts it into the corpus shingle scan (AQE picks the strategy;
+    at equal scales it degrades to a shuffle join on the same key);
+    group by the candidate pair (bounded by true overlaps, never the
+    cross product). No UDFs, no driver collects."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    probe = probe_sh.select(
+        F.col("doc_id").alias("probe_id"), "shingle"
+    )
+    probe_sizes = probe.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("probe_ngrams")
+    )
+    shared = (
+        corpus_sh.join(probe, "shingle")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+    return shared.join(F.broadcast(probe_sizes), "probe_id").select(
+        "probe_id",
+        "doc_id",
+        "shared_ngrams",
+        "probe_ngrams",
+        (F.col("shared_ngrams") / F.col("probe_ngrams")).alias("overlap"),
+    )

@@ -134,3 +134,36 @@ def test_embedding_lsh_derives_dim_and_rejects_mixed(spark):
     )
     with _pytest.raises(ValueError, match="lengths vary"):
         embedding_near_pairs_lsh(mixed)
+
+
+def test_ngram_contamination(spark):
+    """Decontamination contracts: a probe fully contains itself
+    (overlap 1.0); a training doc embedding a probe verbatim is caught;
+    unrelated docs are not; min_shared filters grazing overlaps."""
+    import pytest
+
+    from angle_spark.operators.dedup import ngram_contamination, shingles
+
+    probe_text = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [
+            (0, probe_text),                                  # the probe itself
+            (1, f"intro words then {probe_text} and a tail"), # verbatim leak
+            (2, "alpha beta gamma nothing else here at all"), # 1 shared shingle
+            (3, "totally unrelated content about other things"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = with_tokens(corpus).select("doc_id", "tokens")
+    sh = shingles(toks)
+    probes = sh.filter(F.col("doc_id") == 0)
+    out = ngram_contamination(sh, probes, min_shared=2).toPandas()
+    hits = {int(r.doc_id): r for r in out.itertuples()}
+    assert set(hits) == {0, 1}  # doc 2 has only 1 shared shingle; 3 none
+    assert hits[0].overlap == 1.0 and hits[0].shared_ngrams == hits[0].probe_ngrams
+    assert hits[1].overlap == 1.0  # probe fully contained in doc 1
+    # min_shared=1 admits the grazing doc 2
+    out1 = ngram_contamination(sh, probes, min_shared=1).toPandas()
+    assert 2 in set(out1.doc_id)
+    with pytest.raises(ValueError, match="min_shared"):
+        ngram_contamination(sh, probes, min_shared=0)
