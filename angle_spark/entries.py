@@ -1923,6 +1923,38 @@ def q_msearch_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- INDEX ALIAS SEARCH (round 5, the ES alias + rollover shape —
+#     index/alias.py): the same two split physical indexes joined under
+#     ONE durable alias file (gen0 created first, gen1 rolled in as the
+#     write index; offsets auto-assign from the running doc watermark).
+#     search_alias fans out through the merged-DFS multi-index path, so
+#     the alias must answer identically to the single full-corpus index
+#     — the oracle is again the standard single-index BM25 oracle.
+def q_alias_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from angle_spark.index.alias import add_index, create_alias, search_alias
+
+    dir_a, dir_b, _cut = _cached_split_indexes(spark, sf_dir)
+    key = (sf_dir, "alias")
+    path = _INDEX_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="alias_entry_"), "docs.alias.json"
+        )
+        create_alias(spark, path, dir_a)
+        add_index(spark, path, dir_b, write=True)
+        _INDEX_CACHE[key] = path
+    out = search_alias(spark, path, _doc_queries_df(spark))
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- RANK_EVAL (round 5, the ES _rank_eval API / standard IR metrics —
 #     the evaluation gate the reference runs over retrieval prompts,
 #     reference tests/test_eval.py:4-20): precision@10 / recall@10 /
@@ -5009,6 +5041,7 @@ QUERIES = {
     "bm25_function_score": q_bm25_function_score,
     "bm25_rank_eval": q_bm25_rank_eval,
     "msearch_indices": q_msearch_indices,
+    "alias_search": q_alias_search,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5150,6 +5183,7 @@ ORACLE_SQL = {
     "bm25_function_score": _function_score_oracle_sql(STATS_QUERY_SET),
     "bm25_rank_eval": _rank_eval_oracle_sql(STATS_QUERY_SET),
     "msearch_indices": _bm25_oracle_sql(),
+    "alias_search": _bm25_oracle_sql(),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
