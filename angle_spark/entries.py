@@ -2513,6 +2513,122 @@ FROM ranked WHERE rnk <= {n}
 """
 
 
+# --- HAS_CHILD / parent-join retrieval (round 5, the ES has_child
+#     query / Lucene ToParentBlockJoinQuery — query/join_field.py): the
+#     transcripts shape, "which CONVERSATIONS best match", mapped onto
+#     the documents table with parent_id = doc_id // 8 (8-turn
+#     conversations; docIDs are turn-ordered so parents are
+#     docID-contiguous, exactly like real conv_ids). Children score
+#     under the boolean grammar; each parent folds its matching
+#     children's scores (collector="group_score" — shards ship
+#     per-parent partials, never the hit list); parents rank on the
+#     rounded best-child score (max mode). Ranking uses round(max, 6) +
+#     parent_id on BOTH sides — the full-answer-set discipline, since
+#     cross-shard double folds are ULP-nondeterministic.
+HAS_CHILD_K = 8
+HAS_CHILD_FANOUT = 8
+
+
+def q_has_child_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.join_field import parent_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    parents = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") / HAS_CHILD_FANOUT).cast("long").alias("parent_id"),
+    )
+    agg = parent_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        parents,
+        mode="boolean",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("max", 6)), F.asc("parent_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(HAS_CHILD_K))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "parent_id",
+            F.col("n_children").cast("long").alias("n_children"),
+            F.round("max", 6).alias("best"),
+            F.round("sum", 6).alias("total"),
+        )
+    )
+
+
+def _has_child_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    """Parent-join truth: the boolean membership + scoring CTEs, each
+    matched child joined to its parent (doc_id // fanout), parents fold
+    count/max/sum of child scores and rank on (round(max,6) DESC,
+    parent ASC) — the engine's exact tie discipline."""
+    matches, qterms, boosted = _bool_membership_and_qterms(query_set, cap)
+    boost_factor = " * qt.boost" if boosted else ""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  {qterms}
+), scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+), folded AS (
+  SELECT query_id, (doc_id // {HAS_CHILD_FANOUT})::BIGINT AS parent_id,
+         count(*)::BIGINT AS n_children,
+         max(raw) AS best_raw, sum(raw) AS total_raw
+  FROM scored
+  GROUP BY query_id, (doc_id // {HAS_CHILD_FANOUT})
+), ranked AS (
+  SELECT query_id, parent_id, n_children, best_raw, total_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(best_raw, 6) DESC,
+                                     parent_id ASC) AS rnk
+  FROM folded
+)
+SELECT query_id, rnk AS rank, parent_id, n_children,
+       round(best_raw, 6) AS best, round(total_raw, 6) AS total
+FROM ranked WHERE rnk <= {HAS_CHILD_K}
+"""
+
+
 # --- PERCOLATOR (round 5, Lucene/ES percolate — reverse search): a
 #     stored catalog of boolean queries, every document classified
 #     against all of them in ONE corpus scan (query/percolate.py). The
@@ -5042,6 +5158,7 @@ QUERIES = {
     "bm25_rank_eval": q_bm25_rank_eval,
     "msearch_indices": q_msearch_indices,
     "alias_search": q_alias_search,
+    "has_child_topk": q_has_child_topk,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5184,6 +5301,7 @@ ORACLE_SQL = {
     "bm25_rank_eval": _rank_eval_oracle_sql(STATS_QUERY_SET),
     "msearch_indices": _bm25_oracle_sql(),
     "alias_search": _bm25_oracle_sql(),
+    "has_child_topk": _has_child_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

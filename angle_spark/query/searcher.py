@@ -272,6 +272,24 @@ class Searcher:
             groups, n=n, **kwargs,
         )
 
+    def has_child(self, queries, parents, score_mode="max",
+                  **kwargs) -> DataFrame:
+        """-> (query_id, rank, parent_id, score, n_children): the top-k
+        PARENTS per query — ES has_child / parent-join (score_mode max /
+        sum / avg / min over each parent's matching children's scores;
+        query/join_field.py). ``parents`` is a (doc_id, parent_id:long)
+        frame or a numeric DocValues handle; the session's tombstones
+        apply."""
+        from angle_spark.query.join_field import parent_topk
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return parent_topk(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            parents, score_mode=score_mode, **kwargs,
+        )
+
     def cardinality(self, queries, values, **kwargs) -> DataFrame:
         """-> (query_id, cardinality): distinct count of a (doc_id,
         value) column over each query's matched docs (ES

@@ -77,6 +77,15 @@ _GROUP_SCHEMA = (
     "query_id string, gcode long, n_docs long, n_vals long, "
     "vsum double, vmin double, vmax double"
 )
+# parent-score partials (collector="group_score"): per (query, parent
+# code) count + fold of the matched CHILDREN'S BM25 SCORES — the ES
+# has_child / parent-join shape. Unlike group_stats there is no label
+# dictionary: the numeric parent id IS the code (rides the side channel
+# as a double, exact to 2^53), so parent cardinality can be corpus-scale
+_GROUP_SCORE_SCHEMA = (
+    "query_id string, gcode long, n_docs long, "
+    "ssum double, smin double, smax double"
+)
 # matched-value rows (collector="values"): one row per (query, matched
 # doc WITH a value) — the exact-percentile feed; O(matches), not a
 # constant-size partial by nature (order statistics don't fold)
@@ -278,6 +287,7 @@ def _score_shard_multi(
     group_topk_n: int | None = None,
     sort_mult: bool = False,
     ids_only: bool = False,
+    group_score_only: bool = False,
 ) -> pd.DataFrame:
     """One shard's blocks (each block shipped ONCE, not once per query)
     scored against the whole query set.
@@ -824,6 +834,42 @@ def _score_shard_multi(
                     )
             continue
 
+        if group_score_only:
+            # parent-score partials (prune=False enforced): each matched
+            # CHILD contributes its exact BM25 score to its parent's
+            # fold; docs without a parent mapping are skipped (the ES
+            # parent-join missing rule). One partial row per (query,
+            # parent) this shard sees — and because docIDs are assigned
+            # in stable (conv_id, turn_idx) order, a conversation's
+            # turns are docID-contiguous and usually land in ONE shard,
+            # so the partial volume ~= matched parents, not matches x
+            # shards.
+            assert not prune
+            if group_keys is not None and group_keys[0].size and len(doc_ids):
+                gdocs, gcodes = group_keys
+                pos = np.searchsorted(gdocs, doc_ids)
+                pos[pos == gdocs.size] = 0
+                hitg = gdocs[pos] == doc_ids
+                gd = gcodes[pos[hitg]].astype(np.int64)
+                gs = scores[hitg]
+                if gd.size:
+                    dfp = pd.DataFrame({"c": gd, "s": gs})
+                    agg = dfp.groupby("c")["s"].agg(
+                        ["size", "sum", "min", "max"]
+                    )
+                    for code, r in agg.iterrows():
+                        stats_rows.append(
+                            (
+                                q.query_id,
+                                int(code),
+                                int(r["size"]),
+                                float(r["sum"]),
+                                float(r["min"]),
+                                float(r["max"]),
+                            )
+                        )
+            continue
+
         if group_topk_n is not None:
             # per-bucket top hits (prune=False enforced): matched docs
             # map to their bucket code (group_keys); docs without a
@@ -963,6 +1009,11 @@ def _score_shard_multi(
                 "query_id", "gcode", "n_docs", "n_vals",
                 "vsum", "vmin", "vmax",
             ],
+        )
+    if group_score_only:
+        return pd.DataFrame(
+            stats_rows,
+            columns=["query_id", "gcode", "n_docs", "ssum", "smin", "smax"],
         )
     if stats_only:
         return pd.DataFrame(
@@ -1230,17 +1281,20 @@ def wand_topk(
     if field_meta is not None and mode != "boolean":
         raise ValueError("field_meta is only valid with mode='boolean'")
     if collector not in (
-        "topk", "count", "stats", "group_stats", "group_topk", "values",
-        "distinct_values", "ids",
+        "topk", "count", "stats", "group_stats", "group_topk", "group_score",
+        "values", "distinct_values", "ids",
     ):
         raise ValueError(
             "collector must be 'topk', 'count', 'stats', 'group_stats', "
-            "'group_topk', 'values', 'distinct_values' or 'ids', "
-            f"got {collector!r}"
+            "'group_topk', 'group_score', 'values', 'distinct_values' or "
+            f"'ids', got {collector!r}"
         )
-    if group_meta is not None and collector not in ("group_stats", "group_topk"):
+    if group_meta is not None and collector not in (
+        "group_stats", "group_topk", "group_score",
+    ):
         raise ValueError(
-            "group_meta is only valid with collector='group_stats'/'group_topk'"
+            "group_meta is only valid with collector='group_stats'/"
+            "'group_topk'/'group_score'"
         )
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
@@ -1305,6 +1359,26 @@ def wand_topk(
             raise ValueError(
                 "sort_meta is meaningless with collector='group_topk' — "
                 "hits rank by score"
+            )
+        prune = False
+    if collector == "group_score":
+        # parent-join score aggregation (the ES has_child shape):
+        # group_meta is the (doc_id, parent code) assignment; every
+        # matched child must contribute, so membership is exhaustive
+        if group_meta is None:
+            raise ValueError(
+                "collector='group_score' needs group_meta as the "
+                "(doc_id, gcode) parent source — use parent_matches()"
+            )
+        if offset or sort_ascending:
+            raise ValueError(
+                "offset/sort_ascending are meaningless with "
+                "collector='group_score'"
+            )
+        if sort_meta is not None:
+            raise ValueError(
+                "sort_meta is meaningless with collector='group_score' — "
+                "the aggregated value IS the child score"
             )
         prune = False
     if collector == "count":
@@ -2225,6 +2299,12 @@ def _shard_and_rank(
                 "query_id string, gcode long, n_docs long, n_values long, "
                 "sum double, min double, max double, avg double",
             )
+        if collector == "group_score":
+            return spark.createDataFrame(
+                [],
+                "query_id string, gcode long, n_docs long, "
+                "sum double, min double, max double, avg double",
+            )
         if collector in ("values", "distinct_values"):
             return spark.createDataFrame([], _VALUES_SCHEMA)
         if collector == "ids":
@@ -2330,6 +2410,7 @@ def _shard_and_rank(
     count_only = collector == "count"
     stats_only = collector == "stats"
     group_only = collector == "group_stats"
+    group_score_only = collector == "group_score"
     values_only = collector in ("values", "distinct_values")
     values_unique = collector == "distinct_values"
     group_topk_n = group_k if collector == "group_topk" else None
@@ -2339,6 +2420,7 @@ def _shard_and_rank(
         _COUNT_SCHEMA if count_only
         else _STATS_SCHEMA if stats_only
         else _GROUP_SCHEMA if group_only
+        else _GROUP_SCORE_SCHEMA if group_score_only
         else _VALUES_SCHEMA if values_only
         else _GROUP_TOPK_SCHEMA if group_topk_n is not None
         else _IDS_SCHEMA if ids_only
@@ -2378,6 +2460,7 @@ def _shard_and_rank(
                 group_topk_n=group_topk_n,
                 sort_mult=sort_mult,
                 ids_only=ids_only,
+                group_score_only=group_score_only,
             )
 
         local = cand.groupBy("shard").applyInPandas(fn, schema=out_schema)
@@ -2406,6 +2489,12 @@ def _shard_and_rank(
                         {c: [] for c in
                          ("query_id", "gcode", "n_docs", "n_vals",
                           "vsum", "vmin", "vmax")}
+                    )
+                if group_score_only:
+                    return pd.DataFrame(
+                        {c: [] for c in
+                         ("query_id", "gcode", "n_docs",
+                          "ssum", "smin", "smax")}
                     )
                 if values_only:
                     return pd.DataFrame({"query_id": [], "val": []})
@@ -2465,6 +2554,7 @@ def _shard_and_rank(
                 group_topk_n=group_topk_n,
                 sort_mult=sort_mult,
                 ids_only=ids_only,
+                group_score_only=group_score_only,
             )
 
         local = (
@@ -2534,6 +2624,29 @@ def _shard_and_rank(
             F.when(has, F.col("min")).alias("min"),
             F.when(has, F.col("max")).alias("max"),
             F.when(has, F.col("sum") / F.col("n_values")).alias("avg"),
+        )
+    if group_score_only:
+        # parent-score fold keyed by (query, parent code): the same
+        # associative merge as group_stats, but over child SCORES. The
+        # partial volume is bounded by matched parents (x the rare
+        # shard-straddling conversation), so this groupBy shuffles a
+        # match-bounded frame, never the corpus. min/max fold exactly;
+        # sum (and avg = sum/count) carries the usual cross-shard
+        # double-fold ULP tolerance.
+        agg = local.groupBy("query_id", "gcode").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("ssum").alias("sum"),
+            F.min("smin").alias("min"),
+            F.max("smax").alias("max"),
+        )
+        return agg.select(
+            "query_id",
+            "gcode",
+            "n_docs",
+            "sum",
+            "min",
+            "max",
+            (F.col("sum") / F.col("n_docs")).alias("avg"),
         )
     if group_topk_n is not None:
         # shard-local phases shipped <= n rows per (query, bucket) each;
