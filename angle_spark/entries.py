@@ -2629,6 +2629,105 @@ FROM ranked WHERE rnk <= {HAS_CHILD_K}
 """
 
 
+# --- CONVERSATION EXPANSION (round 5, Lucene ToChildBlockJoinQuery /
+#     ES has_parent with score=true — query/join_field.py
+#     expand_to_children): the top-k parents under has_child max-mode,
+#     expanded back to EVERY child turn (the transcript RAG shape:
+#     retrieve the best conversations, hand back full turn lists for
+#     context); each child inherits its parent's rank and score. The
+#     matched-parent frame broadcasts into one scan of the assignment
+#     frame (plan-asserted in tests) — no corpus shuffle.
+def q_conv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.join_field import expand_to_children
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    parents = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") / HAS_CHILD_FANOUT).cast("long").alias("parent_id"),
+    )
+    qs = spark.createDataFrame(
+        [(qid, text, HAS_CHILD_K) for qid, text, _k in STATS_QUERY_SET],
+        "query_id string, text string, k int",
+    )
+    out = expand_to_children(
+        spark, merged, tstats, meta, qs, parents,
+        score_mode="max", rank_on_rounded=True, mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "parent_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _conv_expand_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    """Expansion truth: the has_child fold ranked on round(max, 6) and
+    cut at k, then joined back to EVERY document of each surviving
+    parent (doc_id // fanout) — children inherit rank and score."""
+    matches, qterms, boosted = _bool_membership_and_qterms(query_set, cap)
+    boost_factor = " * qt.boost" if boosted else ""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), qterms AS (
+  {qterms}
+), scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0){boost_factor}
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf  ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+), folded AS (
+  SELECT query_id, (doc_id // {HAS_CHILD_FANOUT})::BIGINT AS parent_id,
+         max(raw) AS best_raw
+  FROM scored
+  GROUP BY query_id, (doc_id // {HAS_CHILD_FANOUT})
+), ranked AS (
+  SELECT query_id, parent_id, best_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(best_raw, 6) DESC,
+                                     parent_id ASC) AS rnk
+  FROM folded
+)
+SELECT r.query_id, r.rnk AS rank, r.parent_id, d.doc_id,
+       round(r.best_raw, 6) AS score
+FROM ranked r
+JOIN documents d ON (d.doc_id // {HAS_CHILD_FANOUT}) = r.parent_id
+WHERE r.rnk <= {HAS_CHILD_K}
+"""
+
+
 # --- PERCOLATOR (round 5, Lucene/ES percolate — reverse search): a
 #     stored catalog of boolean queries, every document classified
 #     against all of them in ONE corpus scan (query/percolate.py). The
@@ -5159,6 +5258,7 @@ QUERIES = {
     "msearch_indices": q_msearch_indices,
     "alias_search": q_alias_search,
     "has_child_topk": q_has_child_topk,
+    "conv_expand": q_conv_expand,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5302,6 +5402,7 @@ ORACLE_SQL = {
     "msearch_indices": _bm25_oracle_sql(),
     "alias_search": _bm25_oracle_sql(),
     "has_child_topk": _has_child_oracle_sql(STATS_QUERY_SET),
+    "conv_expand": _conv_expand_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

@@ -92,6 +92,48 @@ def parent_matches(
     )
 
 
+def expand_to_children(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    parents: DataFrame,
+    score_mode: str = "max",
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, rank, parent_id, score, doc_id): EVERY child of
+    each query's top-k parents — Lucene's ToChildBlockJoinQuery / the
+    ES ``has_parent`` direction, and the transcript RAG shape: retrieve
+    the best-matching conversations (parent_topk), then hand back their
+    FULL turn lists for context. Each child carries its parent's rank
+    and aggregated score (the ES has_parent score=true rule: children
+    inherit the parent's relevance).
+
+    ``parents`` must be the (doc_id, parent_id) DataFrame here (the
+    expansion is a join against it, not a docvalues read). Scale shape:
+    the matched-parent frame is bounded by queries x k, so it
+    BROADCASTS into one scan of the child->parent assignment — no
+    corpus shuffle, no second index pass. Children of a parent that
+    never matched are never touched."""
+    if isinstance(parents, DocValues):
+        raise ValueError(
+            "expand_to_children needs the (doc_id, parent_id) DataFrame — "
+            "the expansion joins the assignment frame itself"
+        )
+    top = parent_topk(
+        spark, merged, tstats, meta, queries, parents,
+        score_mode=score_mode, **kwargs,
+    ).select("query_id", "rank", "parent_id", "score")
+    kids = parents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(parents.columns[1]).cast("long").alias("parent_id"),
+    )
+    return kids.join(F.broadcast(top), "parent_id").select(
+        "query_id", "rank", "parent_id", "score", "doc_id"
+    )
+
+
 def parent_topk(
     spark: SparkSession,
     merged: DataFrame,
@@ -100,6 +142,7 @@ def parent_topk(
     queries: DataFrame,
     parents: DataFrame | DocValues,
     score_mode: str = "max",
+    rank_on_rounded: bool = False,
     **kwargs,
 ) -> DataFrame:
     """-> (query_id, rank, parent_id, score, n_children): the top-k
@@ -111,7 +154,9 @@ def parent_topk(
     the match-bounded parent frame, never the corpus. ``max`` and
     ``min`` are bitwise-exact vs a single-process oracle; ``sum`` /
     ``avg`` are ULP-deterministic only per shard (cross-shard fold
-    order is Spark's) — compare on rounded scores."""
+    order is Spark's) — ``rank_on_rounded=True`` orders the window on
+    round(score, 6) instead, the cross-engine-deterministic rank
+    discipline used when comparing against a SQL oracle."""
     if score_mode not in SCORE_MODES:
         raise ValueError(
             f"score_mode must be one of {SCORE_MODES}, got {score_mode!r}"
@@ -125,8 +170,9 @@ def parent_topk(
         kdf = spark.createDataFrame(
             queries[["query_id", "k"]], "query_id string, k int"
         )
+    skey = F.round("score", 6) if rank_on_rounded else F.col("score")
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("parent_id")
+        skey.desc(), F.asc("parent_id")
     )
     return (
         agg.select(

@@ -173,6 +173,53 @@ def test_numeric_docvalues_parent(spark, setup):
     pd.testing.assert_frame_equal(via_dv, via_df)
 
 
+def test_expand_to_children(spark, setup):
+    """every child of each top parent comes back, carrying the parent's
+    rank and score; children of unmatched parents never appear."""
+    from angle_spark.query.join_field import expand_to_children
+
+    _d, _idx, merged, tstats, meta, parents, _n = setup
+    k = 3
+    top = parent_topk(
+        spark, merged, tstats, meta, _q(spark, k), parents, score_mode="max"
+    ).toPandas()
+    exp = expand_to_children(
+        spark, merged, tstats, meta, _q(spark, k), parents, score_mode="max"
+    ).toPandas()
+    pp = parents.toPandas()
+    fam = pp.groupby("parent_id")["doc_id"].apply(set)
+    got = exp.groupby(["query_id", "parent_id"])
+    assert set(got.groups) == set(
+        zip(top["query_id"], top["parent_id"])
+    )
+    for (qid, pid), grp in got:
+        assert set(grp["doc_id"]) == fam[pid]
+        trow = top[(top["query_id"] == qid) & (top["parent_id"] == pid)]
+        assert (grp["rank"] == trow["rank"].iloc[0]).all()
+        assert (grp["score"] == trow["score"].iloc[0]).all()
+
+
+def test_expand_plan_broadcasts(spark, setup):
+    """the matched-parent frame must broadcast into the assignment scan
+    — no corpus-sized shuffle for the expansion join."""
+    import contextlib
+    import io
+
+    from angle_spark.query.join_field import expand_to_children
+
+    _d, _idx, merged, tstats, meta, parents, _n = setup
+    out = expand_to_children(
+        spark, merged, tstats, meta, _q(spark, 3), parents
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    tail = plan.split("BroadcastHashJoin", 1)[0]
+    assert "SortMergeJoin" not in tail
+
+
 def test_guards(spark, setup):
     d, idx, merged, tstats, meta, parents, _n = setup
     with pytest.raises(ValueError, match="score_mode"):
@@ -195,3 +242,8 @@ def test_guards(spark, setup):
     )
     with pytest.raises(ValueError, match="keyword"):
         parent_matches(spark, merged, tstats, meta, _q(spark), kw)
+    from angle_spark.query.join_field import expand_to_children
+
+    num = write_docvalues(spark, idx, "numparent", parents)
+    with pytest.raises(ValueError, match="assignment frame"):
+        expand_to_children(spark, merged, tstats, meta, _q(spark), num)
