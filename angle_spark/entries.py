@@ -2728,6 +2728,60 @@ WHERE r.rnk <= {HAS_CHILD_K}
 """
 
 
+# --- TERM VECTORS read API (round 5, ES _termvectors / Lucene term
+#     vectors — query/termvectors.py): each requested doc's terms with
+#     tf / dl / df / idf read FROM the posting blocks (the uninvert
+#     point-lookup; block-span containment predicates pushed to the
+#     scan), never by re-tokenizing source. The oracle IS the
+#     re-tokenization — proving the index round-trips the forward view.
+TERMVECTOR_IDS = [3, 17, 101, 256, 499]
+
+
+def q_term_vectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.termvectors import term_vectors
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = term_vectors(spark, merged, tstats, meta, TERMVECTOR_IDS)
+    return out.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+def _term_vectors_oracle_sql() -> str:
+    ids = ", ".join(str(i) for i in TERMVECTOR_IDS)
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs FROM docs
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+)
+SELECT t.doc_id, t.term, t.tf, dl.dl, dft.df,
+       round(ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0), 6) AS idf
+FROM tf t
+JOIN dl  ON dl.doc_id = t.doc_id
+JOIN dft ON dft.term = t.term
+CROSS JOIN stats s
+WHERE t.doc_id IN ({ids})
+"""
+
+
 # --- PERCOLATOR (round 5, Lucene/ES percolate — reverse search): a
 #     stored catalog of boolean queries, every document classified
 #     against all of them in ONE corpus scan (query/percolate.py). The
@@ -5259,6 +5313,7 @@ QUERIES = {
     "alias_search": q_alias_search,
     "has_child_topk": q_has_child_topk,
     "conv_expand": q_conv_expand,
+    "term_vectors_docs": q_term_vectors_docs,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5403,6 +5458,7 @@ ORACLE_SQL = {
     "alias_search": _bm25_oracle_sql(),
     "has_child_topk": _has_child_oracle_sql(STATS_QUERY_SET),
     "conv_expand": _conv_expand_oracle_sql(STATS_QUERY_SET),
+    "term_vectors_docs": _term_vectors_oracle_sql(),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

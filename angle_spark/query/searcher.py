@@ -306,6 +306,20 @@ class Searcher:
             values, **kwargs,
         )
 
+    def term_vectors(self, doc_ids, positions=False) -> DataFrame:
+        """-> (doc_id, term, tf, dl, df, idf[, positions]): each
+        requested doc's term vector read from the posting blocks (ES
+        _termvectors — query/termvectors.py); a point-lookup API,
+        doc_ids is a bounded list."""
+        from angle_spark.query.termvectors import term_vectors
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        return term_vectors(
+            self.spark, self._merged, self._tstats, self.meta, doc_ids,
+            positions=positions,
+        )
+
     def docvalues(self, name: str):
         """Open the handle of a stored docvalues field of this index
         (index/docvalues.py) — pass it to search(sort_meta=...),
