@@ -2728,6 +2728,80 @@ WHERE r.rnk <= {HAS_CHILD_K}
 """
 
 
+# --- PII REDACTION (round 5, the training-data scrubbing pass —
+#     operators/redact.py): deterministic PII is planted into each
+#     document's text IDENTICALLY in both renditions (email + ip per
+#     doc, ssn every 3rd, card every 5th, phone every 7th), then the
+#     fixed-order regexp_count + regexp_replace chain runs; the oracle
+#     replays the same patterns (the Java-regex/RE2-common dialect is a
+#     module contract) and compares per-kind counts plus the md5 of the
+#     fully redacted text — byte equality of the scrubbed corpus.
+def _pii_augment_spark(doc_id, text):
+    return F.concat(
+        text,
+        F.lit(" contact u"),
+        doc_id.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7"),
+        F.when(doc_id % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(
+            F.lit("")
+        ),
+        F.when(doc_id % 7 == 0, F.lit(" call +1 (415) 555-2671")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.operators.redact import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _pii_augment_spark(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone",
+        F.md5("text").alias("fp"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from angle_spark.operators.redact import PII_KINDS
+
+    pats = dict(PII_KINDS)
+    aug = (
+        "text || ' contact u' || doc_id || '@example.com from 10.0.' || "
+        "(doc_id % 256) || '.7' || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN ' call +1 (415) 555-2671' ELSE '' END"
+    )
+    steps = []
+    prev = "aug"
+    for i, (kind, _p) in enumerate(PII_KINDS):
+        pat = pats[kind]
+        steps.append(
+            f"s{i} AS (SELECT doc_id"
+            + "".join(
+                f", n_{k}" for k, _ in PII_KINDS[:i]
+            )
+            + f", len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '[{kind.upper()}]', 'g') AS t "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    return (
+        f"WITH aug AS (SELECT doc_id, {aug} AS t FROM documents), "
+        + ", ".join(steps)
+        + f" SELECT doc_id, n_email, n_ssn, n_card, n_ipv4, n_phone, "
+        f"md5(t) AS fp FROM {prev}"
+    )
+
+
 # --- TERM VECTORS read API (round 5, ES _termvectors / Lucene term
 #     vectors — query/termvectors.py): each requested doc's terms with
 #     tf / dl / df / idf read FROM the posting blocks (the uninvert
@@ -5314,6 +5388,7 @@ QUERIES = {
     "has_child_topk": q_has_child_topk,
     "conv_expand": q_conv_expand,
     "term_vectors_docs": q_term_vectors_docs,
+    "pii_redaction": q_pii_redaction,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5459,6 +5534,7 @@ ORACLE_SQL = {
     "has_child_topk": _has_child_oracle_sql(STATS_QUERY_SET),
     "conv_expand": _conv_expand_oracle_sql(STATS_QUERY_SET),
     "term_vectors_docs": _term_vectors_oracle_sql(),
+    "pii_redaction": _pii_oracle_sql(),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
