@@ -2802,6 +2802,71 @@ def _pii_oracle_sql() -> str:
     )
 
 
+# --- SPAN_FIRST retrieval (round 5, Lucene SpanFirstQuery —
+#     query/wand.py mode="span_first"): every query token's FIRST
+#     occurrence before position SPAN_FIRST_END ("matches in the
+#     opening of a turn" — role prefixes, greetings, error banners).
+#     The bound is load-bearing: counts sit strictly between 0 and the
+#     plain-AND counts, so neither an AND nor a phrase implementation
+#     can pass this oracle. Scores equal the AND scores (positional
+#     filters never change the fold).
+SPAN_FIRST_END = 6
+SPAN_QUERY_SET: list[tuple[str, str, int]] = [
+    ("sp1", "the", 1000),
+    ("sp2", "hash join", 1000),
+    ("sp3", "scan", 1000),
+    ("sp4", "zzzz scan", 10),
+]
+
+
+def q_bm25_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, SPAN_QUERY_SET),
+        mode="span_first",
+        slop=SPAN_FIRST_END,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25_span_first_oracle_sql() -> str:
+    """First-position truth: each term's occurrences restricted to the
+    opening window (generate_subscripts is 1-based, the engine's bound
+    is exclusive on 0-based positions: pos < END <=> p <= END), doc
+    membership is the INTERSECT over the query's distinct terms."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    def first_select(qid, text, k):
+        terms = sorted(set(tokenize_py(text)))
+        # DISTINCT is load-bearing: the scored CTE joins matches raw
+        # (phrase/near selects are GROUP BY-unique), and a term repeated
+        # inside the window would double its doc's score otherwise
+        arms = " INTERSECT ".join(
+            f"SELECT DISTINCT doc_id FROM pos WHERE term = '{t}' "
+            f"AND p <= {SPAN_FIRST_END}"
+            for t in terms
+        )
+        return (
+            f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM ({arms})"
+        )
+
+    return _bm25_positional_oracle_sql(SPAN_QUERY_SET, first_select)
+
+
 # --- TERM VECTORS read API (round 5, ES _termvectors / Lucene term
 #     vectors — query/termvectors.py): each requested doc's terms with
 #     tf / dl / df / idf read FROM the posting blocks (the uninvert
@@ -5389,6 +5454,7 @@ QUERIES = {
     "conv_expand": q_conv_expand,
     "term_vectors_docs": q_term_vectors_docs,
     "pii_redaction": q_pii_redaction,
+    "bm25_span_first": q_bm25_span_first,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5535,6 +5601,7 @@ ORACLE_SQL = {
     "conv_expand": _conv_expand_oracle_sql(STATS_QUERY_SET),
     "term_vectors_docs": _term_vectors_oracle_sql(),
     "pii_redaction": _pii_oracle_sql(),
+    "bm25_span_first": _bm25_span_first_oracle_sql(),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

@@ -441,7 +441,7 @@ def _score_shard_multi(
             fold_cache[key] = hit
         return hit
 
-    conjunctive = mode in ("and", "phrase", "near", "mm")
+    conjunctive = mode in ("and", "phrase", "near", "mm", "span_first")
 
     pos_cache: dict[str, tuple] = {}
 
@@ -527,6 +527,16 @@ def _score_shard_multi(
                     have -= 1
                 lo += 1
         return False
+
+    def span_first_match(terms, doc, end) -> bool:
+        """Lucene SpanFirstQuery over each term: every query term's
+        FIRST occurrence lies before position ``end`` (exclusive;
+        position lists decode ascending, so element 0 is the min)."""
+        for t in terms:
+            p = positions_of(t, doc)
+            if p is None or len(p) == 0 or int(p[0]) >= end:
+                return False
+        return True
 
     def bool_mask(node) -> np.ndarray:
         """boolean-tree evaluation over the shard's docID span (mode=
@@ -675,14 +685,27 @@ def _score_shard_multi(
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
             full = hit[cnt[hit] >= nq] if mode == "mm" else hit[cnt[hit] == nq]
-            if mode in ("phrase", "near") and len(full):
+            if mode in ("phrase", "near", "span_first") and len(full):
                 # positional verification over the conjunctive survivors
                 # only — the candidate set is already small, and position
-                # lists decode lazily per term, cached across queries
+                # lists decode lazily per term, cached across queries.
+                # ``slop`` carries the mode's positional window: the
+                # proximity width for near, the exclusive first-position
+                # bound for span_first.
                 if mode == "phrase":
                     phrase = list(q.phrase)
                     ok = np.fromiter(
                         (phrase_match(phrase, int(li + base)) for li in full),
+                        dtype=bool,
+                        count=len(full),
+                    )
+                elif mode == "span_first":
+                    qterms = list(q.terms)
+                    ok = np.fromiter(
+                        (
+                            span_first_match(qterms, int(li + base), slop)
+                            for li in full
+                        ),
                         dtype=bool,
                         count=len(full),
                     )
@@ -1219,6 +1242,12 @@ def wand_topk(
     verified like phrase mode on the conjunctive survivors (smallest-
     range two-pointer per candidate). Needs a positional index.
 
+    mode="span_first" is Lucene's SpanFirstQuery over each term: every
+    query token's FIRST occurrence lies before position ``slop``
+    (exclusive — slop carries the positional window for both modes).
+    "Matches in the opening of a turn": role prefixes, greetings,
+    error banners. Conjunctive semantics, positional index required.
+
     ``doc_filter`` (a doc_id DataFrame) is FILTERED RETRIEVAL: only the
     listed docs are ranked (facet/metadata filters resolve to a docID
     set against the corpus table, then ride the same shard-cogrouped,
@@ -1266,10 +1295,13 @@ def wand_topk(
     still carries a scoring term).
 
     queries: Spark or pandas DataFrame (query_id, text, k)."""
-    if mode not in ("or", "and", "phrase", "near", "boolean", "prefix", "mm"):
+    if mode not in (
+        "or", "and", "phrase", "near", "boolean", "prefix", "mm",
+        "span_first",
+    ):
         raise ValueError(
             "mode must be 'or', 'and', 'phrase', 'near', 'boolean', "
-            f"'prefix' or 'mm', got {mode!r}"
+            f"'prefix', 'mm' or 'span_first', got {mode!r}"
         )
     if mode == "mm":
         if min_match is None or min_match < 1:
@@ -1481,14 +1513,21 @@ def wand_topk(
 
         queries, _ = expand_prefixes(spark, tstats, queries, max_expansions)
         mode = "or"
-    if mode in ("phrase", "near") and not getattr(meta, "positional", False):
+    if mode in ("phrase", "near", "span_first") and not getattr(
+        meta, "positional", False
+    ):
         raise ValueError(
             f"{mode} mode needs a positional index — rebuild with "
             "build_index(..., positional=True)"
         )
     if slop < 0:
         raise ValueError(f"slop must be >= 0, got {slop}")
-    keep_positions = mode in ("phrase", "near")
+    if mode == "span_first" and slop < 1:
+        raise ValueError(
+            "span_first needs slop >= 1 — the EXCLUSIVE bound on each "
+            "term's first position (Lucene SpanFirstQuery end)"
+        )
+    keep_positions = mode in ("phrase", "near", "span_first")
     if mode == "boolean":
         from angle_spark.query.boolean import (
             needs_positions,
@@ -1773,7 +1812,7 @@ def wand_topk(
     # out of the candidate-block In(term) filter — shards already
     # returned nothing, but they were shipped blocks that could produce
     # no result
-    conjunctive = mode in ("and", "phrase", "near")
+    conjunctive = mode in ("and", "phrase", "near", "span_first")
     rows = []
     for query_id, k, qterms, phrase in tokenized:
         terms = [t for t in qterms if t in df_map]
