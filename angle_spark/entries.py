@@ -2802,6 +2802,122 @@ def _pii_oracle_sql() -> str:
     )
 
 
+# --- ADJACENCY MATRIX (round 5, the ES adjacency_matrix aggregation —
+#     wand.adjacency_matrix): pairwise co-match counts of the boolean
+#     query set (a <= b canonical order, diagonal = per-query totals,
+#     empty intersections absent). One membership pass + a
+#     match-bounded self-join; the oracle self-joins the same distinct
+#     membership CTE.
+def q_bm25_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import adjacency_matrix
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    return adjacency_matrix(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, STATS_QUERY_SET), mode="boolean",
+    ).select("query_a", "query_b", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _adjacency_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    matches, _qterms, _b = _bool_membership_and_qterms(query_set, cap)
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), m AS (
+  SELECT DISTINCT query_id, doc_id FROM matches
+)
+SELECT a.query_id AS query_a, b.query_id AS query_b,
+       count(*)::BIGINT AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.query_id <= b.query_id
+GROUP BY a.query_id, b.query_id
+"""
+
+
+# --- COMPOSITE bucket pagination (round 5, the ES composite
+#     aggregation — wand.composite_buckets): lang buckets stream in
+#     key order, 2 per page, resumed AFTER 'de' — both the cursor and
+#     the page size are load-bearing (the result is exactly the en/es
+#     page of the 5-lang dictionary for every query that matches docs
+#     in those langs).
+COMPOSITE_SIZE = 2
+COMPOSITE_AFTER = "de"
+
+
+def q_bm25_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import composite_buckets
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang")
+    )
+    out = composite_buckets(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, STATS_QUERY_SET), groups,
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER, mode="boolean",
+    )
+    return out.select(
+        "query_id", F.col("group").alias("lang"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _composite_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = BOOL_PREFIX_CAP,
+) -> str:
+    matches, _qterms, _b = _bool_membership_and_qterms(query_set, cap)
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), buckets AS (
+  SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.lang IS NOT NULL AND d.lang > '{COMPOSITE_AFTER}'
+  GROUP BY m.query_id, d.lang
+), paged AS (
+  SELECT query_id, lang, n_docs,
+         row_number() OVER (PARTITION BY query_id ORDER BY lang ASC) AS rn
+  FROM buckets
+)
+SELECT query_id, lang, n_docs FROM paged WHERE rn <= {COMPOSITE_SIZE}
+"""
+
+
 # --- SPAN_FIRST retrieval (round 5, Lucene SpanFirstQuery —
 #     query/wand.py mode="span_first"): every query token's FIRST
 #     occurrence before position SPAN_FIRST_END ("matches in the
@@ -5455,6 +5571,8 @@ QUERIES = {
     "term_vectors_docs": q_term_vectors_docs,
     "pii_redaction": q_pii_redaction,
     "bm25_span_first": q_bm25_span_first,
+    "bm25_adjacency": q_bm25_adjacency,
+    "bm25_composite": q_bm25_composite,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "percolate_docs": q_percolate_docs,
@@ -5602,6 +5720,8 @@ ORACLE_SQL = {
     "term_vectors_docs": _term_vectors_oracle_sql(),
     "pii_redaction": _pii_oracle_sql(),
     "bm25_span_first": _bm25_span_first_oracle_sql(),
+    "bm25_adjacency": _adjacency_oracle_sql(STATS_QUERY_SET),
+    "bm25_composite": _composite_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),

@@ -306,6 +306,35 @@ class Searcher:
             values, **kwargs,
         )
 
+    def adjacency(self, queries, **kwargs) -> DataFrame:
+        """-> (query_a, query_b, n_docs): pairwise co-match counts of
+        the query set (ES adjacency_matrix — wand.adjacency_matrix);
+        the session's tombstones apply."""
+        from angle_spark.query.wand import adjacency_matrix
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return adjacency_matrix(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            **kwargs,
+        )
+
+    def composite(self, queries, groups, size=10, after=None,
+                  values=None, **kwargs) -> DataFrame:
+        """-> (query_id, group, n_docs[, stats...]): key-ordered bucket
+        pages with an after cursor (ES composite agg —
+        wand.composite_buckets); the session's tombstones apply."""
+        from angle_spark.query.wand import composite_buckets
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return composite_buckets(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            groups, size=size, after=after, values=values, **kwargs,
+        )
+
     def term_vectors(self, doc_ids, positions=False) -> DataFrame:
         """-> (doc_id, term, tf, dl, df, idf[, positions]): each
         requested doc's term vector read from the posting blocks (ES

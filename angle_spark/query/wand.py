@@ -2136,6 +2136,38 @@ def cardinality_matches(
     return vals.groupBy("query_id").agg(fold.alias("cardinality"))
 
 
+def adjacency_matrix(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_a, query_b, n_docs): the Elasticsearch
+    ``adjacency_matrix`` aggregation — for every query pair (a <= b
+    lexicographically, diagonal included), how many docs match BOTH.
+    The co-occurrence structure of a query set over the corpus ("how
+    much do these intents overlap"), used for filter-panel UIs and
+    query-set dedup.
+
+    One exhaustive membership pass (collector="ids"), then a self-join
+    on doc_id: the pair fan-out per doc is |queries matching it|^2 —
+    bounded by the query-set size, never the corpus — and the final
+    groupBy folds a match-bounded frame. Empty intersections emit no
+    row (the ES behavior). Composes with every mode and deletes /
+    doc_filter / field_meta; ``k`` is ignored."""
+    ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
+    a = ids.select(F.col("query_id").alias("query_a"), "doc_id")
+    b = ids.select(F.col("query_id").alias("query_b"), "doc_id")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("query_a") <= F.col("query_b"))
+        .groupBy("query_a", "query_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def _encode_groups(spark, groups, max_buckets):
     """-> (dim, gm): dictionary-encode a (doc_id, group) frame into a
     (gcode, group) label dim + (doc_id, gcode) assignment; a keyword
@@ -2272,6 +2304,57 @@ def group_matches(
         return out.select("query_id", "group", "n_docs")
     return out.select(
         "query_id", "group", "n_docs", "n_values", "sum", "min", "max", "avg"
+    )
+
+
+def composite_buckets(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    groups: DataFrame,
+    size: int = 10,
+    after: str | dict | None = None,
+    values: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, group, n_docs[, stats...]): the Elasticsearch
+    ``composite`` aggregation — buckets stream in ASCENDING KEY order,
+    ``size`` per page, resumed by an ``after`` cursor (the last key of
+    the previous page; a plain string for all queries or a
+    {query_id: key} dict). Pages tile the full bucket set exactly:
+    page N's first key is the smallest key > page N-1's last.
+
+    Built on group_matches: shards emit per-(query, bucket) fold
+    partials (never hit lists), the associative merge produces the
+    bucket-bounded frame, and the page cut is a per-query window over
+    THAT frame — so one pass serves every page of one request batch,
+    and the bucket cap raises loudly (group_matches max_buckets)
+    instead of silently dropping keys the way unbounded terms-aggs do.
+    Composes with every mode and deletes / doc_filter / field_meta."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    out = group_matches(
+        spark, merged, tstats, meta, queries, groups, values=values, **kwargs
+    )
+    if after is not None:
+        if isinstance(after, dict):
+            cur = spark.createDataFrame(
+                list(after.items()), "query_id string, after string"
+            )
+            out = (
+                out.join(F.broadcast(cur), "query_id", "left")
+                .filter(F.col("after").isNull() | (F.col("group") > F.col("after")))
+                .drop("after")
+            )
+        else:
+            out = out.filter(F.col("group") > F.lit(str(after)))
+    w = Window.partitionBy("query_id").orderBy(F.asc("group"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(size)))
+        .drop("_rn")
     )
 
 
