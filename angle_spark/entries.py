@@ -2802,6 +2802,89 @@ def _pii_oracle_sql() -> str:
     )
 
 
+# --- MATCH_PHRASE_PREFIX (round 5, the ES match_phrase_prefix query /
+#     Lucene MultiPhraseQuery — query/prefix.phrase_prefix_topk): the
+#     text is a phrase whose LAST token is still being typed; it
+#     expands under the capped top-terms rewrite (df DESC, term ASC,
+#     PP_CAP — the cap BINDS for the 'jo' and 'du' stems) into an OR of
+#     exact-phrase alternatives through the boolean engine. pp3 is the
+#     single-token degeneration (capped prefix disjunction); pp4 has a
+#     dead stem (no vocabulary match -> no rows).
+PP_CAP = 8
+PP_QUERY_SET: list[tuple[str, str, int]] = [
+    ("pp1", "hash jo", 1000),
+    ("pp2", "customer ord", 1000),
+    ("pp3", "du", 1000),
+    ("pp4", "zzz qq", 10),
+]
+
+
+def q_bm25_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.prefix import phrase_prefix_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = phrase_prefix_topk(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, PP_QUERY_SET), max_expansions=PP_CAP,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _phrase_prefix_oracle_sql(
+    query_set: list[tuple[str, str, int]],
+    cap: int = PP_CAP,
+) -> str:
+    """match_phrase_prefix truth: per query, the OR over the capped
+    stem expansion of exact-phrase matches (positional chain join with
+    the last slot IN the expansion set); scoring terms are the lead
+    tokens plus every expansion term — the boolean fold over the
+    rewritten tree, exactly what the engine executes."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    match_arms = []
+    qterm_arms = []
+    for qid, text, k in query_set:
+        toks = tokenize_py(text)
+        lead, stem = toks[:-1], toks[-1]
+        exp = _prefix_expansion_sql(stem, cap)
+        qterm_arms.append(
+            f"SELECT '{qid}' AS query_id, term FROM ({exp})"
+        )
+        for t in lead:
+            qterm_arms.append(f"SELECT '{qid}', '{t}'")
+        if not lead:
+            match_arms.append(
+                f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM tf "
+                f"WHERE term IN (SELECT term FROM ({exp})) GROUP BY doc_id"
+            )
+            continue
+        n = len(lead)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+            for i in range(1, n + 1)
+        )
+        conds = " AND ".join(
+            f"p{i}.term = '{t}'" for i, t in enumerate(lead)
+        )
+        match_arms.append(
+            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds}"
+            f" AND p{n}.term IN (SELECT term FROM ({exp}))"
+            f" GROUP BY p0.doc_id"
+        )
+    matches = "\n  UNION ALL\n  ".join(match_arms)
+    qterms = "\n  UNION\n  ".join(qterm_arms)
+    return _bm25_matches_scored_sql(matches, qterms)
+
+
 # --- ADJACENCY MATRIX (round 5, the ES adjacency_matrix aggregation —
 #     wand.adjacency_matrix): pairwise co-match counts of the boolean
 #     query set (a <= b canonical order, diagonal = per-query totals,
@@ -5572,6 +5655,7 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "bm25_span_first": q_bm25_span_first,
     "bm25_adjacency": q_bm25_adjacency,
+    "bm25_phrase_prefix": q_bm25_phrase_prefix,
     "bm25_composite": q_bm25_composite,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
@@ -5721,6 +5805,7 @@ ORACLE_SQL = {
     "pii_redaction": _pii_oracle_sql(),
     "bm25_span_first": _bm25_span_first_oracle_sql(),
     "bm25_adjacency": _adjacency_oracle_sql(STATS_QUERY_SET),
+    "bm25_phrase_prefix": _phrase_prefix_oracle_sql(PP_QUERY_SET),
     "bm25_composite": _composite_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),

@@ -161,3 +161,80 @@ def expand_prefixes(
             out_rows, schema="query_id string, text string, k int"
         )
     return rewritten, expansions
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame | pd.DataFrame,
+    meta,
+    queries: DataFrame | pd.DataFrame,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score): Elasticsearch
+    ``match_phrase_prefix`` — the text is an exact phrase whose LAST
+    token is still being typed: "hash jo" matches "hash join", "hash
+    joins", ... (search-as-you-type over phrases).
+
+    Rewrite semantics (Lucene MultiPhraseQuery): the last token expands
+    against the vocabulary under the capped top-terms rewrite
+    (expand_stems: df DESC, term ASC, ``max_expansions``), each
+    expansion forming one exact-phrase alternative; the query becomes
+    the OR of those phrase leaves and runs through the boolean engine
+    (conjunctive survivors + positional verification per alternative,
+    shard-local). A single-token query degrades to the capped prefix
+    disjunction ("stem*"), exactly ES's behavior for a one-term phrase.
+    A stem with no vocabulary match retrieves nothing. Needs a
+    positional index for multi-token queries; composes with deletes /
+    doc_filter / collectors through ``kwargs``.
+
+    Scale shape: ONE distributed expansion action for the whole batch
+    (pushed StartsWith over the term-sorted stats scan), then the
+    standard boolean execution — nothing new shuffles."""
+    if isinstance(queries, pd.DataFrame):
+        rows = [
+            (r.query_id, str(r.text), int(r.k))
+            for r in queries.itertuples(index=False)
+        ]
+    else:
+        rows = [
+            (r["query_id"], r["text"], int(r["k"]))
+            for r in queries.select(
+                "query_id", "text", F.col("k").cast("int").alias("k")
+            ).collect()
+        ]
+    parsed = []
+    for qid, text, k in rows:
+        toks = tokenize_py(text or "")
+        if not toks:
+            continue  # empty query matches nothing
+        parsed.append((qid, k, toks[:-1], toks[-1]))
+    stems = sorted({s for _, _, _, s in parsed})
+    expansions = expand_stems(spark, tstats, stems, max_expansions)
+    out_rows = []
+    for qid, k, lead, stem in parsed:
+        if not lead:
+            out_rows.append((qid, f"{stem}*", k))
+            continue
+        alts = expansions[stem]
+        if not alts:
+            continue  # dead stem: no phrase alternative can match
+        text = " OR ".join(
+            '"' + " ".join(lead + [e]) + '"' for e in alts
+        )
+        out_rows.append((qid, text, k))
+    from angle_spark.query.wand import wand_topk
+
+    if isinstance(queries, pd.DataFrame):
+        rewritten: DataFrame | pd.DataFrame = pd.DataFrame(
+            out_rows, columns=["query_id", "text", "k"]
+        )
+    else:
+        rewritten = spark.createDataFrame(
+            out_rows, schema="query_id string, text string, k int"
+        )
+    return wand_topk(
+        spark, merged, tstats, meta, rewritten,
+        mode="boolean", max_expansions=max_expansions, **kwargs,
+    )
