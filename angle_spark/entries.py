@@ -382,6 +382,52 @@ def q_bm25_purged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DELETE BY QUERY (round 5, the ES _delete_by_query / Lucene
+#     deleteDocuments(Query) — index/deletes.delete_by_query): every doc
+#     matching a boolean predicate is tombstoned in one membership pass,
+#     then the standard query set serves masked (full-corpus stats —
+#     Lucene pre-merge semantics). The oracle recomputes the predicate's
+#     matched set from membership primitives (_bool_match_sql) and
+#     excludes it from the ranked candidates ONLY — the stats CTEs stay
+#     untouched, so a purge-style implementation cannot pass.
+DBQ_TEXT = "dup AND (hash OR scan)"
+
+
+def q_bm25_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from angle_spark.index.build import load_index
+    from angle_spark.index.deletes import delete_by_query, load_deletes
+    from angle_spark.query.wand import wand_topk
+
+    out_dir = tempfile.mkdtemp(prefix="bm25_dbq_entry_")
+    shutil.rmtree(out_dir)
+    shutil.copytree(_cached_doc_index(spark, sf_dir), out_dir)
+    delete_by_query(spark, out_dir, DBQ_TEXT)
+    merged, tstats, meta = load_index(spark, out_dir)
+    out = wand_topk(
+        spark, merged, tstats, meta, _doc_queries_df(spark), prune=True,
+        deletes=load_deletes(spark, out_dir),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _dbq_oracle_sql() -> str:
+    from angle_spark.query.boolean import parse_query
+
+    return _bm25_oracle_sql(
+        candidate_where=(
+            f"WHERE tf.doc_id NOT IN ({_bool_match_sql(parse_query(DBQ_TEXT))})"
+        )
+    )
+
+
 def _bm25_matches_scored_sql(
     matches_sql: str,
     qterms_sql: str,
@@ -5656,6 +5702,7 @@ QUERIES = {
     "bm25_span_first": q_bm25_span_first,
     "bm25_adjacency": q_bm25_adjacency,
     "bm25_phrase_prefix": q_bm25_phrase_prefix,
+    "bm25_delete_by_query": q_bm25_delete_by_query,
     "bm25_composite": q_bm25_composite,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
@@ -5806,6 +5853,7 @@ ORACLE_SQL = {
     "bm25_span_first": _bm25_span_first_oracle_sql(),
     "bm25_adjacency": _adjacency_oracle_sql(STATS_QUERY_SET),
     "bm25_phrase_prefix": _phrase_prefix_oracle_sql(PP_QUERY_SET),
+    "bm25_delete_by_query": _dbq_oracle_sql(),
     "bm25_composite": _composite_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),

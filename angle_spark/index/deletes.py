@@ -106,6 +106,49 @@ def _load_deletes_df(
         return None  # dir exists but holds no committed tombstones
 
 
+def delete_by_query(
+    spark: SparkSession,
+    out_dir: str,
+    text: str,
+    mode: str = "boolean",
+    **search_kwargs,
+) -> int:
+    """Elasticsearch ``_delete_by_query`` / Lucene
+    ``deleteDocuments(Query)``: tombstone every LIVE doc the query
+    matches; returns how many docs this call newly deleted. The
+    reference's analog is corpus curation before training — dropping
+    documents by content predicate (hard-negative filtering,
+    reference README.md:119-128); here the predicate is any query the
+    engine can run (boolean trees, phrases, field leaves, ...).
+
+    Semantics follow ES exactly: matching is evaluated against the
+    CURRENT live view (existing tombstones apply, so re-running the
+    same query is idempotent and returns 0), the matched docIDs are
+    appended as ordinary tombstones (O(matches) — the index is never
+    rewritten), and stats stay full-corpus until ``purge_deletes``.
+
+    Scale shape: one exhaustive membership pass (``collector="ids"`` —
+    O(matches) two-column rows, no scoring state), then a tombstone
+    append; the matched set never reaches the driver. ``mode`` and
+    ``search_kwargs`` (field_meta, doc_filter, max_expansions, slop...)
+    pass through to the search."""
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import matched_ids
+
+    merged, tstats, meta = load_index(spark, out_dir)
+    existing = _load_deletes_df(spark, out_dir, meta)
+    n_before = existing.count() if existing is not None else 0
+    queries = spark.createDataFrame(
+        [("_dbq", text, 1)], schema="query_id string, text string, k int"
+    )
+    search_kwargs.pop("deletes", None)
+    hits = matched_ids(
+        spark, merged, tstats, meta, queries,
+        mode=mode, deletes=existing, **search_kwargs,
+    ).select("doc_id")
+    return delete_docs(spark, out_dir, hits) - n_before
+
+
 def load_deletes(spark: SparkSession, out_dir: str) -> DataFrame | None:
     """Current tombstone set as a (doc_id) DataFrame, or None when the
     index has no pending deletes. Pass the result straight to

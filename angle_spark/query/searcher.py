@@ -92,6 +92,18 @@ class Searcher:
             self._tstats = tstats
         return self
 
+    def delete_by_query(self, text: str, mode: str = "boolean", **kwargs) -> int:
+        """ES ``_delete_by_query`` against this Searcher's index:
+        tombstone every live doc matching ``text`` (index/deletes.
+        delete_by_query), then pick the new tombstones up for this
+        session (the persisted blocks and stats stay valid — deletes
+        are a mask, not a rewrite). Returns the newly-deleted count."""
+        from angle_spark.index.deletes import delete_by_query
+
+        n = delete_by_query(self.spark, self.out_dir, text, mode=mode, **kwargs)
+        self.refresh_deletes()
+        return n
+
     def refresh_deletes(self) -> "Searcher":
         """Cheap per-batch tombstone pickup: new deletes invalidate
         neither the persisted blocks nor the stats (pre-purge stats stay
