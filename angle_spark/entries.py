@@ -3547,6 +3547,62 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILDCARD_QUERY_SET: list[tuple[str, str, int]] = [
+    ("wc1", "s?o? AND hash", 1000),
+    ("wc2", "s*t OR dup", 1000),
+    ("wc3", "?a?? OR dup", 1000),
+    ("wc4", "merge AND NOT f?st", 1000),
+    ("wc5", "zz?q AND scan", 10),
+    ("wc6", "gr?up^2 OR window", 1000),
+    ("wc7", '*uery AND "hash join"', 1000),
+]
+
+# wildcard expansion cap: small so it BINDS at sf0.01 (wc3: ?a??
+# desugars to /.a../, which full-matches >= 4 vocabulary terms — the
+# df-ranked cap keeps 3 of them), same discipline as REGEX_CAP
+WILDCARD_CAP = 3
+
+
+# --- WILDCARD retrieval (round 5, Lucene WildcardQuery): ``te?t`` /
+#     ``h*llo`` / ``*ion`` words desugar AT PARSE TIME to regex leaves
+#     (query/regex.wildcard_to_regex), so the capped top-terms rewrite,
+#     boosts, NOT and the membership oracle are the SAME machinery as
+#     bm25_regex — one expansion engine for the whole leaf family.
+#     Cases: single-char holes (wc1), inner * (wc2), cap binding (wc3),
+#     negated wildcard (wc4), dead wildcard kills its AND (wc5),
+#     boosted (wc6), leading-* + phrase (wc7). A pure trailing-* word
+#     (``jo*``) deliberately stays a PREFIX leaf — tested in
+#     tests/test_wildcard.py, not here.
+def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, WILDCARD_QUERY_SET),
+        mode="boolean",
+        max_expansions=WILDCARD_CAP,
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract as
+    # q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- conjunctive (AND) retrieval over the compressed index: only docs
 #     matching EVERY distinct query token are ranked (BM25-scored; the
 #     shard-local matched-term counter is globally exact because a doc's
@@ -5711,6 +5767,7 @@ QUERIES = {
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_regex": q_bm25_regex,
+    "bm25_wildcard": q_bm25_wildcard,
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
@@ -5864,6 +5921,9 @@ ORACLE_SQL = {
     ),
     "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),
     "bm25_regex": _bm25_boolean_oracle_sql(REGEX_QUERY_SET, cap=REGEX_CAP),
+    "bm25_wildcard": _bm25_boolean_oracle_sql(
+        WILDCARD_QUERY_SET, cap=WILDCARD_CAP
+    ),
     "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
     "hybrid_topk": _hybrid_oracle_sql(),
     "hybrid_ann_topk": _hybrid_ann_oracle_sql(),

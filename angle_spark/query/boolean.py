@@ -42,6 +42,17 @@ lowercase ``and``/``or``/``not`` stay ordinary corpus terms):
                fuzziness); d is capped at 2; ``word~0`` is just the
                exact term. A matchless word folds like an OOV term.
 
+- ``te?t`` / ``h*llo`` / ``*ion`` — wildcard leaf (round 5, Lucene's
+               WildcardQuery): ``?`` matches exactly one character,
+               ``*`` any (possibly empty) run. Desugars at parse time
+               to a regex leaf (query/regex.wildcard_to_regex), so the
+               capped top-terms rewrite, boosts, NOT, the SQL oracle
+               and the percolator apply unchanged. A word whose ONLY
+               wildcard is a single trailing ``*`` stays a prefix leaf
+               (the cheaper contiguous-range rewrite). All-wildcard
+               patterns (``*``, ``?``) are rejected; literal segments
+               must stay inside the tokenizer alphabet [a-z0-9].
+
 - ``/re/``     regexp leaf (round 4, Lucene's RegexpQuery shape): the
                pattern must match an ENTIRE vocabulary term; the leaf
                expands driver-side to the top-``max_expansions``
@@ -376,7 +387,10 @@ class _Parser:
                 if dist == 0:
                     return _boosted(("term", body[0]), boost, self.text)
                 return _boosted(("fuzzy", body[0], dist), boost, self.text)
-            if word.endswith("*"):
+            if re.fullmatch(r"[^*?]+\*", word):
+                # pure trailing-* is a PREFIX leaf (contiguous range in
+                # the term-sorted stats scan — cheaper than the general
+                # wildcard's full-vocabulary rlike pass)
                 stem = tokenize_py(word[:-1])
                 if len(stem) != 1:
                     raise BooleanQueryError(
@@ -384,6 +398,19 @@ class _Parser:
                         "token"
                     )
                 return _boosted(("prefix", stem[0]), boost, self.text)
+            if "*" in word or "?" in word:
+                # Lucene WildcardQuery (te?t, h*llo, *ion): desugars to a
+                # regex leaf — one expansion engine for the whole
+                # vocabulary-rewrite family (query/regex.py)
+                from angle_spark.query.regex import wildcard_to_regex
+
+                try:
+                    pat = wildcard_to_regex(word)
+                except ValueError as exc:
+                    raise BooleanQueryError(
+                        f"wildcard leaf {word!r} in {self.text!r}: {exc}"
+                    ) from exc
+                return _boosted(("regex", pat), boost, self.text)
             toks = tokenize_py(word)
             if not toks:
                 raise BooleanQueryError(f"word tokenizes to nothing: {val!r}")

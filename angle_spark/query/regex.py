@@ -79,6 +79,48 @@ def validate_pattern(pattern: str) -> str:
     return pattern
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene ``WildcardQuery`` pattern -> the equivalent regex body
+    (``te?t`` -> ``te.t``, ``h*llo`` -> ``h.*llo``, ``*ion`` -> ``.*ion``).
+    ``*`` matches any (possibly empty) run, ``?`` exactly one character —
+    the grammar desugars wildcard words to regex leaves so the capped
+    top-terms rewrite, boosts, NOT, the SQL oracle and the percolator all
+    apply unchanged (one expansion engine, not a fourth).
+
+    Validation mirrors the rest of the leaf family: the pattern is
+    lowercased (the vocabulary is lowercase), must contain at least one
+    literal character (a bare ``*``/``?``/``**`` matches the whole
+    vocabulary — a query-cost foot-gun, same rejection as a bare prefix
+    ``*``), and every literal segment must be tokenizer-alphabet
+    ([a-z0-9]) — any other character can never occur inside an indexed
+    term, so the leaf would silently match nothing."""
+    if not pattern:
+        raise ValueError("empty wildcard pattern")
+    low = pattern.lower()
+    literals = [seg for seg in _re.split(r"[*?]+", low) if seg]
+    if not literals:
+        raise ValueError(
+            f"wildcard {pattern!r} has no literal characters — it would "
+            "match the entire vocabulary"
+        )
+    for seg in literals:
+        if not _re.fullmatch(r"[a-z0-9]+", seg):
+            raise ValueError(
+                f"wildcard {pattern!r}: literal segment {seg!r} contains "
+                "characters outside the tokenizer alphabet [a-z0-9] and "
+                "can never match an indexed term"
+            )
+    out = []
+    for ch in low:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def expand_regex(
     spark: SparkSession,
     tstats: DataFrame | pd.DataFrame,
