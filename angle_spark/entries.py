@@ -434,6 +434,8 @@ def _bm25_matches_scored_sql(
     rank_on_rounded: bool = False,
     boosted: bool = False,
     offset: int = 0,
+    demote_sql: str | None = None,
+    demote_factor: float = 1.0,
 ) -> str:
     """Shared scoring skeleton for every membership-then-score oracle
     (phrase / near / boolean): a `matches` CTE of (query_id, k, doc_id)
@@ -454,10 +456,34 @@ def _bm25_matches_scored_sql(
 
     offset: pagination (Lucene searchAfter's shallow cousin) — keep the
     global-rank page (offset, offset + k], matching
-    wand_topk(offset=...)'s global-rank contract."""
+    wand_topk(offset=...)'s global-rank contract.
+
+    demote_sql / demote_factor: the ES boosting-query seam — a
+    (query_id, doc_id) negative-membership CTE body; matching docs'
+    SUMMED scores multiply by the factor BEFORE ranking (one float
+    multiply on the sum — the engine's exact association,
+    query/wand.py demote step)."""
     rank_key = "round(raw, 6)" if rank_on_rounded else "raw"
     page = f"rnk > {offset} AND rnk <= {offset} + k" if offset else "rnk <= k"
     boost_factor = " * qt.boost" if boosted else ""
+    demote_cte = (
+        f"), negset AS (\n  SELECT DISTINCT query_id, doc_id FROM (\n  "
+        f"{demote_sql}\n  )\n"
+        if demote_sql
+        else ""
+    )
+    demote_adjust = (
+        f"), adjusted AS (\n"
+        f"  SELECT s.query_id, s.k, s.doc_id,\n"
+        f"         s.raw * (CASE WHEN n.doc_id IS NOT NULL "
+        f"THEN {demote_factor!r}::DOUBLE ELSE 1.0 END) AS raw\n"
+        f"  FROM scored s\n"
+        f"  LEFT JOIN negset n "
+        f"ON n.query_id = s.query_id AND n.doc_id = s.doc_id\n"
+        if demote_sql
+        else ""
+    )
+    ranked_src = "adjusted" if demote_sql else "scored"
     toks = duckdb_tokens_sql("text")
     return f"""
 WITH docs AS (
@@ -491,10 +517,10 @@ WITH docs AS (
   JOIN dl  ON dl.doc_id = m.doc_id
   CROSS JOIN stats s
   GROUP BY m.query_id, m.k, m.doc_id
-), ranked AS (
+{demote_cte}{demote_adjust}), ranked AS (
   SELECT query_id, k, doc_id, raw,
          row_number() OVER (PARTITION BY query_id ORDER BY {rank_key} DESC, doc_id ASC) AS rnk
-  FROM scored
+  FROM {ranked_src}
 )
 SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
 FROM ranked WHERE {page}
@@ -3603,6 +3629,150 @@ def q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOSTING_QUERY_SET: list[tuple[str, str, str, int]] = [
+    # (qid, positive, negative, k) — nb=0.2 demotes, never excludes
+    ("bo1", "hash OR dup", "dup AND merge", 1000),
+    ("bo2", "scan AND merge", '"hash join"', 1000),
+    ("bo3", "(dup OR spark) AND NOT batch", "fil*", 1000),
+    ("bo4", "window OR group", "zzzz", 1000),  # OOV negative: no demotion
+    ("bo5", "merge", "merge AND scan", 1000),  # negative subset of positive
+]
+BOOSTING_NB = 0.2
+
+
+# --- BOOSTING queries (round 5, ES boosting query / Lucene
+#     BoostingQuery): rank by the positive query, multiply the score of
+#     docs ALSO matching the negative query by negative_boost — soft
+#     demotion, membership unchanged (query/boosting.py: one negative
+#     membership pass rides the fieldset channel under a private leaf
+#     id, the shard kernel demotes the summed score before selection).
+#     Oracle: positive membership+scoring CTEs, LEFT JOIN the negative
+#     membership CTE, raw * CASE — the same one-multiply association.
+def q_bm25_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.boosting import boosting_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    queries = spark.createDataFrame(
+        [(qid, pos, neg, k) for qid, pos, neg, k in BOOSTING_QUERY_SET],
+        "query_id string, text string, negative string, k int",
+    )
+    out = boosting_topk(
+        spark, merged, tstats, meta, queries, negative_boost=BOOSTING_NB
+    )
+    # FULL answer sets (k > corpus): rank on the rounded score with the
+    # doc_id tiebreak, mirroring the oracle (same contract as
+    # q_bm25_boolean)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _boosting_oracle_sql(
+    query_set: list[tuple[str, str, str, int]], nb: float
+) -> str:
+    from angle_spark.query.boolean import parse_query
+
+    matches, qterms, boosted = _bool_membership_and_qterms(
+        [(qid, pos, k) for qid, pos, _neg, k in query_set]
+    )
+    negset = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(neg))})"
+        for qid, _pos, neg, _k in query_set
+    )
+    return _bm25_matches_scored_sql(
+        matches,
+        qterms,
+        rank_on_rounded=True,
+        boosted=boosted,
+        demote_sql=negset,
+        demote_factor=nb,
+    )
+
+
+CONST_SCORE_QUERY_SET: list[tuple[str, str, int]] = [
+    ("cs1", '"hash join" OR dup', 15),
+    ("cs2", "scan AND NOT filter", 15),
+    ("cs3", "zzzz AND scan", 15),  # dead query: no rows
+    ("cs4", "merge AND fil*", 15),
+]
+CONST_SCORE_BOOST = 2.5
+
+
+# --- CONSTANT-SCORE queries (round 5, ES constant_score / Lucene
+#     ConstantScoreQuery): every matching doc scores exactly ``boost``;
+#     ranks follow docID (index) order — the deterministic Lucene tie
+#     rule. k binds (15 < several answer sets). One membership pass,
+#     then a bounded window over the O(matches) id frame
+#     (query/boosting.py constant_score_topk). Oracle: the same
+#     membership CTEs ranked by doc_id with a literal score.
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.boosting import constant_score_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = constant_score_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, CONST_SCORE_QUERY_SET),
+        boost=CONST_SCORE_BOOST,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("score").alias("score"),
+    )
+
+
+def _constant_score_oracle_sql(
+    query_set: list[tuple[str, str, int]], boost: float
+) -> str:
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, {k} AS k, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, k in query_set
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), ranked AS (
+  SELECT query_id, k, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rnk
+  FROM (SELECT DISTINCT query_id, k, doc_id FROM matches)
+)
+SELECT query_id, rnk::BIGINT AS rank, doc_id, {boost!r}::DOUBLE AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- conjunctive (AND) retrieval over the compressed index: only docs
 #     matching EVERY distinct query token are ranked (BM25-scored; the
 #     shard-local matched-term counter is globally exact because a doc's
@@ -5768,6 +5938,8 @@ QUERIES = {
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_regex": q_bm25_regex,
     "bm25_wildcard": q_bm25_wildcard,
+    "bm25_boosting": q_bm25_boosting,
+    "constant_score": q_constant_score,
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
@@ -5923,6 +6095,10 @@ ORACLE_SQL = {
     "bm25_regex": _bm25_boolean_oracle_sql(REGEX_QUERY_SET, cap=REGEX_CAP),
     "bm25_wildcard": _bm25_boolean_oracle_sql(
         WILDCARD_QUERY_SET, cap=WILDCARD_CAP
+    ),
+    "bm25_boosting": _boosting_oracle_sql(BOOSTING_QUERY_SET, BOOSTING_NB),
+    "constant_score": _constant_score_oracle_sql(
+        CONST_SCORE_QUERY_SET, CONST_SCORE_BOOST
     ),
     "bm25_boosted": _bm25_boolean_oracle_sql(BOOST_QUERY_SET),
     "hybrid_topk": _hybrid_oracle_sql(),

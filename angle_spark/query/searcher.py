@@ -253,6 +253,36 @@ class Searcher:
             values, **kwargs,
         )
 
+    def boosting(self, queries, negative_boost=0.5, **kwargs) -> DataFrame:
+        """-> (query_id, rank, doc_id, score): ES boosting query — rank
+        by the positive query, demote (never exclude) docs also matching
+        the negative query by ``negative_boost`` (query/boosting.py).
+        ``queries``: (query_id, text, negative, k); the session's
+        tombstones apply to both phases."""
+        from angle_spark.query.boosting import boosting_topk
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return boosting_topk(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            negative_boost=negative_boost, **kwargs,
+        )
+
+    def constant_score(self, queries, boost=1.0, **kwargs) -> DataFrame:
+        """-> (query_id, rank, doc_id, score): ES constant_score — every
+        matching doc scores exactly ``boost``, ranked in docID order
+        (query/boosting.py); the session's tombstones apply."""
+        from angle_spark.query.boosting import constant_score_topk
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return constant_score_topk(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            boost=boost, **kwargs,
+        )
+
     def function_score(self, queries, factors, **kwargs) -> DataFrame:
         """-> (query_id, rank, doc_id, score): BM25 * per-doc factor
         top-k (ES function_score boost_mode=multiply —

@@ -805,6 +805,27 @@ def _score_shard_multi(
             # reset only touched cells (span stays clean for the next query)
             acc[hit] = 0.0
 
+        dleaf = int(getattr(q, "demote_leaf", -1))
+        if dleaf >= 0 and len(doc_ids):
+            # ES boosting query (query/boosting.py): docs in the query's
+            # negative set KEEP membership but their relevance multiplies
+            # by negative_boost (one float multiply on the summed score —
+            # the oracle's round(raw * nb, 6) association). The negative
+            # docID set rides the fieldset channel under a private leaf
+            # id. Exhaustive path only: a theta built from undemoted heap
+            # scores would over-prune, so boosting_topk forces
+            # prune=False.
+            assert not prune
+            ds = field_sets.get(dleaf) if field_sets else None
+            if ds is not None and ds.size:
+                posn = np.searchsorted(ds, doc_ids)
+                posn[posn == ds.size] = 0
+                hitn = ds[posn] == doc_ids
+                if hitn.any():
+                    scores = np.where(
+                        hitn, scores * float(q.demote_nb), scores
+                    )
+
         if count_only:
             # prune=False (enforced by the caller) means every branch
             # above produced the complete distinct matched set
@@ -1129,8 +1150,19 @@ def wand_topk(
     search_after: dict[str, tuple[float, int]] | None = None,
     group_k: int = 3,
     sort_multiply: bool = False,
+    demote_sets: DataFrame | None = None,
+    negative_boost: float | dict = 0.5,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score) from the compressed index.
+
+    ``demote_sets`` (round 5, the ES boosting-query seam — use
+    query/boosting.boosting_topk): a (query_id, doc_id) frame of each
+    query's NEGATIVE membership; matching docs keep membership but their
+    score multiplies by ``negative_boost`` (float, or per-query dict —
+    missing queries demote nothing). Requires prune=False (a pruning
+    theta built from undemoted scores would over-prune) and
+    collector="topk". The set rides the shard-cogrouped fieldset channel
+    under private leaf ids — never broadcast.
 
     ``sort_multiply`` (round 5, the ES function_score
     boost_mode=multiply seam): sort_meta's per-doc values are score
@@ -1492,6 +1524,21 @@ def wand_topk(
         # > 1 breaks any posting-list bound), so the exhaustive path is
         # forced, exactly like counting
         prune = False
+    if demote_sets is not None:
+        if collector != "topk":
+            raise ValueError(
+                "demote_sets is only valid with collector='topk' — "
+                "demotion changes scores, not membership"
+            )
+        if sort_meta is not None:
+            raise ValueError(
+                "demote_sets does not compose with sort_meta — boosting "
+                "ranks in relevance space"
+            )
+        # demotion is applied AFTER each query's fold; a pruning theta
+        # built from undemoted heap scores would over-prune, so the
+        # exhaustive path is forced (ES evaluates both queries too)
+        prune = False
     # analyzer dispatch (round 5): queries tokenize with the SAME
     # versioned analyzer the index was built with (IndexMeta.analyzer;
     # Lucene's Analyzer-per-index contract). The structured-grammar
@@ -1785,6 +1832,7 @@ def wand_topk(
             sort_meta=sort_meta, sort_ascending=sort_ascending,
             group_meta=group_meta, search_after=search_after,
             group_k=group_k, sort_multiply=sort_multiply,
+            demote_sets=demote_sets, negative_boost=negative_boost,
         )
     if isinstance(queries, pd.DataFrame):
         tokenized = [
@@ -1845,6 +1893,7 @@ def wand_topk(
         sort_meta=sort_meta, sort_ascending=sort_ascending,
         group_meta=group_meta, search_after=search_after,
         group_k=group_k, sort_multiply=sort_multiply,
+        demote_sets=demote_sets, negative_boost=negative_boost,
     )
 
 
@@ -2381,6 +2430,8 @@ def _shard_and_rank(
     search_after: dict | None = None,
     group_k: int = 3,
     sort_multiply: bool = False,
+    demote_sets: DataFrame | None = None,
+    negative_boost: float | dict = 0.5,
 ) -> DataFrame:
     """shared execution tail for every mode: candidate-block In(term)
     pushdown -> one shuffle by shard -> shard-local batch scoring ->
@@ -2441,6 +2492,48 @@ def _shard_and_rank(
     grouped = pd.DataFrame(
         rows, columns=["query_id", "k", "terms", "idfs", "nq", "phrase", "ast"]
     )
+    demote_tagged = None
+    if demote_sets is not None:
+        # each query's negative docID set gets a PRIVATE leaf id far
+        # above any field-leaf id (those enumerate from 0 and are
+        # bounded by the batch's distinct field predicates); the set
+        # rides the same cogrouped fieldset channel — never broadcast
+        _DEMOTE_BASE = 1_000_000_000
+
+        def _nb_of(qid):
+            if isinstance(negative_boost, dict):
+                return float(negative_boost.get(qid, 1.0))
+            return float(negative_boost)
+
+        demote_map = {
+            qid: (_DEMOTE_BASE + i, _nb_of(qid))
+            for i, qid in enumerate(grouped["query_id"])
+        }
+        grouped["demote_leaf"] = np.array(
+            [demote_map[qid][0] for qid in grouped["query_id"]],
+            dtype=np.int64,
+        )
+        grouped["demote_nb"] = np.array(
+            [demote_map[qid][1] for qid in grouped["query_id"]],
+            dtype=np.float64,
+        )
+        leaf_lit = F.create_map(
+            *[
+                x
+                for qid, (lid, _nb) in demote_map.items()
+                for x in (F.lit(str(qid)), F.lit(int(lid)))
+            ]
+        )
+        demote_tagged = (
+            demote_sets.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.element_at(
+                    leaf_lit, F.col("query_id").cast("string")
+                ).alias("leaf"),
+            )
+            .filter(F.col("leaf").isNotNull())
+            .select("doc_id", F.col("leaf").cast("long").alias("leaf"))
+        )
     if search_after:
         # per-query cursors ride the broadcast query frame (bounded:
         # one (float, long) per query); NaN marks a cursor-less query
@@ -2502,6 +2595,12 @@ def _shard_and_rank(
 
     if side is not None:
         side = side.withColumn("leaf", F.lit(-1).cast("long"))
+    if demote_tagged is not None:
+        fieldsets = (
+            demote_tagged
+            if fieldsets is None
+            else fieldsets.unionByName(demote_tagged)
+        )
     if fieldsets is not None:
         side = fieldsets if side is None else side.unionByName(fieldsets)
     if side is not None:
