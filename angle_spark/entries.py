@@ -4247,6 +4247,102 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- CROSS-FIELDS fielded retrieval (round 5, ES multi_match
+#     type=cross_fields / Lucene BlendedTermQuery — the third member of
+#     the multi_match trio): TERM-centric — each query term may live in
+#     a different field ("dup src7": dup in text, src7 only in source).
+#     Per term the df BLENDS across fields (max — non-inflating), each
+#     field scores with its own length norm and ^w boost, the term
+#     contributes its best field's saturation times the blended idf.
+#     Same fields + query set as bm25f/dismax, pinning the three
+#     semantics apart on identical inputs. Oracle: per-field sat CTEs,
+#     blended-df CTE, max-then-one-idf-multiply — the engine's exact
+#     association.
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.bm25f import cross_fields_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = cross_fields_topk(
+        docs,
+        FIELDED_WEIGHTS,
+        _doc_queries_df(spark, FIELDED_QUERY_SET),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _cross_fields_oracle_sql() -> str:
+    """Cross-fields truth: per-field saturation CTEs (field's own
+    length norm, ^w boost), blended df = max over fields (restriction
+    to query terms is implicit — qterms drives every join), per-term
+    max-over-fields THEN one blended-idf multiply, summed per doc."""
+    ttoks = duckdb_tokens_sql("text")
+    stoks = duckdb_tokens_sql("source")
+    wt, ws = dict(FIELDED_WEIGHTS)["text"], dict(FIELDED_WEIGHTS)["source"]
+    return f"""
+WITH fdocs AS (
+  SELECT doc_id, {ttoks} AS ttoks, {stoks} AS stoks FROM documents
+), ttf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ttoks) AS term FROM fdocs) GROUP BY doc_id, term
+), stf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(stoks) AS term FROM fdocs) GROUP BY doc_id, term
+), fdl AS (
+  SELECT doc_id, len(ttoks)::BIGINT AS tdl, len(stoks)::BIGINT AS sdl FROM fdocs
+), fstats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(tdl) AS tavg, avg(sdl) AS savg FROM fdl
+), tdft AS (
+  SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term
+), sdft AS (
+  SELECT term, count(*)::BIGINT AS df FROM stf GROUP BY term
+), bdft AS (
+  SELECT term, max(df)::BIGINT AS df
+  FROM (SELECT * FROM tdft UNION ALL SELECT * FROM sdft) GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(FIELDED_QUERY_SET)}
+), tsat AS (
+  SELECT qt.query_id, qt.k, t.doc_id, qt.term,
+         {wt} * t.tf * 2.2
+         / (t.tf + 1.2 * (0.25 + 0.75 * fdl.tdl / st.tavg)) AS sat
+  FROM qterms qt
+  JOIN ttf t ON t.term = qt.term
+  JOIN fdl ON fdl.doc_id = t.doc_id
+  CROSS JOIN fstats st
+), ssat AS (
+  SELECT qt.query_id, qt.k, s.doc_id, qt.term,
+         {ws} * s.tf * 2.2
+         / (s.tf + 1.2 * (0.25 + 0.75 * fdl.sdl / st.savg)) AS sat
+  FROM qterms qt
+  JOIN stf s ON s.term = qt.term
+  JOIN fdl ON fdl.doc_id = s.doc_id
+  CROSS JOIN fstats st
+), satmax AS (
+  SELECT query_id, k, doc_id, term, max(sat) AS sat
+  FROM (SELECT * FROM tsat UNION ALL SELECT * FROM ssat)
+  GROUP BY query_id, k, doc_id, term
+), scored AS (
+  SELECT sm.query_id, sm.k, sm.doc_id,
+         sum( ln((st.n_docs - b.df + 0.5) / (b.df + 0.5) + 1.0) * sm.sat ) AS raw
+  FROM satmax sm
+  JOIN bdft b ON b.term = sm.term
+  CROSS JOIN fstats st
+  GROUP BY sm.query_id, sm.k, sm.doc_id
+), ranked AS (
+  SELECT query_id, k, doc_id, raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, rnk AS rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- A9: document frequency per term (exact, grouped agg)
 def q_doc_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_tokens(_read(spark, sf_dir, "documents")).select("doc_id", "tokens", "dl")
@@ -5932,6 +6028,7 @@ QUERIES = {
     "bm25_composite": q_bm25_composite,
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
+    "cross_fields": q_cross_fields,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -6086,6 +6183,7 @@ ORACLE_SQL = {
     "bm25_composite": _composite_oracle_sql(STATS_QUERY_SET),
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
+    "cross_fields": _cross_fields_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

@@ -237,3 +237,109 @@ def dismax_topk(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def cross_fields_topk(
+    docs: DataFrame,
+    fields: list[tuple[str, float]],
+    queries: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    rank_on_rounded: bool = True,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score): term-centric blended fielded
+    retrieval — ES ``multi_match type=cross_fields`` / Lucene's
+    BlendedTermQuery, the third member of the multi_match trio:
+
+      - BM25F   (bm25f_topk):  field-centric, ONE saturation curve —
+                 "fields are parts of one document";
+      - dis_max (dismax_topk): query-centric best field — "fields are
+                 alternate phrasings, pick the best one";
+      - cross_fields (here):   TERM-centric — "each query term may live
+                 in a different field" (first name in one column, last
+                 name in another; for transcripts: one term in text,
+                 one in tool).
+
+    Per term, document-frequency statistics BLEND across fields
+    (df~(t) = max_f df_f(t) — Lucene BlendedTermQuery's non-inflating
+    blend: a term can't become artificially rare because one field
+    seldom uses it), each field scores the term with its own length
+    normalization and ^w boost, and the term contributes its BEST
+    field's saturation times the blended idf:
+
+        score(q, d) = sum_{t in q} idf~(t) * max_f [ w_f * tf_f(t,d)
+                          * (k1+1) / (tf_f + k1*(1-b+b*dl_f/avgdl_f)) ]
+
+    AND-across-fields composes upstream (conjunctive callers filter on
+    matched-term counts); this function scores the disjunctive fold.
+
+    Plan shape: one tokenize+explode+groupBy per field (map-side
+    combined), per-field df restricted to query terms BEFORE the blend
+    union (vocabulary never shuffles whole), per-(query, doc, term) max
+    over <= |fields| rows, one idf multiply per term AFTER the max (so
+    the max is float-exact and the only fold noise is the final
+    per-doc sum — rank_on_rounded handles it, the repo-wide convention).
+    Everything JVM-side; no UDFs.
+    """
+    if not fields:
+        raise ValueError("need at least one (column, weight) field")
+    n_docs = docs.count()
+    qterms = queries.select(
+        "query_id",
+        F.col("k").cast("int").alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.coalesce(tokens_col("text"), F.array().cast("array<string>"))
+            )
+        ).alias("term"),
+    )
+    uterms = qterms.select("term").distinct()
+
+    dft_parts = []
+    sat_parts = []
+    for col, w in fields:
+        tf, dl = _field_tf(docs, col)
+        avgdl = dl.agg(F.avg("dl")).collect()[0][0] or 0.0
+        if avgdl <= 0:
+            continue  # field empty in every doc — contributes nothing
+        tf_q = tf.join(uterms, "term")  # all docs, query terms only
+        dft_parts.append(
+            tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+        denom = F.col("tf") + k1 * (
+            1.0 - b + b * F.col("dl") / F.lit(float(avgdl))
+        )
+        sat = F.lit(float(w)) * F.col("tf") * (k1 + 1.0) / denom
+        sat_parts.append(
+            qterms.join(tf_q, "term")
+            .join(dl, "doc_id")
+            .select("query_id", "k", "doc_id", "term", sat.alias("sat"))
+        )
+    if not dft_parts:
+        raise ValueError("every field is empty — nothing to score")
+    blend = dft_parts[0]
+    for p in dft_parts[1:]:
+        blend = blend.unionByName(p)
+    blend = blend.groupBy("term").agg(F.max("df").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    sat_all = sat_parts[0]
+    for p in sat_parts[1:]:
+        sat_all = sat_all.unionByName(p)
+    scored = (
+        sat_all.groupBy("query_id", "k", "doc_id", "term")
+        .agg(F.max("sat").alias("sat"))
+        .join(blend.withColumn("idf", idf).select("term", "idf"), "term")
+        .groupBy("query_id", "k", "doc_id")
+        .agg(F.sum(F.col("idf") * F.col("sat")).alias("score"))
+    )
+    key = F.round("score", 6) if rank_on_rounded else F.col("score")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

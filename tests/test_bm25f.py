@@ -162,3 +162,127 @@ def test_dismax_validation(spark, docs):
         dismax_topk(docs, [("text", 1.0)], queries, tie=1.5)
     with pytest.raises(ValueError, match="field"):
         dismax_topk(docs, [], queries)
+
+
+def _brute_cross_fields(rows, fields, query_terms, k1=1.2, b=0.75):
+    """Pure-python cross_fields truth over tiny corpora: blended
+    df = max over fields, per-term best-field saturation, one idf
+    multiply after the max."""
+    import math
+    import re
+
+    def toks(s):
+        return re.findall(r"[a-z0-9]+", (s or "").lower())
+
+    n = len(rows)
+    per_field = {}
+    for fi, (col_idx, w) in enumerate(fields):
+        tf = {}
+        dl = {}
+        for r in rows:
+            ts = toks(r[col_idx])
+            dl[r[0]] = len(ts)
+            for t in ts:
+                tf[(r[0], t)] = tf.get((r[0], t), 0) + 1
+        avgdl = sum(dl.values()) / n
+        df = {}
+        for (_d, t), _c in tf.items():
+            df[t] = df.get(t, 0) + 1
+        per_field[fi] = (tf, dl, avgdl, df, w)
+    out = {}
+    for t in query_terms:
+        bdf = max(
+            (pf[3].get(t, 0) for pf in per_field.values()), default=0
+        )
+        if bdf == 0:
+            continue
+        idf = math.log((n - bdf + 0.5) / (bdf + 0.5) + 1.0)
+        for r in rows:
+            d = r[0]
+            best = None
+            for tfm, dlm, avgdl, _dfm, w in per_field.values():
+                c = tfm.get((d, t))
+                if c is None:
+                    continue
+                sat = w * c * (k1 + 1.0) / (
+                    c + k1 * (1.0 - b + b * dlm[d] / avgdl)
+                )
+                best = sat if best is None else max(best, sat)
+            if best is not None:
+                out[d] = out.get(d, 0.0) + idf * best
+    return out
+
+
+def test_cross_fields_brute_force_parity(spark, docs):
+    from angle_spark.query.bm25f import cross_fields_topk
+
+    queries = _q(
+        spark,
+        [("x1", "hash join", 10), ("x2", "join planner", 10),
+         ("x3", "zzzz", 10)],
+    )
+    got = _pdf(
+        cross_fields_topk(docs, [("text", 1.0), ("source", 3.0)], queries)
+    )
+    rows = [tuple(r) for r in docs.collect()]
+    for qid, terms in (("x1", ["hash", "join"]), ("x2", ["join", "planner"])):
+        want = _brute_cross_fields(
+            rows, [(1, 1.0), (2, 3.0)], terms
+        )
+        g = got[got.query_id == qid]
+        assert set(g["doc_id"]) == set(want), qid
+        for d, s in zip(g["doc_id"], g["score"]):
+            assert abs(s - want[d]) < 1e-9, (qid, d)
+        # rank order follows the demoted scores with doc_id ties
+        ordered = sorted(want.items(), key=lambda x: (-round(x[1], 6), x[0]))
+        assert list(g.sort_values("rank")["doc_id"]) == [d for d, _ in ordered]
+    assert "x3" not in set(got["query_id"])
+
+
+def test_cross_fields_term_centric_split(spark, docs):
+    """The load-bearing semantic difference: 'join planner' — doc 2 has
+    BOTH terms in text; doc 0 has join in text + planner in source.
+    cross_fields lets each term match its best field, so doc 0 competes;
+    a text-only search would rank doc 0 down on the missing term."""
+    from angle_spark.query.bm25f import cross_fields_topk
+
+    queries = _q(spark, [("s1", "join planner", 10)])
+    both = _pdf(
+        cross_fields_topk(docs, [("text", 1.0), ("source", 1.0)], queries)
+    )
+    text_only = _pdf(
+        cross_fields_topk(docs, [("text", 1.0)], queries)
+    )
+    s_both = dict(zip(both["doc_id"], both["score"]))
+    s_text = dict(zip(text_only["doc_id"], text_only["score"]))
+    # doc 0 gains the planner contribution only via the source field
+    assert s_both[0] > s_text[0]
+    # blended df is non-inflating: planner's blended idf uses max df, so
+    # doc 2 (both terms in text) keeps a competitive score — membership
+    # is a superset of text-only membership
+    assert set(s_text) <= set(s_both)
+
+
+def test_cross_fields_single_field_reduces_to_bm25(spark, docs):
+    from angle_spark.query.bm25f import cross_fields_topk
+
+    queries = _q(spark, [("r1", "hash join", 10), ("r2", "scan the", 10)])
+    f = _pdf(
+        cross_fields_topk(docs.select("doc_id", "text"), [("text", 1.0)], queries)
+    )
+    d = with_tokens(docs).select("doc_id", "tokens", "dl")
+    tf = term_frequencies(d).localCheckpoint()
+    n, avgdl = corpus_stats(d)
+    bref = _pdf(bm25_topk(tf, term_stats(tf, n), queries, n, avgdl))
+    assert list(zip(f["query_id"], f["doc_id"])) == list(
+        zip(bref["query_id"], bref["doc_id"])
+    )
+    assert (abs(f["score"] - bref["score"]) < 1e-9).all()
+
+
+def test_cross_fields_validation(spark, docs):
+    from angle_spark.query.bm25f import cross_fields_topk
+
+    queries = _q(spark, [("v1", "join", 5)])
+    with pytest.raises(ValueError, match="field"):
+        cross_fields_topk(docs, [], queries)
