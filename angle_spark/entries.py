@@ -4247,6 +4247,100 @@ FROM ranked WHERE rnk <= k
 """
 
 
+UBQ_TEXT = "dup AND NOT merge"
+UBQ_PROBES: list[tuple[str, str, int]] = [
+    ("u1", "dup", 1),            # dup docs that ALSO have merge survive
+    ("u2", "upd8ted", 1),        # the rewritten docs
+    ("u3", "scan", 1),           # invariant term: count must not move
+    ("u4", "dup OR upd8ted", 1),  # == original dup count (set identity)
+    ("u5", "merge AND dup", 1),  # untouched intersection
+]
+
+
+# --- UPDATE BY QUERY (round 5, ES _update_by_query / Lucene
+#     updateDocument(Query) — in-place corpus curation, the soft sibling
+#     of delete_by_query completing CRUD): every live doc matching
+#     "dup AND NOT merge" is tombstoned and re-appended with
+#     'dup' -> 'upd8ted' rewritten text (index/update.py — journaled,
+#     kill-anywhere idempotent; replacements are streamed delta
+#     segments with new docIDs, stats refresh exactly from lineage).
+#     The entry counts probe queries over the updated LIVE view — counts
+#     are docID-invariant, so the oracle replays the transform on the
+#     original corpus and counts the same memberships.
+def q_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from angle_spark.index.build import load_index
+    from angle_spark.index.deletes import load_deletes
+    from angle_spark.index.update import update_by_query
+    from angle_spark.query.wand import count_matches
+
+    out_dir = tempfile.mkdtemp(prefix="bm25_ubq_entry_")
+    shutil.rmtree(out_dir)
+    shutil.copytree(_cached_doc_index(spark, sf_dir, positional=True), out_dir)
+    src = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    update_by_query(
+        spark, out_dir, UBQ_TEXT, src,
+        "regexp_replace(text, '\\\\bdup\\\\b', 'upd8ted')",
+    )
+    merged, tstats, meta = load_index(spark, out_dir)
+    return count_matches(
+        spark, merged, tstats, meta,
+        _doc_queries_df(spark, UBQ_PROBES),
+        mode="boolean", deletes=load_deletes(spark, out_dir),
+    )
+
+
+def _ubq_oracle_sql() -> str:
+    """Counts over the corpus with the update replayed in SQL: matched =
+    dup AND NOT merge membership on the ORIGINAL text, updated = the
+    same regexp_replace on matched rows, then the standard membership
+    CTEs over the UPDATED corpus count each probe query."""
+    from angle_spark.query.boolean import parse_query
+
+    toks = duckdb_tokens_sql("text")
+    utoks = duckdb_tokens_sql("u.text")
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in UBQ_PROBES
+    )
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf0 AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tokens) AS term FROM docs0)
+  GROUP BY doc_id, term
+), matched AS (
+  SELECT doc_id FROM tf0 WHERE term = 'dup'
+  EXCEPT
+  SELECT doc_id FROM tf0 WHERE term = 'merge'
+), updated AS (
+  SELECT d.doc_id,
+         CASE WHEN m.doc_id IS NOT NULL
+              THEN regexp_replace(d.text, '\\bdup\\b', 'upd8ted', 'g')
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN matched m ON m.doc_id = d.doc_id
+), docs AS (
+  SELECT doc_id, {utoks} AS tokens FROM updated u
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT query_id, count(DISTINCT doc_id)::BIGINT AS total_hits
+FROM matches GROUP BY query_id
+"""
+
+
 # --- CROSS-FIELDS fielded retrieval (round 5, ES multi_match
 #     type=cross_fields / Lucene BlendedTermQuery — the third member of
 #     the multi_match trio): TERM-centric — each query term may live in
@@ -6029,6 +6123,7 @@ QUERIES = {
     "bm25_top_hits": q_bm25_top_hits,
     "dismax_fielded": q_dismax_fielded,
     "cross_fields": q_cross_fields,
+    "update_by_query": q_update_by_query,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -6184,6 +6279,7 @@ ORACLE_SQL = {
     "bm25_top_hits": _top_hits_oracle_sql(STATS_QUERY_SET),
     "dismax_fielded": _dismax_oracle_sql(),
     "cross_fields": _cross_fields_oracle_sql(),
+    "update_by_query": _ubq_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

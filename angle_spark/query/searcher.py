@@ -104,6 +104,25 @@ class Searcher:
         self.refresh_deletes()
         return n
 
+    def update_by_query(
+        self, text: str, source_docs, transform: str,
+        mode: str = "boolean", **kwargs,
+    ) -> int:
+        """ES ``_update_by_query`` against this Searcher's index:
+        tombstone + re-append every live doc matching ``text`` with its
+        text rewritten by ``transform`` (index/update.update_by_query —
+        journaled, kill-idempotent), then re-open this session on the
+        new index generation (the block set changed — a delete-only
+        refresh is not enough). Returns the rewritten-doc count."""
+        from angle_spark.index.update import update_by_query
+
+        n = update_by_query(
+            self.spark, self.out_dir, text, source_docs, transform,
+            mode=mode, **kwargs,
+        )
+        self.refresh()
+        return n
+
     def refresh_deletes(self) -> "Searcher":
         """Cheap per-batch tombstone pickup: new deletes invalidate
         neither the persisted blocks nor the stats (pre-purge stats stay
