@@ -4247,6 +4247,113 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- INDEX STATS API (round 5, ES GET /index/_stats + _segments): one
+#     bounded observability row per index (index/stats_api.py). The
+#     entry selects the corpus-derivable subset — the physical columns
+#     (blocks, bytes, segment counts) are layout-dependent and covered
+#     by pytest instead.
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.stats_api import index_stats
+
+    out = index_stats(spark, _cached_doc_index(spark, sf_dir))
+    return out.select(
+        "n_docs",
+        "live_docs",
+        "deleted",
+        F.round("avgdl", 6).alias("avgdl"),
+        "n_terms",
+        "n_postings",
+        "total_tokens",
+    )
+
+
+def _index_stats_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+)
+SELECT (SELECT count(*) FROM docs)::BIGINT AS n_docs,
+       (SELECT count(*) FROM docs)::BIGINT AS live_docs,
+       0::BIGINT AS deleted,
+       (SELECT round(avg(len(tokens)), 6) FROM docs) AS avgdl,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_postings,
+       sum(tf)::BIGINT AS total_tokens
+FROM tf
+"""
+
+
+SLICED_QUERY_SET: list[tuple[str, str, int]] = [
+    ("se1", "scan AND NOT filter", 1),
+    ("se2", '"hash join" OR dup', 1),
+]
+SLICED_MAX = 3
+
+
+# --- SLICED EXPORT (round 5, ES sliced scroll): a membership export
+#     split into ``max`` disjoint, tiling slices by doc_id modulo —
+#     independent consumers drain one pass without coordination
+#     (query/wand.py matched_ids(slices=...)). The entry unions all 3
+#     slices tagged with their slice id; the oracle recomputes the same
+#     membership with doc_id % 3 — tiling and disjointness are what the
+#     hash compares.
+def q_bm25_sliced_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import matched_ids
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    parts = []
+    for sid in range(SLICED_MAX):
+        part = matched_ids(
+            spark, merged, tstats, meta,
+            _doc_queries_df(spark, SLICED_QUERY_SET),
+            mode="boolean", slices=(sid, SLICED_MAX),
+        ).select(
+            "query_id", F.lit(sid).cast("long").alias("slice"), "doc_id"
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sliced_export_oracle_sql() -> str:
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in SLICED_QUERY_SET
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT DISTINCT query_id, (doc_id % {SLICED_MAX})::BIGINT AS slice, doc_id
+FROM matches
+"""
+
+
 UBQ_TEXT = "dup AND NOT merge"
 UBQ_PROBES: list[tuple[str, str, int]] = [
     ("u1", "dup", 1),            # dup docs that ALSO have merge survive
@@ -6124,6 +6231,8 @@ QUERIES = {
     "dismax_fielded": q_dismax_fielded,
     "cross_fields": q_cross_fields,
     "update_by_query": q_update_by_query,
+    "index_stats": q_index_stats,
+    "bm25_sliced_export": q_bm25_sliced_export,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
     "bm25_explain": q_bm25_explain,
@@ -6280,6 +6389,8 @@ ORACLE_SQL = {
     "dismax_fielded": _dismax_oracle_sql(),
     "cross_fields": _cross_fields_oracle_sql(),
     "update_by_query": _ubq_oracle_sql(),
+    "index_stats": _index_stats_oracle_sql(),
+    "bm25_sliced_export": _sliced_export_oracle_sql(),
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(

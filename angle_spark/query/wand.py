@@ -2032,6 +2032,7 @@ def matched_ids(
     tstats: DataFrame,
     meta: IndexMeta,
     queries: DataFrame,
+    slices: tuple[int, int] | None = None,
     **kwargs,
 ) -> DataFrame:
     """-> (query_id, doc_id): each query's complete matched-doc set,
@@ -2040,11 +2041,25 @@ def matched_ids(
     matrix_stats aggregation). One exhaustive pass (collector="ids"),
     O(matches) two-column rows, pairs distinct by construction (shards
     partition docs). Composes with every mode and deletes / doc_filter
-    / field_meta. The ``k`` column is ignored."""
+    / field_meta. The ``k`` column is ignored.
+
+    ``slices=(id, max)`` (ES sliced scroll — the parallel-export shape):
+    keep only docs with doc_id % max == id. The slices of an export tile
+    it exactly (disjoint, union == full set, deterministic — the modulo
+    rendition of ES's doc-based slicing), so ``max`` independent
+    consumers drain one membership pass without coordination."""
     kwargs.pop("collector", None)
-    return wand_topk(
+    out = wand_topk(
         spark, merged, tstats, meta, queries, collector="ids", **kwargs
     )
+    if slices is not None:
+        sid, smax = int(slices[0]), int(slices[1])
+        if not (smax >= 1 and 0 <= sid < smax):
+            raise ValueError(
+                f"slices must satisfy 0 <= id < max, got {slices!r}"
+            )
+        out = out.filter(F.col("doc_id") % F.lit(smax) == F.lit(sid))
+    return out
 
 
 def matrix_stats_matches(
