@@ -12,7 +12,7 @@ Operator coverage index (SURVEY.md §2): see the comment above each query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from angle_spark.functions.tokenizer import (
@@ -1849,6 +1849,170 @@ WITH docs AS (
 )
 SELECT m.query_id,
        CAST(d.n_chars // 150 AS VARCHAR) AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars IS NOT NULL
+GROUP BY m.query_id, bucket
+"""
+
+
+# --- DATE_HISTOGRAM aggregation (round 5, the Elasticsearch
+#     ``date_histogram`` with ``calendar_interval: month`` — the most
+#     used ES aggregation): matched-doc counts per calendar month.
+#     ``documents`` carries no timestamp, so the entry materializes a
+#     deterministic ingest timestamp (doc_id-derived day offset from a
+#     fixed epoch) with the SAME expression on both sides — the thing
+#     under test is the calendar bucketing of the matched set, not the
+#     clock. Same one-pass group_matches collector as the numeric
+#     histogram: bucket labels are computed in the corpus scan
+#     (codegen date_trunc), matches count per (query, month) with no
+#     per-doc rows leaving the shards.
+def q_bm25_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.date_format(
+            F.date_trunc(
+                "month",
+                F.expr(
+                    "timestamp'2026-01-01' + make_interval(0, 0, 0, "
+                    "CAST(doc_id % 360 AS INT))"
+                ),
+            ),
+            "yyyy-MM-dd",
+        ).alias("bucket"),
+    )
+    out = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    )
+    return out.select("query_id", F.col("group").alias("month"), "n_docs")
+
+
+def _date_histogram_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Calendar truth: membership CTEs counted per month-truncated
+    ingest timestamp — the identical doc_id-derived expression."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       strftime(date_trunc('month',
+                TIMESTAMP '2026-01-01'
+                + (m.doc_id % 360) * INTERVAL 1 DAY), '%Y-%m-%d') AS month,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+GROUP BY m.query_id, month
+"""
+
+
+# --- RANGE aggregation (round 5, the Elasticsearch ``range``
+#     aggregation): matched-doc counts per explicit half-open
+#     [from, to) band over a numeric doc value, ES bucket-key
+#     convention ("*-200", "200-500", "500-*"); docs with a NULL
+#     metric fall in no bucket (the ES rule — range has no ``missing``
+#     default). The band edges live in ONE codegen CASE in the corpus
+#     scan; the collector is the same counts-only group_matches pass.
+RANGE_AGG_EDGES = (200, 500)
+
+
+def _range_bucket_col() -> Column:
+    lo, hi = RANGE_AGG_EDGES
+    n = F.col("n_chars")
+    return (
+        F.when(n.isNull(), F.lit(None).cast("string"))
+        .when(n < lo, F.lit(f"*-{lo}"))
+        .when(n < hi, F.lit(f"{lo}-{hi}"))
+        .otherwise(F.lit(f"{hi}-*"))
+    )
+
+
+def q_bm25_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _range_bucket_col().alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    out = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    )
+    return out.select("query_id", F.col("group").alias("bucket"), "n_docs")
+
+
+def _range_agg_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Range truth: membership CTEs counted per explicit band CASE —
+    the same half-open edges, NULL metric rows dropped."""
+    from angle_spark.query.boolean import parse_query
+
+    lo, hi = RANGE_AGG_EDGES
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       CASE WHEN d.n_chars < {lo} THEN '*-{lo}'
+            WHEN d.n_chars < {hi} THEN '{lo}-{hi}'
+            ELSE '{hi}-*' END AS bucket,
        count(*)::BIGINT AS n_docs
 FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
 JOIN documents d ON d.doc_id = m.doc_id
@@ -6208,6 +6372,8 @@ QUERIES = {
     "bm25_stats": q_bm25_stats,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
+    "bm25_date_histogram": q_bm25_date_histogram,
+    "bm25_range_agg": q_bm25_range_agg,
     "bm25_histogram_pipeline": q_bm25_histogram_pipeline,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
@@ -6366,6 +6532,8 @@ ORACLE_SQL = {
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
+    "bm25_date_histogram": _date_histogram_oracle_sql(STATS_QUERY_SET),
+    "bm25_range_agg": _range_agg_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram_pipeline": _histogram_pipeline_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
