@@ -974,6 +974,112 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- COMMON-TERMS retrieval (round 5, Lucene CommonTermsQuery / the
+#     ES match query's cutoff_frequency — query/common_terms.py):
+#     query terms split by document frequency at CUTOFF; membership is
+#     OR over the LOW-frequency group only (the selective short posting
+#     lists), every matched term — low or high — still scores. In the
+#     dense documents vocabulary exactly one term is rare ("dup",
+#     df=25/500 at sf0.01) and everything else sits at df~380+, so
+#     cutoff=0.5 cleanly bites: "dup join" matches only the dup docs
+#     (not the ~500-doc plain-OR set) while "hash join" (all high)
+#     falls back to plain disjunction. Full answer sets (k > corpus),
+#     rounded-score re-rank — the bm25_boolean discipline.
+COMMON_QUERY_SET: list[tuple[str, str, int]] = [
+    ("ct1", "dup join", 2000),
+    ("ct2", "dup batch scan", 2000),
+    ("ct3", "hash join", 2000),
+    ("ct4", "zzzz dup", 2000),
+]
+COMMON_CUTOFF = 0.5
+
+
+def q_bm25_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.common_terms import common_terms_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = common_terms_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, COMMON_QUERY_SET),
+        cutoff=COMMON_CUTOFF,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _common_terms_oracle_sql(
+    query_set: list[tuple[str, str, int]], cutoff: float
+) -> str:
+    """Common-terms truth: per-query-term df classification at the
+    cutoff (relative to n_docs), membership = >= 1 low term (or any
+    term when a query has no low terms — the ES all-high fallback),
+    score = BM25 over ALL matched in-vocab query terms. OOV terms
+    vanish at the dft join on both sides."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(query_set)}
+), qcls AS (
+  SELECT q.query_id, q.k, q.term, dft.df,
+         CASE WHEN dft.df < {cutoff} * s.n_docs THEN 1 ELSE 0 END AS is_low
+  FROM qterms q JOIN dft ON dft.term = q.term CROSS JOIN stats s
+), member AS (
+  SELECT query_id, max(is_low) AS has_low FROM qcls GROUP BY query_id
+), mterms AS (
+  SELECT c.query_id, c.term
+  FROM qcls c JOIN member m ON m.query_id = c.query_id
+  WHERE c.is_low = 1 OR m.has_low = 0
+), matched AS (
+  SELECT DISTINCT mt.query_id, tf.doc_id
+  FROM mterms mt JOIN tf ON tf.term = mt.term
+), scored AS (
+  SELECT ma.query_id, ma.doc_id, max(qc.k) AS k,
+         sum( ln((s.n_docs - qc.df + 0.5) / (qc.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM matched ma
+  JOIN qcls qc ON qc.query_id = ma.query_id
+  JOIN tf  ON tf.doc_id = ma.doc_id AND tf.term = qc.term
+  JOIN dl  ON dl.doc_id = ma.doc_id
+  CROSS JOIN stats s
+  GROUP BY ma.query_id, ma.doc_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(raw, 6) DESC, doc_id ASC)
+         ::BIGINT AS rank,
+       doc_id, round(raw, 6) AS score
+FROM scored
+QUALIFY rank <= k
+"""
+
+
 # --- SCORE EXPLAIN (round 5, Lucene IndexSearcher.explain analog):
 #     per-hit (term, tf, dl, idf, contribution) breakdown of the top-k —
 #     query/explain.py decodes candidate blocks once (mapInPandas over
@@ -6362,6 +6468,7 @@ QUERIES = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
     "bm25_boolean": q_bm25_boolean,
+    "bm25_common_terms": q_bm25_common_terms,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -6511,6 +6618,9 @@ ORACLE_SQL = {
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
+    "bm25_common_terms": _common_terms_oracle_sql(
+        COMMON_QUERY_SET, COMMON_CUTOFF
+    ),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
