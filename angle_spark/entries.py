@@ -618,6 +618,78 @@ def _bm25_near_oracle_sql() -> str:
     return _bm25_positional_oracle_sql(NEAR_QUERY_SET, near_select)
 
 
+# Ordered-intervals rendition (round 5, Lucene IntervalsSource
+# ordered() / the ES intervals query with ordered:true + max_gaps):
+# tokens in QUERY ORDER with at most ORDERED_GAPS interleaved tokens in
+# total. iv1/iv2 are reversals of each other — ordered retrieval MUST
+# give different doc sets (order is load-bearing, unlike NEAR); iv3 is
+# a 3-term chain; iv4 repeats a token (needs two distinct ascending
+# positions).
+ORDERED_GAPS = 3
+ORDERED_QUERY_SET: list[tuple[str, str, int]] = [
+    ("iv1", "hash join", 400),
+    ("iv2", "join hash", 400),
+    ("iv3", "scan filter merge", 400),
+    ("iv4", "join batch join", 400),
+]
+
+
+def _bm25_ordered_oracle_sql() -> str:
+    """Ordered-with-gaps truth: a chain of positional self-joins with
+    strictly increasing positions in token order and a TOTAL gap bound
+    p_last - p_first - (n-1) <= ORDERED_GAPS (the Lucene width rule —
+    not pairwise)."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    def ordered_select(qid, text, k):
+        terms = tokenize_py(text)
+        n = len(terms)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.p > p{i - 1}.p"
+            for i in range(1, n)
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        width = (
+            f" AND p{n - 1}.p - p0.p - {n - 1} <= {ORDERED_GAPS}"
+            if n > 1
+            else ""
+        )
+        return (
+            f"SELECT '{qid}' AS query_id, {k} AS k, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds}{width} GROUP BY p0.doc_id"
+        )
+
+    return _bm25_positional_oracle_sql(ORDERED_QUERY_SET, ordered_select)
+
+
+# --- ordered intervals over the positional index: conjunctive
+#     survivors + greedy-next minimal-chain verification per candidate,
+#     shard-local (query/wand.py mode="ordered", slop=ORDERED_GAPS).
+def q_bm25_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = wand_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, ORDERED_QUERY_SET),
+        mode="ordered",
+        slop=ORDERED_GAPS,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # --- unordered proximity (NEAR) over the positional index: conjunctive
 #     survivors + smallest-range-covering-k-lists verification per
 #     candidate, shard-local (query/wand.py mode="near", slop=NEAR_SLOP).
@@ -6467,6 +6539,7 @@ QUERIES = {
     "bm25_conjunctive": q_bm25_conjunctive,
     "bm25_phrase": q_bm25_phrase,
     "bm25_near": q_bm25_near,
+    "bm25_ordered": q_bm25_ordered,
     "bm25_boolean": q_bm25_boolean,
     "bm25_common_terms": q_bm25_common_terms,
     "bm25_field_query": q_bm25_field_query,
@@ -6617,6 +6690,7 @@ ORACLE_SQL = {
     "stratified_sample": _stratified_sample_oracle_sql(),
     "bm25_phrase": _bm25_phrase_oracle_sql(),
     "bm25_near": _bm25_near_oracle_sql(),
+    "bm25_ordered": _bm25_ordered_oracle_sql(),
     "bm25_boolean": _bm25_boolean_oracle_sql(),
     "bm25_common_terms": _common_terms_oracle_sql(
         COMMON_QUERY_SET, COMMON_CUTOFF

@@ -441,7 +441,7 @@ def _score_shard_multi(
             fold_cache[key] = hit
         return hit
 
-    conjunctive = mode in ("and", "phrase", "near", "mm", "span_first")
+    conjunctive = mode in ("and", "phrase", "near", "mm", "span_first", "ordered")
 
     pos_cache: dict[str, tuple] = {}
 
@@ -526,6 +526,35 @@ def _score_shard_multi(
                 if counts[lab[lo]] == 0:
                     have -= 1
                 lo += 1
+        return False
+
+    def ordered_match(seq, doc, max_gaps) -> bool:
+        """Lucene ordered intervals (IntervalsSource ordered(), the ES
+        intervals query's ``ordered: true`` + ``max_gaps``): positions
+        p_0 < p_1 < ... < p_{n-1}, one per token IN QUERY ORDER, whose
+        total gap count p_{n-1} - p_0 - (n-1) is at most ``max_gaps``.
+        Greedy-next chaining from each start position yields the
+        MINIMAL end for that start (each step takes the smallest legal
+        position), so scanning all starts decides exactly. Repeated
+        query tokens need distinct, increasing positions — the strict
+        inequality enforces it."""
+        lists = [positions_of(t, doc) for t in seq]
+        if any(p is None or len(p) == 0 for p in lists):
+            return False
+        n = len(lists)
+        if n == 1:
+            return True
+        for p0 in lists[0]:
+            p = p0
+            ok = True
+            for i in range(1, n):
+                j = int(np.searchsorted(lists[i], p, side="right"))
+                if j >= len(lists[i]):
+                    ok = False
+                    break
+                p = lists[i][j]
+            if ok and int(p) - int(p0) - (n - 1) <= max_gaps:
+                return True
         return False
 
     def span_first_match(terms, doc, end) -> bool:
@@ -685,7 +714,7 @@ def _score_shard_multi(
                 idx_parts.append(li)
             hit = np.unique(np.concatenate(idx_parts))
             full = hit[cnt[hit] >= nq] if mode == "mm" else hit[cnt[hit] == nq]
-            if mode in ("phrase", "near", "span_first") and len(full):
+            if mode in ("phrase", "near", "span_first", "ordered") and len(full):
                 # positional verification over the conjunctive survivors
                 # only — the candidate set is already small, and position
                 # lists decode lazily per term, cached across queries.
@@ -704,6 +733,16 @@ def _score_shard_multi(
                     ok = np.fromiter(
                         (
                             span_first_match(qterms, int(li + base), slop)
+                            for li in full
+                        ),
+                        dtype=bool,
+                        count=len(full),
+                    )
+                elif mode == "ordered":
+                    seq = list(q.phrase)
+                    ok = np.fromiter(
+                        (
+                            ordered_match(seq, int(li + base), slop)
                             for li in full
                         ),
                         dtype=bool,
@@ -1274,6 +1313,15 @@ def wand_topk(
     verified like phrase mode on the conjunctive survivors (smallest-
     range two-pointer per candidate). Needs a positional index.
 
+    mode="ordered" is the Lucene/ES intervals query's ordered source
+    (``ordered: true`` with ``max_gaps``): the query tokens must occur
+    IN ORDER, one strictly-increasing position each, with at most
+    ``slop`` non-matching tokens interleaved in total
+    (p_last - p_first - (n-1) <= slop). The missing member of the
+    proximity algebra — phrase is ordered+adjacent (slop=0 over
+    distinct terms equals phrase), near is unordered+windowed. Same
+    conjunctive-survivor verification shape; positional index required.
+
     mode="span_first" is Lucene's SpanFirstQuery over each term: every
     query token's FIRST occurrence lies before position ``slop``
     (exclusive — slop carries the positional window for both modes).
@@ -1329,11 +1377,11 @@ def wand_topk(
     queries: Spark or pandas DataFrame (query_id, text, k)."""
     if mode not in (
         "or", "and", "phrase", "near", "boolean", "prefix", "mm",
-        "span_first",
+        "span_first", "ordered",
     ):
         raise ValueError(
             "mode must be 'or', 'and', 'phrase', 'near', 'boolean', "
-            f"'prefix', 'mm' or 'span_first', got {mode!r}"
+            f"'prefix', 'mm', 'span_first' or 'ordered', got {mode!r}"
         )
     if mode == "mm":
         if min_match is None or min_match < 1:
@@ -1560,7 +1608,7 @@ def wand_topk(
 
         queries, _ = expand_prefixes(spark, tstats, queries, max_expansions)
         mode = "or"
-    if mode in ("phrase", "near", "span_first") and not getattr(
+    if mode in ("phrase", "near", "span_first", "ordered") and not getattr(
         meta, "positional", False
     ):
         raise ValueError(
@@ -1574,7 +1622,7 @@ def wand_topk(
             "span_first needs slop >= 1 — the EXCLUSIVE bound on each "
             "term's first position (Lucene SpanFirstQuery end)"
         )
-    keep_positions = mode in ("phrase", "near", "span_first")
+    keep_positions = mode in ("phrase", "near", "span_first", "ordered")
     if mode == "boolean":
         from angle_spark.query.boolean import (
             needs_positions,
@@ -1860,7 +1908,7 @@ def wand_topk(
     # out of the candidate-block In(term) filter — shards already
     # returned nothing, but they were shipped blocks that could produce
     # no result
-    conjunctive = mode in ("and", "phrase", "near", "span_first")
+    conjunctive = mode in ("and", "phrase", "near", "span_first", "ordered")
     rows = []
     for query_id, k, qterms, phrase in tokenized:
         terms = [t for t in qterms if t in df_map]
@@ -1881,7 +1929,7 @@ def wand_topk(
                     # applies: every distinct token for the conjunctive
                     # family, the caller's floor for mode="mm"
                     min_match if mode == "mm" else len(qterms),
-                    phrase if mode == "phrase" else [],
+                    phrase if mode in ("phrase", "ordered") else [],
                     None,
                 )
             )
