@@ -309,6 +309,41 @@ def q_bm25_wand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RESEGMENTED retrieval (round 5, the ES _shrink/_split APIs —
+#     index/resegment.py): the cached index re-laid-out at 4x the
+#     segment granularity from the INDEX alone (decode -> regroup by the
+#     new doc-range boundary -> re-encode; O(index), no corpus scan, no
+#     re-tokenization), then the standard ranked query batch. The oracle
+#     is the plain BM25 truth: a layout change must be invisible to
+#     results. Bitwise identity with a fresh build at the new
+#     granularity is pytest-proven (tests/test_resegment.py).
+_RESEG_CACHE: dict = {}
+
+
+def q_bm25_resegmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import load_index
+    from angle_spark.index.resegment import resegment_index
+    from angle_spark.query.wand import wand_topk
+
+    src = _cached_doc_index(spark, sf_dir)
+    dst = _RESEG_CACHE.get(src)
+    if dst is None:
+        _, _, src_meta = load_index(spark, src)
+        dst = tempfile.mkdtemp(prefix="bm25_reseg_entry_")
+        resegment_index(spark, src, dst, src_meta.segment_docs * 4)
+        _RESEG_CACHE[src] = dst
+    merged, tstats, meta = load_index(spark, dst)
+    out = wand_topk(spark, merged, tstats, meta, _doc_queries_df(spark))
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _build_doc_index_with_deletes(spark: SparkSession, sf_dir: str, prefix: str):
     """Shared setup for the deletion entries: a COPY of the cached pristine
     index (these entries mutate — tombstones, purge) with every
@@ -6534,6 +6569,7 @@ SELECT {STRATA_COL}, pick, doc_id FROM (
 QUERIES = {
     "bm25_topk_documents": q_bm25_topk_documents,
     "bm25_wand_index": q_bm25_wand_index,
+    "bm25_resegmented": q_bm25_resegmented,
     "bm25_delete_mask": q_bm25_delete_mask,
     "bm25_purged_index": q_bm25_purged_index,
     "bm25_conjunctive": q_bm25_conjunctive,
@@ -6676,6 +6712,7 @@ ORACLE_SQL = {
     # the compressed path must be rank- AND score-identical to the same
     # SQL BM25 the declarative path is checked against
     "bm25_wand_index": _bm25_oracle_sql(),
+    "bm25_resegmented": _bm25_oracle_sql(),
     "bm25_delete_mask": _bm25_oracle_sql(candidate_where="WHERE tf.doc_id % 7 <> 0"),
     "bm25_purged_index": _bm25_oracle_sql(docs_where="WHERE doc_id % 7 <> 0"),
     "bm25_conjunctive": _bm25_oracle_sql(conjunctive=True, query_set=CONJ_QUERY_SET),
