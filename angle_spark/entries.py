@@ -1298,6 +1298,43 @@ def q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REINDEXED retrieval (round 5, the ES _reindex API without
+#     _source — index/reconstruct.py): the cached V1 POSITIONAL index
+#     is reindexed to the v2 analyzer from the index alone (positions
+#     make the token streams recoverable exactly; v2 is a token-level
+#     transform of v1), then answers the SAME stemmed query set as
+#     bm25_stemmed — whose oracle (v2 renditions on both sides) it
+#     shares, because a reindexed index must be indistinguishable from
+#     one born v2 (byte-identity is pytest-proven in
+#     tests/test_reconstruct.py).
+_REINDEX_CACHE: dict = {}
+
+
+def q_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from angle_spark.index.build import load_index
+    from angle_spark.index.reconstruct import reindex
+    from angle_spark.query.wand import wand_topk
+
+    src = _cached_doc_index(spark, sf_dir, positional=True)
+    dst = _REINDEX_CACHE.get(src)
+    if dst is None:
+        dst = tempfile.mkdtemp(prefix="bm25_reindex_entry_")
+        reindex(spark, src, dst, analyzer="v2-sstem-stop")
+        _REINDEX_CACHE[src] = dst
+    merged, tstats, meta = load_index(spark, dst)
+    out = wand_topk(
+        spark, merged, tstats, meta, _doc_queries_df(spark, STEM_QUERY_SET)
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 # Boosted rendition (Lucene's ``^``): leaf^w multiplies the leaf's BM25
 # contribution by w — membership NEVER changes, only scoring weight, and
 # a term reached through several positive leaves scores with the MAX of
@@ -6617,6 +6654,7 @@ QUERIES = {
     "bm25_sliced_export": q_bm25_sliced_export,
     "percolate_docs": q_percolate_docs,
     "bm25_stemmed": q_bm25_stemmed,
+    "bm25_reindexed": q_bm25_reindexed,
     "bm25_explain": q_bm25_explain,
     "bm25_fuzzy": q_bm25_fuzzy,
     "bm25_regex": q_bm25_regex,
@@ -6783,6 +6821,9 @@ ORACLE_SQL = {
     "percolate_docs": _percolate_oracle_sql(),
     "bm25_explain": _explain_oracle_sql(),
     "bm25_stemmed": _bm25_oracle_sql(
+        query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
+    ),
+    "bm25_reindexed": _bm25_oracle_sql(
         query_set=STEM_QUERY_SET, tokens_sql=duckdb_tokens_v2_sql
     ),
     "bm25_fuzzy": _bm25_boolean_oracle_sql(FUZZY_QUERY_SET, cap=FUZZY_CAP),

@@ -149,13 +149,21 @@ def _s_stem_col(x: Column) -> Column:
     )
 
 
+def v2_from_v1_tokens_col(tokens: Column) -> Column:
+    """v1 token ARRAY -> v2 token array (stopword drop + s-stem), pure
+    expressions. v2 is by construction a token-level transform of v1 —
+    this is the composable half tokens_v2_col wraps, and what lets
+    index/reconstruct.py reindex a v1 index to v2 without the corpus."""
+    return F.transform(
+        F.filter(tokens, lambda x: ~x.isin(*STOPWORDS)),
+        _s_stem_col,
+    )
+
+
 def tokens_v2_col(col: Column | str) -> Column:
     """v2 pipeline, Spark Column rendition — still pure expressions
     (filter + transform over the v1 split), no Python boundary."""
-    return F.transform(
-        F.filter(tokens_col(col), lambda x: ~x.isin(*STOPWORDS)),
-        _s_stem_col,
-    )
+    return v2_from_v1_tokens_col(tokens_col(col))
 
 
 def _s_stem_sql(x: str) -> str:
