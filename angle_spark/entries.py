@@ -1081,6 +1081,102 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TERMS_SET retrieval (round 5, the ES terms_set query / Lucene
+#     CoveringQuery — query/terms_set.py): match docs containing at
+#     least m of the query's terms where m is PER-DOCUMENT
+#     (minimum_should_match_field), here required = 1 + doc_id % 3.
+#     ts1 exercises all three thresholds; ts2 has only 2 terms (the
+#     required=3 docs can never match); ts3 adds an OOV term (caps the
+#     feasible thresholds the Lucene docFreq==0 way). Full answer sets,
+#     rounded-score re-rank.
+TERMS_SET_QUERY_SET: list[tuple[str, str, int]] = [
+    ("ts1", "hash join scan", 2000),
+    ("ts2", "dup merge", 2000),
+    ("ts3", "zzzz batch filter", 2000),
+]
+
+
+def q_bm25_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.terms_set import terms_set_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    m_field = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("required"),
+    )
+    out = terms_set_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, TERMS_SET_QUERY_SET),
+        m_field,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _terms_set_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """terms_set truth: per-(query, doc) DISTINCT matched-term count vs
+    the doc's own required value (1 + doc_id % 3), BM25 over the
+    matched terms for survivors."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(query_set)}
+), counts AS (
+  SELECT q.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS cnt
+  FROM qterms q JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+), eligible AS (
+  SELECT query_id, doc_id FROM counts
+  WHERE cnt >= greatest(1 + doc_id % 3, 1)
+), scored AS (
+  SELECT e.query_id, e.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM eligible e
+  JOIN qterms qt ON qt.query_id = e.query_id
+  JOIN tf  ON tf.doc_id = e.doc_id AND tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = e.doc_id
+  CROSS JOIN stats s
+  GROUP BY e.query_id, e.doc_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(raw, 6) DESC, doc_id ASC)
+         ::BIGINT AS rank,
+       doc_id, round(raw, 6) AS score
+FROM scored
+"""
+
+
 # --- COMMON-TERMS retrieval (round 5, Lucene CommonTermsQuery / the
 #     ES match query's cutoff_frequency — query/common_terms.py):
 #     query terms split by document frequency at CUTOFF; membership is
@@ -6615,6 +6711,7 @@ QUERIES = {
     "bm25_ordered": q_bm25_ordered,
     "bm25_boolean": q_bm25_boolean,
     "bm25_common_terms": q_bm25_common_terms,
+    "bm25_terms_set": q_bm25_terms_set,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -6770,6 +6867,7 @@ ORACLE_SQL = {
     "bm25_common_terms": _common_terms_oracle_sql(
         COMMON_QUERY_SET, COMMON_CUTOFF
     ),
+    "bm25_terms_set": _terms_set_oracle_sql(TERMS_SET_QUERY_SET),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
