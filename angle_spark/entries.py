@@ -1081,6 +1081,128 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RESCORE (round 5, the ES rescore API — query/rescore.py):
+#     weighted second-pass combine over the first-stage ranking:
+#     total = query_weight * BM25_or + rescore_weight * BM25_phrase,
+#     phrase-matching docs boosted, everything else untouched. The
+#     window covers the full answer set here (k > corpus) — the window
+#     CUT semantics (outside docs keep untouched scores, can outrank
+#     sunk rescored docs) are pytest-proven where raw scores are exact
+#     (tests/test_rescore.py). rs1/rs2 are phrase reversals — different
+#     docs get the boost; rs3's phrase matches nowhere (combine is a
+#     no-op that must not perturb the ranking).
+RESCORE_QUERY_SET: list[tuple[str, str, int]] = [
+    ("rs1", "hash join", 2000),
+    ("rs2", "join hash", 2000),
+    ("rs3", "dup batch", 2000),
+]
+RESCORE_WEIGHT = 2.0
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.rescore import rescore_topk
+    from angle_spark.query.wand import wand_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    queries = _doc_queries_df(spark, RESCORE_QUERY_SET)
+    stage1 = wand_topk(spark, merged, tstats, meta, queries)
+    stage2 = wand_topk(
+        spark, merged, tstats, meta, queries, mode="phrase"
+    ).select("query_id", "doc_id", "score")
+    out = rescore_topk(
+        stage1,
+        stage2,
+        k=2000,
+        window_size=2000,
+        query_weight=1.0,
+        rescore_weight=RESCORE_WEIGHT,
+        score_mode="total",
+        rank_on_rounded=True,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _rescore_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Rescore truth: the disjunctive BM25 fold per (query, any-term
+    doc), plus rescore_weight x the SAME fold when the doc passes the
+    positional phrase chain (a phrase hit's BM25 equals the disjunctive
+    fold over the same distinct terms — both sides compute it that
+    way), ranked on the rounded combined score."""
+    from angle_spark.functions.tokenizer import tokenize_py
+
+    def phrase_select(qid, text):
+        terms = tokenize_py(text)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"p{i}.term = '{t}'" for i, t in enumerate(terms))
+        return (
+            f"SELECT '{qid}' AS query_id, p0.doc_id"
+            f" FROM pos p0 {joins} WHERE {conds} GROUP BY p0.doc_id"
+        )
+
+    phrase = "\n  UNION ALL\n  ".join(
+        phrase_select(qid, text) for qid, text, _k in query_set
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), qterms AS (
+  SELECT DISTINCT query_id, k, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM {_doc_queries_values_sql(query_set)}
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         sum( ln((s.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS raw
+  FROM qterms qt
+  JOIN tf  ON tf.term = qt.term
+  JOIN dft ON dft.term = qt.term
+  JOIN dl  ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id
+), phrase AS (
+  {phrase}
+), combined AS (
+  SELECT s.query_id, s.doc_id,
+         s.raw + CASE WHEN p.doc_id IS NOT NULL
+                      THEN {RESCORE_WEIGHT} * s.raw ELSE 0.0 END AS total
+  FROM scored s
+  LEFT JOIN phrase p
+    ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(total, 6) DESC, doc_id ASC)
+         ::BIGINT AS rank,
+       doc_id, round(total, 6) AS score
+FROM combined
+"""
+
+
 # --- TERMS_SET retrieval (round 5, the ES terms_set query / Lucene
 #     CoveringQuery — query/terms_set.py): match docs containing at
 #     least m of the query's terms where m is PER-DOCUMENT
@@ -6712,6 +6834,7 @@ QUERIES = {
     "bm25_boolean": q_bm25_boolean,
     "bm25_common_terms": q_bm25_common_terms,
     "bm25_terms_set": q_bm25_terms_set,
+    "bm25_rescore": q_bm25_rescore,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -6868,6 +6991,7 @@ ORACLE_SQL = {
         COMMON_QUERY_SET, COMMON_CUTOFF
     ),
     "bm25_terms_set": _terms_set_oracle_sql(TERMS_SET_QUERY_SET),
+    "bm25_rescore": _rescore_oracle_sql(RESCORE_QUERY_SET),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
