@@ -1081,6 +1081,124 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PHRASE SUGGESTER (round 5, the ES phrase suggester —
+#     query/phrase_suggest.py): whole-query "did you mean" — per-token
+#     DirectSpellChecker candidates (dist<=1, cap 3) rescored as full
+#     phrases by a stupid-backoff bigram LM over the corpus. ps1/ps3
+#     carry misspellings whose correction only context picks; ps2 is
+#     fully in-vocabulary (the identity phrase must compete and win or
+#     lose on the LM, not by fiat). Both sides rank on the ROUNDED
+#     score (ln ULP noise across engines), suggestion ASC ties.
+PHRASE_SUGGEST_QUERIES: list[tuple[str, str]] = [
+    ("ps1", "hash joln"),
+    ("ps2", "dup batch"),
+    ("ps3", "scann merge"),
+]
+PS_TOP_N = 3
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.phrase_suggest import bigram_counts, phrase_suggest
+
+    _merged, tstats, _meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens"
+    )
+    out = phrase_suggest(
+        spark,
+        tstats,
+        bigram_counts(docs),
+        PHRASE_SUGGEST_QUERIES,
+        top_n=PS_TOP_N,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("suggestion")
+    )
+    return out.select(
+        "query_id",
+        "suggestion",
+        F.round("score", 6).alias("score"),
+    ).withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "query_id", "rank", "suggestion", "score"
+    )
+
+
+def _phrase_suggest_oracle_sql(
+    queries: list[tuple[str, str]], top_n: int
+) -> str:
+    """Phrase-suggester truth: candidate CTE (levenshtein + the
+    dist/df/term cap), positional adjacent-pair bigram counts, the
+    stupid-backoff fold written with the ENGINE's exact expression
+    shape (ln(cf) - ln(T) etc.) so only ln ULP noise separates the
+    sides — absorbed by the rounded rank key."""
+    vals = ", ".join(
+        f"('{qid}', {pos}, '{w}')"
+        for qid, text in queries
+        for pos, w in enumerate(text.split())
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens)::BIGINT AS dl FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), cfs AS (
+  SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term
+), tot AS (
+  SELECT sum(dl)::DOUBLE AS t FROM dl
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), big AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::DOUBLE AS cnt
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  GROUP BY a.term, b.term
+), vals(query_id, pos, word) AS (
+  SELECT * FROM (VALUES {vals})
+), cand AS (
+  SELECT v.query_id, v.pos, d.term, c.cf,
+         row_number() OVER (
+           PARTITION BY v.query_id, v.pos
+           ORDER BY levenshtein(v.word, d.term) ASC, d.df DESC, d.term ASC
+         ) AS r
+  FROM vals v
+  JOIN dft d ON abs(len(d.term) - len(v.word)) <= 1
+            AND levenshtein(v.word, d.term) <= 1
+  JOIN cfs c ON c.term = d.term
+), c0 AS (
+  SELECT * FROM cand WHERE pos = 0 AND r <= 3
+), c1 AS (
+  SELECT * FROM cand WHERE pos = 1 AND r <= 3
+), pairs AS (
+  SELECT c0.query_id,
+         c0.term || ' ' || c1.term AS suggestion,
+         ln(c0.cf) - ln(t.t)
+         + CASE WHEN b.cnt IS NOT NULL THEN ln(b.cnt) - ln(c0.cf)
+                ELSE ln(0.4) + ln(c1.cf) - ln(t.t) END AS score
+  FROM c0
+  JOIN c1 ON c1.query_id = c0.query_id
+  CROSS JOIN tot t
+  LEFT JOIN big b ON b.w1 = c0.term AND b.w2 = c1.term
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(score, 6) DESC, suggestion ASC)
+         ::BIGINT AS rank,
+       suggestion, round(score, 6) AS score
+FROM pairs
+QUALIFY rank <= {top_n}
+"""
+
+
 # --- RESCORE (round 5, the ES rescore API — query/rescore.py):
 #     weighted second-pass combine over the first-stage ranking:
 #     total = query_weight * BM25_or + rescore_weight * BM25_phrase,
@@ -6835,6 +6953,7 @@ QUERIES = {
     "bm25_common_terms": q_bm25_common_terms,
     "bm25_terms_set": q_bm25_terms_set,
     "bm25_rescore": q_bm25_rescore,
+    "phrase_suggest": q_phrase_suggest,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -6992,6 +7111,9 @@ ORACLE_SQL = {
     ),
     "bm25_terms_set": _terms_set_oracle_sql(TERMS_SET_QUERY_SET),
     "bm25_rescore": _rescore_oracle_sql(RESCORE_QUERY_SET),
+    "phrase_suggest": _phrase_suggest_oracle_sql(
+        PHRASE_SUGGEST_QUERIES, PS_TOP_N
+    ),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
