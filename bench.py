@@ -340,6 +340,16 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_rerank",
         "kmeans_clusters",
         "dismax_fielded",
+        # round-5 session-5 operators (all over the sf-dir documents
+        # index — positional, cached across legs)
+        "bm25_ordered",
+        "bm25_common_terms",
+        "bm25_terms_set",
+        "bm25_date_histogram",
+        "bm25_rescore",
+        "phrase_suggest",
+        "bm25_resegmented",
+        "bm25_reindexed",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
