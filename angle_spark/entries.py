@@ -1081,6 +1081,82 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FILTERS aggregation (round 5, the ES ``filters`` agg —
+#     query/filters_agg.py): named arbitrary-QUERY buckets counted
+#     within each main query's matched set, composed as boolean trees
+#     ((Q) AND (F); other = (Q) AND NOT (union)) and counted in ONE
+#     boolean count batch. The dead filter proves the ES empty-bucket
+#     rule (0, not absence); other_bucket is the exact complement.
+FILTERS_AGG_MAINS: list[tuple[str, str, int]] = [
+    ("fa1", "batch", 1),
+    ("fa2", "hash AND join", 1),
+]
+FILTERS_AGG_FILTERS: dict = {
+    "dup": "dup",
+    "scanm": "scan AND NOT merge",
+    "dead": "zzzz",
+}
+
+
+def q_bm25_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.filters_agg import filters_agg
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    return filters_agg(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, FILTERS_AGG_MAINS),
+        FILTERS_AGG_FILTERS,
+        other_bucket=True,
+    )
+
+
+def _filters_agg_oracle_sql(
+    mains: list[tuple[str, str, int]], filters: dict
+) -> str:
+    """Filters-agg truth: each (main, bucket) pair's COMPOSED boolean
+    text parsed and counted through the same membership primitives;
+    zero counts come from count(*) over an empty set — the ES
+    empty-bucket rule."""
+    from angle_spark.query.boolean import parse_query
+
+    names = sorted(filters)
+    union = " OR ".join(f"({filters[n]})" for n in names)
+    arms = []
+    for qid, text, _k in mains:
+        pairs = [(n, f"({text}) AND ({filters[n]})") for n in names]
+        pairs.append(("_other_", f"({text}) AND NOT ({union})"))
+        for bucket, composed in pairs:
+            mm = _bool_match_sql(parse_query(composed))
+            arms.append(
+                f"SELECT '{qid}' AS query_id, '{bucket}' AS bucket,\n"
+                f"  (SELECT count(*) FROM (SELECT DISTINCT doc_id "
+                f"FROM ({mm})))::BIGINT AS n_docs"
+            )
+    body = "\n  UNION ALL\n  ".join(arms)
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+)
+{body}
+"""
+
+
 # --- PHRASE SUGGESTER (round 5, the ES phrase suggester —
 #     query/phrase_suggest.py): whole-query "did you mean" — per-token
 #     DirectSpellChecker candidates (dist<=1, cap 3) rescored as full
@@ -6954,6 +7030,7 @@ QUERIES = {
     "bm25_terms_set": q_bm25_terms_set,
     "bm25_rescore": q_bm25_rescore,
     "phrase_suggest": q_phrase_suggest,
+    "bm25_filters": q_bm25_filters,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -7113,6 +7190,9 @@ ORACLE_SQL = {
     "bm25_rescore": _rescore_oracle_sql(RESCORE_QUERY_SET),
     "phrase_suggest": _phrase_suggest_oracle_sql(
         PHRASE_SUGGEST_QUERIES, PS_TOP_N
+    ),
+    "bm25_filters": _filters_agg_oracle_sql(
+        FILTERS_AGG_MAINS, FILTERS_AGG_FILTERS
     ),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
