@@ -1081,6 +1081,68 @@ def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANALYZE API (round 5, the ES ``_analyze`` endpoint): run a text
+#     through a NAMED analyzer and return (token, position) rows — the
+#     debugging surface for "why does this query (not) match", and the
+#     API-level proof that both registered analyzer versions are
+#     callable by name. Distributed trivially (one Column expression
+#     per rendition); the oracle runs the DuckDB rendition of the SAME
+#     registry entry, so the three-rendition invariant is what's
+#     actually gated.
+ANALYZE_SAMPLES: list[tuple[str, str]] = [
+    ("an1", "v1-ascii-alnum"),
+    ("an2", "v2-sstem-stop"),
+]
+ANALYZE_TEXT = (
+    "The Queries of a batch, and THE tables: values-scan (merges) test"
+)
+
+
+def q_analyze_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.functions.tokenizer import analyzer_fns
+
+    rows = spark.createDataFrame(
+        [(qid, ver, ANALYZE_TEXT) for qid, ver in ANALYZE_SAMPLES],
+        "sample_id string, analyzer string, text string",
+    )
+    out = None
+    for qid, ver in ANALYZE_SAMPLES:
+        _py, col_fn, _sql = analyzer_fns(ver)
+        part = (
+            rows.filter(F.col("sample_id") == qid)
+            .select(
+                "sample_id",
+                "analyzer",
+                F.posexplode(col_fn("text")).alias("position", "token"),
+            )
+            .select(
+                "sample_id",
+                "analyzer",
+                F.col("position").cast("long").alias("position"),
+                "token",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _analyze_oracle_sql(samples: list[tuple[str, str]], text: str) -> str:
+    from angle_spark.functions.tokenizer import analyzer_fns
+
+    esc = text.replace("'", "''")
+    arms = []
+    for qid, ver in samples:
+        _py, _col, sql_fn = analyzer_fns(ver)
+        toks = sql_fn(f"'{esc}'")
+        arms.append(
+            f"SELECT '{qid}' AS sample_id, '{ver}' AS analyzer,\n"
+            f"  (generate_subscripts(t, 1) - 1)::BIGINT AS position,\n"
+            f"  unnest(t) AS token\n"
+            f"FROM (SELECT {toks} AS t)"
+        )
+    return "\n  UNION ALL\n  ".join(arms)
+
+
 # --- FILTERS aggregation (round 5, the ES ``filters`` agg —
 #     query/filters_agg.py): named arbitrary-QUERY buckets counted
 #     within each main query's matched set, composed as boolean trees
@@ -7031,6 +7093,7 @@ QUERIES = {
     "bm25_rescore": q_bm25_rescore,
     "phrase_suggest": q_phrase_suggest,
     "bm25_filters": q_bm25_filters,
+    "analyze_text": q_analyze_text,
     "bm25_field_query": q_bm25_field_query,
     "bm25_range_query": q_bm25_range_query,
     "bm25_paged": q_bm25_paged,
@@ -7194,6 +7257,7 @@ ORACLE_SQL = {
     "bm25_filters": _filters_agg_oracle_sql(
         FILTERS_AGG_MAINS, FILTERS_AGG_FILTERS
     ),
+    "analyze_text": _analyze_oracle_sql(ANALYZE_SAMPLES, ANALYZE_TEXT),
     "bm25_field_query": _bm25_boolean_oracle_sql(FIELD_QUERY_SET),
     "bm25_range_query": _bm25_boolean_oracle_sql(RANGE_QUERY_SET),
     "bm25_paged": _bm25_boolean_oracle_sql(
