@@ -2325,6 +2325,122 @@ GROUP BY m.query_id
 """
 
 
+# --- EXTENDED stats over matched docs (round 5, the Elasticsearch
+#     ``extended_stats`` aggregation): aggregate_matches(extended=True)
+#     adds variance / std-deviation / ±2σ bounds to the stats fold. The
+#     shard partials additionally carry the sum of squares — still a
+#     CONSTANT-SIZE fold per (shard, query), never a per-match value
+#     ship. Metric is n_chars, deterministically missing for doc_id % 5
+#     == 4 docs so the ES missing rule (n_values < n_docs; variance over
+#     valued docs only) is load-bearing. n_chars is integer-valued, so
+#     sum and sum_of_squares are exactly representable — the oracle's
+#     replay of ES's own expressions matches beyond the round(6).
+def q_bm25_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import aggregate_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 5) != 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = aggregate_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+        extended=True,
+    )
+    return out.select(
+        "query_id",
+        "n_docs",
+        "n_values",
+        "sum",
+        "min",
+        "max",
+        F.round("avg", 6).alias("avg"),
+        "sum_of_squares",
+        F.round("variance", 6).alias("variance"),
+        F.round("variance_sampling", 6).alias("variance_sampling"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("std_deviation_sampling", 6).alias("std_deviation_sampling"),
+        F.round("std_upper", 6).alias("std_upper"),
+        F.round("std_lower", 6).alias("std_lower"),
+    )
+
+
+def _extended_stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Extended-stats truth: the boolean membership CTEs joined to the
+    part-missing metric, folded with ES's OWN variance expressions
+    ((sumsq - sum²/n)/n population, n-1 sampling, avg ± 2σ bounds) —
+    NOT DuckDB's var_pop/var_samp built-ins, so both sides evaluate the
+    identical association on exactly-representable integer sums."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), folded AS (
+  SELECT m.query_id,
+         count(*)::BIGINT AS n_docs,
+         count(v.v)::BIGINT AS n_values,
+         CAST(sum(v.v) AS DOUBLE) AS sum,
+         CAST(min(v.v) AS DOUBLE) AS min,
+         CAST(max(v.v) AS DOUBLE) AS max,
+         CAST(sum(v.v * v.v) AS DOUBLE) AS sum_of_squares
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  LEFT JOIN (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+    FROM documents WHERE doc_id % 5 <> 4
+  ) v ON v.doc_id = m.doc_id
+  GROUP BY m.query_id
+), derived AS (
+  SELECT *,
+         CASE WHEN n_values > 0 THEN
+           greatest(0.0, (sum_of_squares - sum * sum / n_values) / n_values)
+         END AS var_pop,
+         CASE WHEN n_values >= 2 THEN
+           greatest(0.0,
+                    (sum_of_squares - sum * sum / n_values) / (n_values - 1))
+         END AS var_samp
+  FROM folded
+)
+SELECT query_id, n_docs, n_values, sum, min, max,
+       round(sum / n_values, 6) AS avg,
+       sum_of_squares,
+       round(var_pop, 6) AS variance,
+       round(var_samp, 6) AS variance_sampling,
+       round(sqrt(var_pop), 6) AS std_deviation,
+       round(sqrt(var_samp), 6) AS std_deviation_sampling,
+       round(sum / n_values + 2.0 * sqrt(var_pop), 6) AS std_upper,
+       round(sum / n_values - 2.0 * sqrt(var_pop), 6) AS std_lower
+FROM derived
+"""
+
+
 # --- BUCKETED search-as-analytics (round 5, the Elasticsearch ``terms``
 #     aggregation with a ``stats`` sub-aggregation): group_matches()
 #     buckets each query's matched docs by a label column (lang here)
@@ -7102,6 +7218,7 @@ QUERIES = {
     "bm25_sort_by": q_bm25_sort_by,
     "bm25_sort_docvalues": q_bm25_sort_docvalues,
     "bm25_stats": q_bm25_stats,
+    "bm25_extended_stats": q_bm25_extended_stats,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
     "bm25_date_histogram": q_bm25_date_histogram,
@@ -7277,6 +7394,7 @@ ORACLE_SQL = {
     "bm25_sort_by": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_sort_docvalues": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_extended_stats": _extended_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_date_histogram": _date_histogram_oracle_sql(STATS_QUERY_SET),

@@ -69,7 +69,7 @@ _COUNT_SCHEMA = "query_id string, n long"
 # so the final min/max/sum ignore them without NULL gymnastics)
 _STATS_SCHEMA = (
     "query_id string, n_docs long, n_vals long, "
-    "vsum double, vmin double, vmax double"
+    "vsum double, vmin double, vmax double, vsumsq double"
 )
 # bucketed-stats partials: the stats fold keyed by the doc's
 # dictionary-encoded group code (ES terms-agg buckets)
@@ -1039,6 +1039,7 @@ def _score_shard_multi(
                     float(vals.sum()) if len(vals) else 0.0,
                     float(vals.min()) if len(vals) else np.inf,
                     float(vals.max()) if len(vals) else -np.inf,
+                    float((vals * vals).sum()) if len(vals) else 0.0,
                 )
             )
             continue
@@ -1101,7 +1102,10 @@ def _score_shard_multi(
     if stats_only:
         return pd.DataFrame(
             stats_rows,
-            columns=["query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax"],
+            columns=[
+                "query_id", "n_docs", "n_vals",
+                "vsum", "vmin", "vmax", "vsumsq",
+            ],
         )
     if group_topk_n is not None:
         if not out_q:
@@ -1974,6 +1978,8 @@ def aggregate_matches(
     meta: IndexMeta,
     queries: DataFrame,
     values: DataFrame,
+    extended: bool = False,
+    sigma: float = 2.0,
     **kwargs,
 ) -> DataFrame:
     """-> (query_id, n_docs, n_values, sum, min, max, avg): metric
@@ -1991,17 +1997,59 @@ def aggregate_matches(
     every wand_topk mode and composes with deletes / doc_filter /
     field_meta. The ``k`` column of ``queries`` is ignored. ``values``
     may be a DocValues handle (index/docvalues.py): the metric then
-    reads task-locally from the stored field, no per-batch shuffle."""
+    reads task-locally from the stored field, no per-batch shuffle.
+
+    ``extended=True`` is the Elasticsearch ``extended_stats``
+    aggregation: the shard partials additionally carry the sum of
+    squares (still a constant-size fold — NOT a per-match value ship),
+    and the output adds ``sum_of_squares``, ``variance`` /
+    ``std_deviation`` (population — ES's default ``variance`` field,
+    computed as ES does: (sumOfSqrs - sum²/n)/n, clamped at 0 against
+    float cancellation), ``variance_sampling`` /
+    ``std_deviation_sampling`` (n-1 denominator, NULL when n_values <
+    2 — ES emits NaN there; NULL is the SQL-comparable rendition), and
+    ``std_upper`` / ``std_lower`` = avg ± sigma·std_deviation (ES
+    std_deviation_bounds, default sigma 2)."""
     kwargs.pop("collector", None)
     kwargs.pop("sort_meta", None)
+    if sigma < 0:
+        raise ValueError(f"sigma must be >= 0, got {sigma}")
     if not isinstance(values, DocValues):
         values = values.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col(values.columns[1]).cast("double").alias("sort_key"),
         )
-    return wand_topk(
+    out = wand_topk(
         spark, merged, tstats, meta, queries,
         collector="stats", sort_meta=values, **kwargs,
+    )
+    if not extended:
+        return out.drop("sum_of_squares")
+    n = F.col("n_values")
+    # ES ExtendedStatsAggregator's own expressions, in the same
+    # association: correction = sum²/n, variance = (sumsq - corr)/n.
+    # Every division sits under a when(n > 0) guard: ANSI mode would
+    # throw DIVIDE_BY_ZERO on an all-missing query, and a bare
+    # greatest(0, NULL) would turn its NULL variance into 0 (greatest
+    # skips NULLs) — the guard keeps the ES NULL-stats rule.
+    corr = F.col("sum") * F.col("sum") / n
+    var_pop = F.when(
+        n > 0, F.greatest(F.lit(0.0), (F.col("sum_of_squares") - corr) / n)
+    )
+    var_samp = F.when(
+        n >= 2,
+        F.greatest(F.lit(0.0), (F.col("sum_of_squares") - corr) / (n - 1)),
+    )
+    std_pop = F.sqrt(var_pop)
+    return out.select(
+        "query_id", "n_docs", "n_values",
+        "sum", "min", "max", "avg", "sum_of_squares",
+        var_pop.alias("variance"),
+        var_samp.alias("variance_sampling"),
+        std_pop.alias("std_deviation"),
+        F.sqrt(var_samp).alias("std_deviation_sampling"),
+        (F.col("avg") + F.lit(float(sigma)) * std_pop).alias("std_upper"),
+        (F.col("avg") - F.lit(float(sigma)) * std_pop).alias("std_lower"),
     )
 
 
@@ -2527,7 +2575,8 @@ def _shard_and_rank(
             return spark.createDataFrame(
                 [],
                 "query_id string, n_docs long, n_values long, "
-                "sum double, min double, max double, avg double",
+                "sum double, min double, max double, avg double, "
+                "sum_of_squares double",
             )
         if collector == "group_stats":
             return spark.createDataFrame(
@@ -2766,7 +2815,8 @@ def _shard_and_rank(
                 if stats_only:
                     return pd.DataFrame(
                         {c: [] for c in
-                         ("query_id", "n_docs", "n_vals", "vsum", "vmin", "vmax")}
+                         ("query_id", "n_docs", "n_vals",
+                          "vsum", "vmin", "vmax", "vsumsq")}
                     )
                 if group_only:
                     return pd.DataFrame(
@@ -2876,6 +2926,7 @@ def _shard_and_rank(
             F.sum("vsum").alias("sum"),
             F.min("vmin").alias("min"),
             F.max("vmax").alias("max"),
+            F.sum("vsumsq").alias("sumsq"),
         )
         has = F.col("n_values") > 0
         return agg.select(
@@ -2886,6 +2937,7 @@ def _shard_and_rank(
             F.when(has, F.col("min")).alias("min"),
             F.when(has, F.col("max")).alias("max"),
             F.when(has, F.col("sum") / F.col("n_values")).alias("avg"),
+            F.when(has, F.col("sumsq")).alias("sum_of_squares"),
         )
     if group_only:
         # same associative fold as stats, keyed by (query, bucket code);

@@ -337,6 +337,92 @@ def test_aggregate_matches_stats(spark, index_dir, corpus):
     assert float(got.iloc[0]["sum"]) == sum(keys[d] for d in docs)
 
 
+def test_aggregate_matches_extended_stats(spark, index_dir, corpus):
+    """extended=True == ES ExtendedStats brute force: variance is the
+    population (sumsq - sum²/n)/n expression, sampling uses n-1 and is
+    NULL below two values, bounds are avg ± sigma·σ; the all-missing
+    query NULLs every extended stat (the greatest(0, NULL) -> 0 trap)."""
+    import math
+
+    from angle_spark.query.wand import aggregate_matches
+
+    _, toks = corpus
+    a, b, c, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    keys = {d: float((d * 13) % 53) for d in range(len(toks)) if d % 4 != 3}
+
+    def vdf(mapping):
+        return spark.createDataFrame(
+            [(int(d), float(v)) for d, v in mapping.items()],
+            "doc_id long, value double",
+        )
+
+    q = _qdf(spark, [("e", f"{a} {b}", 1)])
+    got = aggregate_matches(
+        spark, merged, tstats, meta, q, vdf(keys), extended=True, sigma=1.5
+    ).toPandas()
+    docs = [d for d, tk in enumerate(toks) if a in tk or b in tk]
+    vals = [keys[d] for d in docs if d in keys]
+    n = len(vals)
+    s, ss = sum(vals), sum(v * v for v in vals)
+    var_pop = max(0.0, (ss - s * s / n) / n)
+    var_samp = max(0.0, (ss - s * s / n) / (n - 1))
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == len(docs) and int(row["n_values"]) == n
+    assert float(row["sum_of_squares"]) == ss
+    assert math.isclose(float(row["variance"]), var_pop, rel_tol=1e-12)
+    assert math.isclose(float(row["variance_sampling"]), var_samp, rel_tol=1e-12)
+    assert math.isclose(
+        float(row["std_deviation"]), math.sqrt(var_pop), rel_tol=1e-12
+    )
+    assert math.isclose(
+        float(row["std_upper"]),
+        s / n + 1.5 * math.sqrt(var_pop),
+        rel_tol=1e-12,
+    )
+    assert math.isclose(
+        float(row["std_lower"]),
+        s / n - 1.5 * math.sqrt(var_pop),
+        rel_tol=1e-12,
+    )
+
+    # exactly ONE valued match -> population variance 0, sampling NULL
+    one = {docs[0]: 7.0}
+    got = aggregate_matches(
+        spark, merged, tstats, meta, q, vdf(one), extended=True
+    ).toPandas()
+    row = got.iloc[0]
+    assert int(row["n_values"]) == 1
+    assert float(row["variance"]) == 0.0 and float(row["std_deviation"]) == 0.0
+    assert pd.isna(row["variance_sampling"])
+    assert pd.isna(row["std_deviation_sampling"])
+
+    # all-missing -> every extended stat NULL (not 0)
+    qb = _qdf(spark, [("eb", f"{a} AND NOT {c}", 1)])
+    matched = [d for d, tk in enumerate(toks) if a in tk and c not in tk]
+    none_vals = {d: 1.0 for d in range(len(toks)) if d not in matched}
+    got = aggregate_matches(
+        spark, merged, tstats, meta, qb, vdf(none_vals),
+        mode="boolean", extended=True,
+    ).toPandas()
+    row = got.iloc[0]
+    assert int(row["n_values"]) == 0
+    assert row[
+        ["sum", "min", "max", "avg", "sum_of_squares", "variance",
+         "variance_sampling", "std_deviation", "std_deviation_sampling",
+         "std_upper", "std_lower"]
+    ].isna().all()
+
+    # plain (extended=False) output shape is unchanged: no sumsq column
+    got = aggregate_matches(spark, merged, tstats, meta, q, vdf(keys)).toPandas()
+    assert "sum_of_squares" not in got.columns
+
+    with pytest.raises(ValueError, match="sigma"):
+        aggregate_matches(
+            spark, merged, tstats, meta, q, vdf(keys), extended=True, sigma=-1
+        )
+
+
 def test_searcher_aggregate_parity(spark, index_dir, corpus):
     from angle_spark.query.searcher import Searcher
     from angle_spark.query.wand import aggregate_matches
