@@ -2661,6 +2661,180 @@ FROM hist
 """
 
 
+# --- SIBLING pipeline aggregation (round 5, ES stats_bucket — the
+#     avg_bucket / sum_bucket / min_bucket / max_bucket family as one
+#     frame): per-query stats over the histogram's bucket metric; the
+#     input frame is (queries x bands), so the fold is metadata-sized.
+def q_bm25_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.pipeline_aggs import stats_bucket
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(F.col("n_chars") / F.lit(150)).cast("string").alias("bucket"),
+    )
+    hist = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    ).select("query_id", F.col("group").cast("long").alias("band"), "n_docs")
+    out = stats_bucket(hist, "n_docs")
+    return out.select(
+        "query_id",
+        "n_buckets",
+        F.col("sum").cast("long").alias("sum"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+def _bucket_stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """stats_bucket truth: the histogram CTE folded per query with
+    plain SQL aggregates over the bucket counts."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), hist AS (
+  SELECT m.query_id,
+         (d.n_chars // 150)::BIGINT AS band,
+         count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY m.query_id, (d.n_chars // 150)
+)
+SELECT query_id,
+       count(*)::BIGINT AS n_buckets,
+       sum(n_docs)::BIGINT AS sum,
+       min(n_docs)::BIGINT AS min,
+       max(n_docs)::BIGINT AS max,
+       round(avg(n_docs), 6) AS avg
+FROM hist GROUP BY query_id
+"""
+
+
+# --- BUCKET truncation + seasonal differencing (round 5, ES
+#     bucket_sort + serial_diff): serial_diff(lag=2) runs FIRST in band
+#     order (differencing needs the calendar axis), then bucket_sort
+#     keeps metric ranks (1, 4] per query — `from`=1 skips each query's
+#     densest band, exercising both cut parameters; the deterministic
+#     tie-break (band ASC) is what lets an oracle pin the cut at all.
+def q_bm25_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.pipeline_aggs import bucket_sort, serial_diff
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(F.col("n_chars") / F.lit(150)).cast("string").alias("bucket"),
+    )
+    hist = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    ).select("query_id", F.col("group").cast("long").alias("band"), "n_docs")
+    out = bucket_sort(
+        serial_diff(hist, "n_docs", "band", lag=2),
+        sort_col="n_docs",
+        order_col="band",
+        size=3,
+        frm=1,
+    )
+    return out.select(
+        "query_id",
+        "band",
+        "n_docs",
+        F.col("serial_diff").cast("long").alias("serial_diff"),
+    )
+
+
+def _bucket_sort_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """bucket_sort + serial_diff truth: lag-2 difference over the band
+    axis, then the (n_docs DESC, band ASC) rank window cut to (1, 4]."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), hist AS (
+  SELECT m.query_id,
+         (d.n_chars // 150)::BIGINT AS band,
+         count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY m.query_id, (d.n_chars // 150)
+), diffed AS (
+  SELECT *,
+         (n_docs - lag(n_docs, 2) OVER (
+            PARTITION BY query_id ORDER BY band))::BIGINT AS serial_diff
+  FROM hist
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY n_docs DESC, band ASC) AS rnk
+  FROM diffed
+)
+SELECT query_id, band, n_docs, serial_diff
+FROM ranked WHERE rnk > 1 AND rnk <= 4
+"""
+
+
 def _histogram_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
     """Histogram truth: membership CTEs counted per 150-char length
     band (integer floor division — exact on BIGINT n_chars)."""
@@ -7224,6 +7398,8 @@ QUERIES = {
     "bm25_date_histogram": q_bm25_date_histogram,
     "bm25_range_agg": q_bm25_range_agg,
     "bm25_histogram_pipeline": q_bm25_histogram_pipeline,
+    "bm25_bucket_stats": q_bm25_bucket_stats,
+    "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
     "bm25_cardinality": q_bm25_cardinality,
@@ -7400,6 +7576,8 @@ ORACLE_SQL = {
     "bm25_date_histogram": _date_histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_range_agg": _range_agg_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram_pipeline": _histogram_pipeline_oracle_sql(STATS_QUERY_SET),
+    "bm25_bucket_stats": _bucket_stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),
     "bm25_cardinality": _cardinality_oracle_sql(STATS_QUERY_SET),

@@ -85,3 +85,64 @@ def bucket_selector(
     """-= drop buckets failing the predicate (ES bucket_selector —
     'having' for aggregations). Plain filter; exists for API parity."""
     return buckets.filter(predicate)
+
+
+def serial_diff(
+    buckets: DataFrame, value_col: str, order_col: str, lag: int = 1,
+    out_col: str = "serial_diff",
+) -> DataFrame:
+    """+= value - value[lag buckets earlier] (ES serial_diff — the
+    seasonal-differencing generalization of derivative; lag=1 IS
+    derivative). NULL on each query's first ``lag`` buckets (no
+    predecessor — ES emits no value there)."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = _order_window(buckets, order_col)
+    return buckets.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col, lag).over(w)
+    )
+
+
+def bucket_sort(
+    buckets: DataFrame, sort_col: str, order_col: str,
+    ascending: bool = False, size: int | None = None, frm: int = 0,
+) -> DataFrame:
+    """Sort each query's buckets by a metric and keep ranks
+    (frm, frm+size] — the ES bucket_sort pipeline agg (`sort` +
+    `from`/`size` over a parent agg's buckets; truncation without
+    re-aggregation). Ties break on ascending ``order_col`` (the bucket
+    key) so the cut is deterministic — ES leaves ties unspecified,
+    which no oracle could pin. size=None keeps everything past ``frm``
+    (ES's from-only form)."""
+    if frm < 0:
+        raise ValueError(f"frm must be >= 0, got {frm}")
+    if size is not None and size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    w = Window.partitionBy("query_id").orderBy(key, F.asc(order_col))
+    out = buckets.withColumn("_bs_rank", F.row_number().over(w)).filter(
+        F.col("_bs_rank") > frm
+    )
+    if size is not None:
+        out = out.filter(F.col("_bs_rank") <= frm + size)
+    return out.drop("_bs_rank")
+
+
+def stats_bucket(
+    buckets: DataFrame, value_col: str
+) -> DataFrame:
+    """-> (query_id, n_buckets, sum, min, max, avg) over each query's
+    bucket metric — the ES stats_bucket sibling aggregation (its
+    avg_bucket / sum_bucket / min_bucket / max_bucket siblings are
+    column subsets of this one frame). Gap policy is ES's ``skip``:
+    NULL metric values drop out of every stat including n_buckets
+    (matching ES, which feeds only resolved values to the sibling);
+    all-NULL queries emit NULL stats with n_buckets 0."""
+    v = F.col(value_col).cast("double")
+    return buckets.groupBy("query_id").agg(
+        F.count(v).cast("long").alias("n_buckets"),
+        F.sum(v).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.avg(v).alias("avg"),
+    )

@@ -10,9 +10,12 @@ import pytest
 
 from angle_spark.query.pipeline_aggs import (
     bucket_selector,
+    bucket_sort,
     cumulative_sum,
     derivative,
     moving_avg,
+    serial_diff,
+    stats_bucket,
 )
 
 
@@ -81,6 +84,64 @@ def test_composition_matches_pandas(spark, buckets):
         assert a == pytest.approx(b)
 
 
+def test_serial_diff(spark, buckets):
+    got = _by(serial_diff(buckets, "n", "band", lag=2))
+    assert got[("a", 0)]["serial_diff"] is None
+    assert got[("a", 1)]["serial_diff"] is None  # only one predecessor
+    assert got[("a", 3)]["serial_diff"] == -2    # 2 - 4 (gaps don't pad)
+    assert got[("b", 0)]["serial_diff"] is None
+    # lag=1 IS derivative
+    d1 = _by(serial_diff(buckets, "n", "band", lag=1, out_col="d"))
+    dv = _by(derivative(buckets, "n", "band"))
+    for k in d1:
+        assert d1[k]["d"] == dv[k]["derivative"]
+
+
+def test_bucket_sort_cut_and_ties(spark):
+    rows = [
+        ("a", 0, 5), ("a", 1, 9), ("a", 2, 5), ("a", 3, 1),
+        ("b", 0, 2), ("b", 1, 2),
+    ]
+    bks = spark.createDataFrame(rows, "query_id string, band long, n long")
+    # desc by n, tie -> band ASC: a-order is (1, 0, 2, 3); b is (0, 1)
+    top = bucket_sort(bks, "n", "band", size=2)
+    assert {(r["query_id"], r["band"]) for r in top.collect()} == {
+        ("a", 1), ("a", 0), ("b", 0), ("b", 1)
+    }
+    # frm skips the head; size cuts after it
+    mid = bucket_sort(bks, "n", "band", size=2, frm=1)
+    assert {(r["query_id"], r["band"]) for r in mid.collect()} == {
+        ("a", 0), ("a", 2), ("b", 1)
+    }
+    # ascending + from-only (size=None keeps the tail)
+    tail = bucket_sort(bks, "n", "band", ascending=True, frm=1)
+    assert {(r["query_id"], r["band"]) for r in tail.collect()} == {
+        ("a", 0), ("a", 2), ("a", 1), ("b", 1)
+    }
+    # the "_bs_rank" helper never leaks
+    assert "_bs_rank" not in top.columns
+    with pytest.raises(ValueError, match="frm"):
+        bucket_sort(bks, "n", "band", frm=-1)
+    with pytest.raises(ValueError, match="size"):
+        bucket_sort(bks, "n", "band", size=0)
+
+
+def test_stats_bucket_skips_nulls(spark):
+    rows = [
+        ("a", 0, 4.0), ("a", 1, None), ("a", 2, 6.0),
+        ("b", 0, None),
+    ]
+    bks = spark.createDataFrame(rows, "query_id string, band long, n double")
+    got = {r["query_id"]: r.asDict() for r in stats_bucket(bks, "n").collect()}
+    # ES gap_policy=skip: the NULL bucket vanishes from every stat
+    assert got["a"]["n_buckets"] == 2
+    assert got["a"]["sum"] == 10.0 and got["a"]["avg"] == 5.0
+    assert got["a"]["min"] == 4.0 and got["a"]["max"] == 6.0
+    # all-NULL query -> NULL stats, zero buckets counted
+    assert got["b"]["n_buckets"] == 0
+    assert got["b"]["sum"] is None and got["b"]["avg"] is None
+
+
 def test_validation(spark):
     sbuckets = spark.createDataFrame(
         [("a", "10", 1), ("a", "2", 2)], "query_id string, band string, n long"
@@ -94,3 +155,7 @@ def test_validation(spark):
     )
     with pytest.raises(ValueError, match="window"):
         moving_avg(nbuckets, "n", "band", window=0)
+    with pytest.raises(ValueError, match="lag"):
+        serial_diff(nbuckets, "n", "band", lag=0)
+    with pytest.raises(ValueError, match="NUMERIC"):
+        serial_diff(sbuckets, "n", "band")
