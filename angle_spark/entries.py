@@ -4951,6 +4951,81 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- PURE-NEGATION retrieval (round 5, ES bool-with-only-must_not):
+#     the engine's grammar rejects pure negation exactly as classic
+#     Lucene does; ES makes it legal by implicitly AND-ing
+#     MatchAllDocsQuery. must_not_topk IS that insertion, Spark-first:
+#     the match_all axis is arithmetic (spark.range(n_docs) — zero
+#     corpus/index scan), the negated query is ONE membership pass, a
+#     left-anti join subtracts it, constant score in docID order. The
+#     OOV query's complement is the FULL universe (k-cut) — the probe
+#     that distinguishes complement semantics from a dead query.
+MUSTNOT_QUERY_SET: list[tuple[str, str, int]] = [
+    ("mn1", "dup OR merge", 12),
+    ("mn2", "zzzz", 10),
+    ("mn3", "scan AND NOT merge", 15),
+]
+
+
+def q_bm25_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.boosting import must_not_topk
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = must_not_topk(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, MUSTNOT_QUERY_SET),
+        boost=1.0,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("score").alias("score"),
+    )
+
+
+def _must_not_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Complement truth: the full documents id universe EXCEPT each
+    query's membership CTE, ranked by docID, cut at k, constant score."""
+    from angle_spark.query.boolean import parse_query
+
+    comp = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, {k} AS k, doc_id FROM documents "
+        f"WHERE doc_id NOT IN (SELECT doc_id FROM "
+        f"({_bool_match_sql(parse_query(text))}))"
+        for qid, text, k in query_set
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), complement AS (
+  {comp}
+), ranked AS (
+  SELECT query_id, k, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rnk
+  FROM complement
+)
+SELECT query_id, rnk::BIGINT AS rank, doc_id, 1.0::DOUBLE AS score
+FROM ranked WHERE rnk <= k
+"""
+
+
 # --- conjunctive (AND) retrieval over the compressed index: only docs
 #     matching EVERY distinct query token are ranked (BM25-scored; the
 #     shard-local matched-term counter is globally exact because a doc's
@@ -7433,6 +7508,7 @@ QUERIES = {
     "bm25_wildcard": q_bm25_wildcard,
     "bm25_boosting": q_bm25_boosting,
     "constant_score": q_constant_score,
+    "bm25_must_not": q_bm25_must_not,
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
@@ -7616,6 +7692,7 @@ ORACLE_SQL = {
         WILDCARD_QUERY_SET, cap=WILDCARD_CAP
     ),
     "bm25_boosting": _boosting_oracle_sql(BOOSTING_QUERY_SET, BOOSTING_NB),
+    "bm25_must_not": _must_not_oracle_sql(MUSTNOT_QUERY_SET),
     "constant_score": _constant_score_oracle_sql(
         CONST_SCORE_QUERY_SET, CONST_SCORE_BOOST
     ),

@@ -179,6 +179,77 @@ def test_boosting_guards(spark, index_dir):
         )
 
 
+def test_must_not_complement(spark, index_dir):
+    """must_not == the exact live-docs complement of matched_ids: ES
+    bool-with-only-must_not (match_all minus the query). OOV negation
+    returns the FULL universe; deletes shrink both sides; the ranked
+    rendition cuts the k smallest complement docIDs at constant score."""
+    from angle_spark.query.boosting import must_not_ids, must_not_topk
+
+    merged, tstats, meta = load_index(spark, index_dir)
+    q = pd.DataFrame(
+        [
+            ("m1", "w0003 OR w0042", 5),
+            ("m2", "zzzz", 5),                 # OOV -> complement = all
+            ("m3", "w0042 AND NOT w0003", 5),
+        ],
+        columns=["query_id", "text", "k"],
+    )
+    universe = set(range(meta.n_docs))
+    matched = matched_ids(spark, merged, tstats, meta, q, mode="boolean").toPandas()
+    got = must_not_ids(spark, merged, tstats, meta, q).toPandas()
+    for qid in ("m1", "m2", "m3"):
+        pos = {d for _, d in matched[matched.query_id == qid][["query_id", "doc_id"]].itertuples(index=False)}
+        comp = set(got[got.query_id == qid]["doc_id"])
+        assert comp == universe - pos, qid
+    assert set(got[got.query_id == "m2"]["doc_id"]) == universe
+
+    # ranked rendition: k smallest complement docIDs, constant score
+    top = must_not_topk(
+        spark, merged, tstats, meta, q, boost=0.5
+    ).toPandas()
+    assert (top["score"] == 0.5).all()
+    for qid, g in top.groupby("query_id"):
+        comp = sorted(set(got[got.query_id == qid]["doc_id"]))[:5]
+        assert list(g.sort_values("rank")["doc_id"]) == comp, qid
+
+    # deletes shrink the axis AND the membership pass
+    dels = spark.createDataFrame(
+        [(int(d),) for d in range(0, meta.n_docs, 7)], "doc_id long"
+    )
+    gdel = must_not_ids(
+        spark, merged, tstats, meta, q, deletes=dels
+    ).toPandas()
+    live = universe - set(range(0, meta.n_docs, 7))
+    for qid in ("m1", "m3"):
+        pos = {d for d in matched[matched.query_id == qid]["doc_id"] if d in live}
+        assert set(gdel[gdel.query_id == qid]["doc_id"]) == live - pos, qid
+
+    # guards: purged index needs an explicit universe; duplicate qids
+    class _Purged:
+        pass
+
+    import copy
+
+    pm = copy.copy(meta)
+    pm.purged_docs = 3
+    with pytest.raises(ValueError, match="purged"):
+        must_not_ids(spark, merged, tstats, pm, q)
+    # explicit doc_ids unblocks the purged case
+    uni = spark.createDataFrame([(int(d),) for d in sorted(live)], "doc_id long")
+    gp = must_not_ids(
+        spark, merged, tstats, pm, q.iloc[[0]], doc_ids=uni
+    ).toPandas()
+    pos = {d for d in matched[matched.query_id == "m1"]["doc_id"]}
+    assert set(gp["doc_id"]) == live - pos
+    with pytest.raises(ValueError, match="duplicate"):
+        must_not_ids(
+            spark, merged, tstats, meta,
+            pd.DataFrame([("x", "a", 1), ("x", "b", 1)],
+                         columns=["query_id", "text", "k"]),
+        )
+
+
 def test_constant_score(spark, index_dir):
     merged, tstats, meta = load_index(spark, index_dir)
     q = pd.DataFrame(
