@@ -350,6 +350,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "phrase_suggest",
         "bm25_resegmented",
         "bm25_reindexed",
+        # round-5 session-6 operators
+        "bm25_extended_stats",
+        "bm25_bucket_sort",
+        "bm25_must_not",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()
