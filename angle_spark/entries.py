@@ -2441,6 +2441,89 @@ FROM derived
 """
 
 
+# --- WEIGHTED average over matched docs (round 5, the Elasticsearch
+#     ``weighted_avg`` aggregation): Σ(value·weight)/Σ(weight) per
+#     query — value is n_chars (deterministically missing for doc_id %
+#     5 == 4, exercising the ES skip rule), weight is 1 + doc_id % 3.
+#     Two metrics can't ride the one side channel, so the collector
+#     takes the membership route: one matched_ids pass + an equi-join
+#     against the (value, weight) frame + a constant-size
+#     sum-of-products fold. Integer-valued doubles keep the fold exact.
+def q_bm25_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import weighted_avg_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            (F.col("doc_id") % 5) != 4, F.col("n_chars").cast("double")
+        ).alias("value"),
+        (F.lit(1) + F.col("doc_id") % 3).cast("double").alias("weight"),
+    )
+    out = weighted_avg_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "n_values",
+        F.round("weighted_avg", 6).alias("weighted_avg"),
+    )
+
+
+def _weighted_avg_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """weighted_avg truth: the boolean membership CTEs joined to the
+    (value, weight) columns, Σ(v·w)/Σ(w) with the ES skip rule (a doc
+    missing its value contributes to nothing, not even n_values)."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 <> 4 THEN CAST(n_chars AS DOUBLE) END AS v,
+         CAST(1 + doc_id % 3 AS DOUBLE) AS w
+  FROM documents
+)
+SELECT m.query_id,
+       count(CASE WHEN vw.v IS NOT NULL AND vw.w IS NOT NULL
+             THEN 1 END)::BIGINT AS n_values,
+       round(sum(CASE WHEN vw.v IS NOT NULL THEN vw.v * vw.w END)
+             / sum(CASE WHEN vw.v IS NOT NULL THEN vw.w END), 6)
+         AS weighted_avg
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+LEFT JOIN vw ON vw.doc_id = m.doc_id
+GROUP BY m.query_id
+"""
+
+
 # --- BUCKETED search-as-analytics (round 5, the Elasticsearch ``terms``
 #     aggregation with a ``stats`` sub-aggregation): group_matches()
 #     buckets each query's matched docs by a label column (lang here)
@@ -7468,6 +7551,7 @@ QUERIES = {
     "bm25_sort_docvalues": q_bm25_sort_docvalues,
     "bm25_stats": q_bm25_stats,
     "bm25_extended_stats": q_bm25_extended_stats,
+    "bm25_weighted_avg": q_bm25_weighted_avg,
     "bm25_group_stats": q_bm25_group_stats,
     "bm25_histogram": q_bm25_histogram,
     "bm25_date_histogram": q_bm25_date_histogram,
@@ -7647,6 +7731,7 @@ ORACLE_SQL = {
     "bm25_sort_docvalues": _sort_by_oracle_sql(SORT_QUERY_SET),
     "bm25_stats": _stats_oracle_sql(STATS_QUERY_SET),
     "bm25_extended_stats": _extended_stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_weighted_avg": _weighted_avg_oracle_sql(STATS_QUERY_SET),
     "bm25_group_stats": _group_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram": _histogram_oracle_sql(STATS_QUERY_SET),
     "bm25_date_histogram": _date_histogram_oracle_sql(STATS_QUERY_SET),

@@ -302,6 +302,37 @@ class Searcher:
             boost=boost, **kwargs,
         )
 
+    def weighted_avg(self, queries, values, **kwargs) -> DataFrame:
+        """-> (query_id, n_values, weighted_avg): Σ(value·weight)/Σ(weight)
+        over each query's matched docs (ES weighted_avg — query/wand.py
+        weighted_avg_matches); ``values`` is a (doc_id, value, weight)
+        frame; the session's tombstones apply."""
+        from angle_spark.query.wand import weighted_avg_matches
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return weighted_avg_matches(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            values, **kwargs,
+        )
+
+    def must_not(self, queries, boost=1.0, **kwargs) -> DataFrame:
+        """-> (query_id, rank, doc_id, score): pure-negation retrieval —
+        every live doc NOT matching the query, constant ``boost`` score
+        in docID order (ES bool-with-only-must_not; query/boosting.py
+        must_not_topk). The session's tombstones shrink both the
+        match_all axis and the membership pass."""
+        from angle_spark.query.boosting import must_not_topk
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        kwargs.setdefault("deletes", self.deletes)
+        return must_not_topk(
+            self.spark, self._merged, self._tstats, self.meta, queries,
+            boost=boost, **kwargs,
+        )
+
     def function_score(self, queries, factors, **kwargs) -> DataFrame:
         """-> (query_id, rank, doc_id, score): BM25 * per-doc factor
         top-k (ES function_score boost_mode=multiply —

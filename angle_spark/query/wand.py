@@ -2053,6 +2053,68 @@ def aggregate_matches(
     )
 
 
+def weighted_avg_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    missing_value: float | None = None,
+    missing_weight: float | None = None,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_values, weighted_avg): Σ(value·weight) / Σ(weight)
+    over each query's matched docs — the Elasticsearch ``weighted_avg``
+    aggregation ("average quality score weighted by turn length over
+    docs mentioning X"). ``values`` is a (doc_id, value, weight) frame.
+
+    Two metrics can't ride the single side channel, so this collector
+    takes the membership route: ONE exhaustive ``matched_ids`` pass
+    (O(matches) two-column rows), an equi-join against the values frame
+    (the corpus-keyed metadata shuffles once per batch — the same
+    disclosed shape as a shipped sort_meta; index-time docvalues are
+    the persistent-serving alternative), and a constant-size
+    sum-of-products fold per query.
+
+    Missing rules are ES's own (value.missing / weight.missing): a doc
+    missing ``value`` uses ``missing_value`` if set, else is skipped;
+    same independently for ``weight``. n_values counts the docs that
+    contributed. A query with no contributing docs emits NULL
+    weighted_avg (and an all-zero weight sum divides to NULL, not an
+    ANSI error). Composes with every mode + deletes / doc_filter /
+    field_meta; the ``k`` column is ignored."""
+    ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
+    c0, c1, c2 = values.columns[:3]
+    vals = values.select(
+        F.col(c0).cast("long").alias("doc_id"),
+        F.col(c1).cast("double").alias("_wa_v"),
+        F.col(c2).cast("double").alias("_wa_w"),
+    )
+    joined = ids.join(vals, "doc_id", "left")
+    v = F.col("_wa_v")
+    w = F.col("_wa_w")
+    if missing_value is not None:
+        v = F.coalesce(v, F.lit(float(missing_value)))
+    if missing_weight is not None:
+        w = F.coalesce(w, F.lit(float(missing_weight)))
+    # the skip rule: a row missing either metric (after the missing
+    # substitutions) contributes to nothing, not even n_values
+    both = v.isNotNull() & w.isNotNull()
+    agg = joined.groupBy("query_id").agg(
+        F.count(F.when(both, F.lit(1))).cast("long").alias("n_values"),
+        F.sum(F.when(both, v * w)).alias("_wsum"),
+        F.sum(F.when(both, w)).alias("_w"),
+    )
+    return agg.select(
+        "query_id",
+        "n_values",
+        F.when(
+            F.col("_w") != 0.0, F.col("_wsum") / F.col("_w")
+        ).alias("weighted_avg"),
+    )
+
+
 def percentile_matches(
     spark: SparkSession,
     merged: DataFrame,

@@ -354,6 +354,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_extended_stats",
         "bm25_bucket_sort",
         "bm25_must_not",
+        "bm25_weighted_avg",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()

@@ -249,6 +249,20 @@ def test_must_not_complement(spark, index_dir):
                          columns=["query_id", "text", "k"]),
         )
 
+    # Searcher parity (stateless == serving path, no session tombstones)
+    from angle_spark.query.searcher import Searcher
+
+    s = Searcher(spark, index_dir)
+    try:
+        sv = s.must_not(q, boost=0.5).toPandas()
+        a = sv.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a[["query_id", "rank", "doc_id", "score"]].equals(
+            b[["query_id", "rank", "doc_id", "score"]]
+        )
+    finally:
+        s.close()
+
 
 def test_constant_score(spark, index_dir):
     merged, tstats, meta = load_index(spark, index_dir)

@@ -423,6 +423,69 @@ def test_aggregate_matches_extended_stats(spark, index_dir, corpus):
         )
 
 
+def test_weighted_avg_matches(spark, index_dir, corpus):
+    """weighted_avg == Σ(v·w)/Σ(w) brute force with ES missing rules:
+    a doc missing value OR weight is skipped unless the matching
+    missing_* substitution is configured; zero weight sum -> NULL."""
+    import math
+
+    from angle_spark.query.wand import weighted_avg_matches
+
+    _, toks = corpus
+    a, b, _, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    n = len(toks)
+    rows = [
+        (
+            d,
+            float((d * 7) % 31) if d % 3 != 2 else None,   # value gaps
+            float(1 + d % 4) if d % 5 != 0 else None,      # weight gaps
+        )
+        for d in range(n)
+    ]
+    vdf = spark.createDataFrame(rows, "doc_id long, value double, weight double")
+    q = _qdf(spark, [("w", f"{a} {b}", 1)])
+    docs = [d for d, tk in enumerate(toks) if a in tk or b in tk]
+
+    def brute(mv=None, mw=None):
+        tot = wsum = cnt = 0.0
+        for d in docs:
+            v = rows[d][1] if rows[d][1] is not None else mv
+            w = rows[d][2] if rows[d][2] is not None else mw
+            if v is None or w is None:
+                continue
+            tot += v * w
+            wsum += w
+            cnt += 1
+        return cnt, (tot / wsum if wsum else None)
+
+    got = weighted_avg_matches(spark, merged, tstats, meta, q, vdf).toPandas()
+    cnt, wa = brute()
+    row = got.iloc[0]
+    assert int(row["n_values"]) == cnt
+    assert math.isclose(float(row["weighted_avg"]), wa, rel_tol=1e-12)
+
+    # missing substitutions flip skipped docs into contributors
+    got = weighted_avg_matches(
+        spark, merged, tstats, meta, q, vdf,
+        missing_value=10.0, missing_weight=1.0,
+    ).toPandas()
+    cnt2, wa2 = brute(mv=10.0, mw=1.0)
+    row = got.iloc[0]
+    assert int(row["n_values"]) == cnt2 == len(docs) > cnt
+    assert math.isclose(float(row["weighted_avg"]), wa2, rel_tol=1e-12)
+
+    # all weights zero -> NULL (no ANSI divide error), n_values intact
+    zw = spark.createDataFrame(
+        [(d, 1.0, 0.0) for d in range(n)], "doc_id long, value double, weight double"
+    )
+    row = weighted_avg_matches(
+        spark, merged, tstats, meta, q, zw
+    ).toPandas().iloc[0]
+    assert int(row["n_values"]) == len(docs)
+    assert pd.isna(row["weighted_avg"])
+
+
 def test_searcher_aggregate_parity(spark, index_dir, corpus):
     from angle_spark.query.searcher import Searcher
     from angle_spark.query.wand import aggregate_matches
