@@ -5034,6 +5034,73 @@ FROM ranked WHERE rnk <= k
 """
 
 
+# --- FUZZY prefix_length (round 5, Lucene FuzzyQuery.prefixLength /
+#     the ES fuzzy option): expansion candidates must share the word's
+#     first N characters exactly — the "typos don't happen in the first
+#     letters" heuristic that turns the full-vocabulary levenshtein
+#     pass into a prefix-prefiltered one. The entry drives the
+#     expansion surface directly (word, max_dist) -> ranked vocabulary
+#     rewrites at prefix_length=1 with a binding cap of 8; the oracle
+#     replays band + prefix + levenshtein + rank on the tokens-derived
+#     vocabulary (Spark and DuckDB levenshtein agree exactly).
+FUZZY_PREFIX_PAIRS: list[tuple[str, int]] = [
+    ("jion", 2),
+    ("scna", 2),
+    ("merge", 2),
+    ("dup", 1),
+]
+
+
+def q_fuzzy_prefix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.fuzzy import expansion_frame
+
+    _merged, tstats, _meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    out = expansion_frame(
+        spark, tstats, FUZZY_PREFIX_PAIRS, max_expansions=8, prefix_length=1
+    )
+    return out.select(
+        F.col("k1").alias("word"),
+        F.col("k2").cast("long").alias("max_dist"),
+        "term",
+        F.col("r").cast("long").alias("r"),
+    )
+
+
+def _fuzzy_prefix_oracle_sql(pairs: list[tuple[str, int]]) -> str:
+    values = ", ".join(f"('{w}', {d})" for w, d in sorted(set(pairs)))
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pairs(word, max_dist) AS (
+  VALUES {values}
+), cand AS (
+  SELECT p.word, p.max_dist, t.term, t.df,
+         levenshtein(p.word, t.term) AS dist
+  FROM dft t CROSS JOIN pairs p
+  WHERE abs(length(t.term) - length(p.word)) <= p.max_dist
+    AND starts_with(t.term, substr(p.word, 1, 1))
+), ranked AS (
+  SELECT word, max_dist, term,
+         row_number() OVER (
+           PARTITION BY word, max_dist
+           ORDER BY dist ASC, df DESC, term ASC) AS r
+  FROM cand WHERE dist <= max_dist
+)
+SELECT word, max_dist::BIGINT AS max_dist, term, r::BIGINT AS r
+FROM ranked WHERE r <= 8
+"""
+
+
 # --- PURE-NEGATION retrieval (round 5, ES bool-with-only-must_not):
 #     the engine's grammar rejects pure negation exactly as classic
 #     Lucene does; ES makes it legal by implicitly AND-ing
@@ -7593,6 +7660,7 @@ QUERIES = {
     "bm25_boosting": q_bm25_boosting,
     "constant_score": q_constant_score,
     "bm25_must_not": q_bm25_must_not,
+    "fuzzy_prefix_expand": q_fuzzy_prefix_expand,
     "bm25_boosted": q_bm25_boosted,
     "bm25_filtered": q_bm25_filtered,
     "hybrid_topk": q_hybrid_topk,
@@ -7778,6 +7846,7 @@ ORACLE_SQL = {
     ),
     "bm25_boosting": _boosting_oracle_sql(BOOSTING_QUERY_SET, BOOSTING_NB),
     "bm25_must_not": _must_not_oracle_sql(MUSTNOT_QUERY_SET),
+    "fuzzy_prefix_expand": _fuzzy_prefix_oracle_sql(FUZZY_PREFIX_PAIRS),
     "constant_score": _constant_score_oracle_sql(
         CONST_SCORE_QUERY_SET, CONST_SCORE_BOOST
     ),

@@ -58,6 +58,7 @@ def expand_fuzzy(
     tstats: DataFrame | pd.DataFrame,
     pairs: list[tuple[str, int]],
     max_expansions: int = 64,
+    prefix_length: int = 0,
 ) -> dict[tuple[str, int], list[str]]:
     """(word, max_dist) -> matching vocabulary terms, top
     ``max_expansions`` by (edit distance ASC, df DESC, term ASC). A word
@@ -68,10 +69,23 @@ def expand_fuzzy(
     the scale path (length-band prefilter + one distributed levenshtein
     pass), or the cached-pandas vocabulary a bounded-vocab Searcher
     holds (same opt-in contract as query/prefix.expand_stems).
-    """
+
+    ``prefix_length`` (Lucene FuzzyQuery.prefixLength / the ES fuzzy
+    option, default 0): candidates must share the word's first N
+    characters EXACTLY — the "typos don't happen in the first letters"
+    heuristic that turns the full-vocabulary levenshtein pass into a
+    prefix-prefiltered one (the same contiguous-range shape the prefix
+    query pushes to the scan). Distance is still full-string
+    levenshtein: identical prefixes trim without changing edit distance
+    (the standard common-prefix property), so the filtered result is
+    exactly Lucene's suffix-measured one. A word shorter than
+    ``prefix_length`` can only match terms sharing the whole word as
+    prefix (Lucene's own degenerate rule)."""
     out: dict[tuple[str, int], list[str]] = {p: [] for p in pairs}
     if not pairs:
         return out
+    if prefix_length < 0:
+        raise ValueError(f"prefix_length must be >= 0, got {prefix_length}")
     uniq = sorted(set(pairs))
     for _, d in uniq:
         if not (1 <= d <= MAX_FUZZY_DIST):
@@ -82,6 +96,9 @@ def expand_fuzzy(
         for w, d in uniq:
             m = tstats[["term", "df"]].copy()
             m = m[(m["term"].str.len() - len(w)).abs() <= d]
+            if prefix_length > 0:
+                pre = w[:prefix_length]
+                m = m[m["term"].str.startswith(pre)]
             m["dist"] = [levenshtein_py(w, t) for t in m["term"]]
             m = m[m["dist"] <= d]
             m = m.sort_values(
@@ -91,7 +108,9 @@ def expand_fuzzy(
             ).head(max_expansions)
             out[(w, d)] = [str(t) for t in m["term"]]
         return out
-    rows = expansion_frame(spark, tstats, uniq, max_expansions).collect()
+    rows = expansion_frame(
+        spark, tstats, uniq, max_expansions, prefix_length
+    ).collect()
     for row in sorted(rows, key=lambda x: (x["k1"], x["k2"], x["r"])):
         out[(row["k1"], row["k2"])].append(row["term"])
     return out
@@ -102,20 +121,31 @@ def expansion_frame(
     tstats: DataFrame,
     pairs: list[tuple[str, int]],
     max_expansions: int = 64,
+    prefix_length: int = 0,
 ) -> DataFrame:
     """UNCOLLECTED fuzzy-expansion plan -> (k1=word, k2=max_dist, term,
     r) rows, r in 1..max_expansions by (distance ASC, df DESC, term
-    ASC). See prefix.expansion_frame for the one-action union contract."""
+    ASC). See prefix.expansion_frame for the one-action union contract.
+    ``prefix_length`` > 0 adds the exact-prefix prefilter BEFORE the
+    levenshtein evaluation (see expand_fuzzy)."""
     pair_df = spark.createDataFrame(
         sorted(set(pairs)), "word string, max_dist int"
     )
     w = Window.partitionBy("word", "max_dist").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )
+    base = tstats.select("term", "df").crossJoin(F.broadcast(pair_df)).filter(
+        F.abs(F.length("term") - F.length("word")) <= F.col("max_dist")
+    )
+    if prefix_length > 0:
+        # required prefix = word[:p] (the whole word when shorter — the
+        # degenerate rule); startswith keeps the pandas twin identical
+        p = int(prefix_length)
+        base = base.filter(
+            F.col("term").startswith(F.substring(F.col("word"), 1, p))
+        )
     return (
-        tstats.select("term", "df")
-        .crossJoin(F.broadcast(pair_df))
-        .filter(F.abs(F.length("term") - F.length("word")) <= F.col("max_dist"))
+        base
         .withColumn("dist", F.levenshtein("word", "term"))
         .filter(F.col("dist") <= F.col("max_dist"))
         .withColumn("r", F.row_number().over(w))

@@ -1183,6 +1183,7 @@ def wand_topk(
     slop: int = 0,
     doc_filter: DataFrame | None = None,
     max_expansions: int = 64,
+    fuzzy_prefix_length: int = 0,
     min_match: int | None = None,
     field_meta: DataFrame | None = None,
     offset: int = 0,
@@ -1356,6 +1357,12 @@ def wand_topk(
     stem, then the rewritten query runs as a standard disjunction. The
     expansion is a distributed startswith filter on term_stats (pushed
     into the term-sorted scan); see query/prefix.py.
+
+    ``fuzzy_prefix_length`` (Lucene FuzzyQuery.prefixLength / the ES
+    fuzzy option, default 0 = off) applies to every fuzzy leaf in the
+    batch: expansion candidates must share the word's first N chars
+    exactly, turning the length-band levenshtein pass into a
+    prefix-prefiltered one (see query/fuzzy.expand_fuzzy).
 
     mode="mm" with ``min_match=m`` is minimum-should-match (Lucene's
     minimumShouldMatch): only docs matching at least m of the query's
@@ -1689,7 +1696,10 @@ def wand_topk(
             if fuzz:
                 from angle_spark.query.fuzzy import expand_fuzzy
 
-                fz_exp = expand_fuzzy(spark, tstats, fuzz, max_expansions)
+                fz_exp = expand_fuzzy(
+                    spark, tstats, fuzz, max_expansions,
+                    prefix_length=fuzzy_prefix_length,
+                )
                 asts = [
                     (qid, k, e)
                     for qid, k, a in asts
@@ -1723,7 +1733,10 @@ def wand_topk(
                             f"fuzzy max_dist must be in 1..{_fz.MAX_FUZZY_DIST}, got {d}"
                         )
                 frames.append(
-                    _fz.expansion_frame(spark, tstats, fuzz, max_expansions)
+                    _fz.expansion_frame(
+                        spark, tstats, fuzz, max_expansions,
+                        prefix_length=fuzzy_prefix_length,
+                    )
                     .withColumn("kind", F.lit("f"))
                 )
             if pats:

@@ -124,6 +124,57 @@ def test_expand_fuzzy_rejects_bad_dist(spark, index_dir):
         expand_fuzzy(spark, tstats, [("w", 3)])
     with pytest.raises(ValueError, match="max_dist"):
         expand_fuzzy(spark, tstats, [("w", 0)])
+    with pytest.raises(ValueError, match="prefix_length"):
+        expand_fuzzy(spark, tstats, [("w", 1)], prefix_length=-1)
+
+
+def test_expand_fuzzy_prefix_length(spark, index_dir):
+    """prefix_length (Lucene FuzzyQuery.prefixLength): candidates must
+    start with word[:p]. The filtered set == the unfiltered set minus
+    non-prefix terms (order preserved — the filter never reranks), the
+    synth vocabulary makes the filter BIND, and the pandas twin is
+    bit-identical. A word shorter than p requires the whole word as
+    candidate prefix (degenerate rule)."""
+    _, tstats, _ = load_index(spark, index_dir)
+    ts_pdf = tstats.select("term", "df").toPandas()
+    seed = ts_pdf["term"].iloc[len(ts_pdf) // 2]  # w0137-style
+    pairs = [(seed, 2)]
+    full = expand_fuzzy(spark, tstats, pairs, max_expansions=1000)
+    for p in (1, 3, len(seed)):
+        pref = expand_fuzzy(
+            spark, tstats, pairs, max_expansions=1000, prefix_length=p
+        )
+        want = [t for t in full[(seed, 2)] if t.startswith(seed[:p])]
+        assert pref[(seed, 2)] == want, p
+        # pandas twin bit-identical
+        assert expand_fuzzy(
+            spark, ts_pdf, pairs, max_expansions=1000, prefix_length=p
+        ) == pref
+    # the filter binds somewhere in 1..3 on the dense synth vocab
+    p3 = expand_fuzzy(spark, tstats, pairs, max_expansions=1000, prefix_length=3)
+    assert len(p3[(seed, 2)]) < len(full[(seed, 2)])
+    # degenerate: word shorter than prefix_length -> candidates must
+    # start with the whole word
+    short = seed[:2]
+    ds = expand_fuzzy(
+        spark, tstats, [(short, 2)], max_expansions=1000, prefix_length=10
+    )
+    assert all(t.startswith(short) for t in ds[(short, 2)])
+    # wand_topk threads the knob: a fuzzy boolean batch at p=len(seed)
+    # retrieves exactly the exact-term tree's docs
+    merged, tstats_df, meta = load_index(spark, index_dir)
+    q = pd.DataFrame(
+        [("f", f"{seed}~2", 1000)], columns=["query_id", "text", "k"]
+    )
+    qe = pd.DataFrame([("f", seed, 1000)], columns=["query_id", "text", "k"])
+    got = wand_topk(
+        spark, merged, tstats_df, meta, q, mode="boolean",
+        fuzzy_prefix_length=len(seed),
+    ).toPandas()
+    want = wand_topk(
+        spark, merged, tstats_df, meta, qe, mode="boolean"
+    ).toPandas()
+    assert set(got["doc_id"]) == set(want["doc_id"])
 
 
 def test_fuzzy_in_boolean_end_to_end(spark, index_dir):
