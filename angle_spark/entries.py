@@ -7169,6 +7169,80 @@ FROM ranked WHERE r <= {SUGGEST_K}
 """
 
 
+# --- SUGGEST MODES (round 5, the ES term-suggester suggest_mode
+#     knob): "missing" (ES's default — indexed words yield NO
+#     suggestions; their df > 0 proves they need no correction),
+#     "popular" (only candidates STRICTLY more frequent than the word's
+#     own df — dist-0 identities vanish by construction), "always".
+#     The word set mixes in-vocabulary words ("merge", "scan" — the
+#     probes that make missing/popular actually bite) with OOV typos;
+#     the word's own df resolves inside the one candidate scan.
+SUGGEST_MODE_WORDS = ["merge", "scan", "joinn", "mrege", "zzzzzz"]
+
+
+def q_suggest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.query.suggest import suggest_terms
+
+    docs = with_tokens(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens", "dl"
+    )
+    tf = term_frequencies(docs).localCheckpoint()
+    n_docs, _ = corpus_stats(docs)
+    tstats = term_stats(tf, n_docs)
+    frames = []
+    for m in ("always", "missing", "popular"):
+        frames.append(
+            suggest_terms(
+                spark, tstats, SUGGEST_MODE_WORDS,
+                max_dist=SUGGEST_MAX_DIST, k=SUGGEST_K, suggest_mode=m,
+            ).withColumn("mode", F.lit(m))
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("mode", "word", "rank", "term", "dist", "df")
+
+
+def _suggest_modes_oracle_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    words = ", ".join(f"('{w}')" for w in sorted(set(SUGGEST_MODE_WORDS)))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), words AS (
+  SELECT w.word, coalesce(d.df, 0)::BIGINT AS word_df
+  FROM (VALUES {words}) w(word)
+  LEFT JOIN dft d ON d.term = w.word
+), cand AS (
+  SELECT w.word, w.word_df, dft.term, dft.df,
+         levenshtein(w.word, dft.term)::INT AS dist
+  FROM words w CROSS JOIN dft
+  WHERE abs(len(dft.term) - len(w.word)) <= {SUGGEST_MAX_DIST}
+    AND levenshtein(w.word, dft.term) <= {SUGGEST_MAX_DIST}
+), modes AS (
+  SELECT 'always' AS mode, word, term, df, dist FROM cand
+  UNION ALL
+  SELECT 'missing', word, term, df, dist FROM cand WHERE word_df = 0
+  UNION ALL
+  SELECT 'popular', word, term, df, dist FROM cand WHERE df > word_df
+), ranked AS (
+  SELECT mode, word, term, df, dist,
+         row_number() OVER (
+           PARTITION BY mode, word ORDER BY dist ASC, df DESC, term ASC
+         ) AS r
+  FROM modes
+)
+SELECT mode, word, r AS rank, term, dist, df
+FROM ranked WHERE r <= {SUGGEST_K}
+"""
+
+
 # --- RETRIEVE-THEN-RERANK: BM25 top-C candidates, exact-cosine second
 #     stage over ONLY those candidates (query/rerank.py) — the
 #     production two-stage shape where the reference's dense scorer
@@ -7673,6 +7747,7 @@ QUERIES = {
     "bm25_snippets": q_bm25_snippets,
     "more_like_this": q_more_like_this,
     "spell_suggest": q_spell_suggest,
+    "suggest_modes": q_suggest_modes,
     "suggest_completion": q_suggest_completion,
     "bm25_min_match": q_bm25_min_match,
     "bm25_rerank": q_bm25_rerank,
@@ -7861,6 +7936,7 @@ ORACLE_SQL = {
     "bm25_snippets": _bm25_snippets_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
     "spell_suggest": _spell_suggest_oracle_sql(),
+    "suggest_modes": _suggest_modes_oracle_sql(),
     "suggest_completion": _suggest_completion_oracle_sql(),
     "bm25_filtered": _bm25_oracle_sql(
         candidate_where="WHERE tf.doc_id IN "

@@ -29,11 +29,33 @@ def suggest_terms(
     words: list[str],
     max_dist: int = 2,
     k: int = 3,
+    suggest_mode: str = "always",
 ) -> DataFrame:
     """-> (word, rank, term, dist, df): up to ``k`` vocabulary terms
     within ``max_dist`` edits of each input word. A word with no
     near-enough term (or an exact vocabulary hit at dist 0 — callers
-    usually pass only the OOV terms) simply yields fewer/no rows."""
+    usually pass only the OOV terms) simply yields fewer/no rows.
+
+    ``suggest_mode`` is the ES term-suggester knob:
+
+    - ``"always"`` (this function's default, backward-compatible):
+      suggest for every word;
+    - ``"missing"`` (ES's own default): suggest ONLY for words absent
+      from the vocabulary — an indexed word yields no rows (its df > 0
+      proves it needs no correction);
+    - ``"popular"``: only candidates whose df is STRICTLY greater than
+      the word's own df (0 for an OOV word) — the identity candidate
+      can never outrank itself, so dist-0 rows vanish under this mode
+      by construction.
+
+    The word's own df resolves inside the same one-scan plan (a
+    vocabulary-sized aggregate pushed into the candidate frame — the
+    word IS one of its own length-band candidates whenever it's
+    indexed), so no second term_stats pass and no driver round-trip."""
+    if suggest_mode not in ("always", "missing", "popular"):
+        raise ValueError(
+            f"suggest_mode must be always|missing|popular, got {suggest_mode!r}"
+        )
     if not words:
         return spark.createDataFrame(
             [], "word string, rank long, term string, dist int, df long"
@@ -48,6 +70,22 @@ def suggest_terms(
         .withColumn("dist", F.levenshtein("word", "term"))
         .filter(F.col("dist") <= F.lit(max_dist))
     )
+    if suggest_mode in ("missing", "popular"):
+        # the word's own df, from the candidate frame itself: an
+        # indexed word always sits in its own length band at dist 0,
+        # so max(df where dist=0) over the word's partition IS its df
+        # (0 when OOV — the identity candidate is simply absent)
+        wdf = F.coalesce(
+            F.max(F.when(F.col("dist") == 0, F.col("df"))).over(
+                Window.partitionBy("word")
+            ),
+            F.lit(0),
+        )
+        cand = cand.withColumn("word_df", wdf)
+        if suggest_mode == "missing":
+            cand = cand.filter(F.col("word_df") == 0)
+        else:
+            cand = cand.filter(F.col("df") > F.col("word_df"))
     win = Window.partitionBy("word").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )

@@ -38,6 +38,51 @@ def test_suggest_exact_hit_ranks_first(spark):
     ]
 
 
+def test_suggest_modes(spark):
+    """ES term-suggester suggest_mode: missing silences indexed words,
+    popular keeps only strictly-more-frequent candidates (identity
+    dist-0 rows vanish by construction), always is the unfiltered
+    default; invalid mode rejected."""
+    import pytest
+
+    tstats = spark.createDataFrame(
+        [("scan", 10), ("scans", 99), ("scant", 3), ("join", 50)],
+        "term string, df long",
+    )
+    words = ["scan", "scann", "qqqq"]
+
+    def got(mode):
+        out = suggest_terms(
+            spark, tstats, words, max_dist=2, k=5, suggest_mode=mode
+        ).collect()
+        return {
+            (r["word"], r["term"]): (r["rank"], r["dist"], r["df"]) for r in out
+        }
+
+    alw = got("always")
+    # always: indexed 'scan' suggests itself first, then neighbors
+    assert alw[("scan", "scan")][0] == 1 and alw[("scan", "scan")][1] == 0
+    assert ("scan", "scans") in alw and ("scann", "scan") in alw
+
+    mis = got("missing")
+    # indexed word -> silenced entirely; OOV words keep suggestions
+    assert not any(w == "scan" for w, _ in mis)
+    assert ("scann", "scans") in mis
+    assert not any(w == "qqqq" for w, _ in mis)  # nothing near it
+
+    pop = got("popular")
+    # word_df('scan') = 10: only scans(99) survives; identity vanishes
+    scan_terms = {t for w, t in pop if w == "scan"}
+    assert scan_terms == {"scans"}
+    # OOV word_df = 0: every candidate qualifies, identical to always
+    assert {t for w, t in pop if w == "scann"} == {
+        t for w, t in alw if w == "scann"
+    }
+
+    with pytest.raises(ValueError, match="suggest_mode"):
+        suggest_terms(spark, tstats, words, suggest_mode="bogus")
+
+
 def test_completion_ranking_and_edges(spark):
     from angle_spark.query.suggest import complete_terms
 
