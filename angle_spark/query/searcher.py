@@ -441,6 +441,39 @@ class Searcher:
             positions=positions,
         )
 
+    def suggest(self, words, max_dist=2, k=3, suggest_mode="always") -> DataFrame:
+        """-> (word, rank, term, dist, df): spell suggestions from this
+        index's vocabulary (query/suggest.suggest_terms, incl. the ES
+        suggest_mode knob). A cached-vocab Searcher re-uploads its
+        bounded pandas vocabulary as a one-off frame — the same opt-in
+        contract as its other vocabulary rewrites."""
+        from angle_spark.query.suggest import suggest_terms
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        return suggest_terms(
+            self.spark, self._vocab_df(), words,
+            max_dist=max_dist, k=k, suggest_mode=suggest_mode,
+        )
+
+    def complete(self, prefixes, k=5) -> DataFrame:
+        """-> (prefix, rank, term, df): search-as-you-type completions
+        (query/suggest.complete_terms) from this index's vocabulary."""
+        from angle_spark.query.suggest import complete_terms
+
+        if self._merged is None:
+            raise RuntimeError("Searcher is closed")
+        return complete_terms(self.spark, self._vocab_df(), prefixes, k=k)
+
+    def _vocab_df(self) -> DataFrame:
+        """term_stats as a Spark frame regardless of the cache_vocab
+        rendition (the suggesters' plans are Spark-side)."""
+        import pandas as pd
+
+        if isinstance(self._tstats, pd.DataFrame):
+            return self.spark.createDataFrame(self._tstats[["term", "df"]])
+        return self._tstats
+
     def docvalues(self, name: str):
         """Open the handle of a stored docvalues field of this index
         (index/docvalues.py) — pass it to search(sort_meta=...),

@@ -105,6 +105,32 @@ def _n_cached(spark) -> int:
     return n
 
 
+def test_searcher_suggest_and_complete(spark, index_dir):
+    """Searcher.suggest/.complete == the stateless suggesters over the
+    index's own term_stats, in BOTH vocab renditions (Spark frame and
+    the cached-pandas opt-in, which re-uploads as a one-off frame)."""
+    from angle_spark.index.build import load_index
+    from angle_spark.query.suggest import complete_terms, suggest_terms
+
+    _, tstats, _ = load_index(spark, index_dir)
+    seed = tstats.select("term").orderBy("term").limit(1).collect()[0][0]
+    words, prefixes = [seed + "x"], [seed[:2]]
+    want_s = suggest_terms(
+        spark, tstats, words, k=3, suggest_mode="popular"
+    ).toPandas().sort_values(["word", "rank"]).reset_index(drop=True)
+    want_c = complete_terms(spark, tstats, prefixes, k=4).toPandas().sort_values(
+        ["prefix", "rank"]
+    ).reset_index(drop=True)
+    for cache_vocab in (False, True):
+        with Searcher(spark, index_dir, cache_vocab=cache_vocab) as s:
+            got_s = s.suggest(words, k=3, suggest_mode="popular").toPandas()
+            got_c = s.complete(prefixes, k=4).toPandas()
+        got_s = got_s.sort_values(["word", "rank"]).reset_index(drop=True)
+        got_c = got_c.sort_values(["prefix", "rank"]).reset_index(drop=True)
+        assert got_s.equals(want_s), cache_vocab
+        assert got_c.equals(want_c), cache_vocab
+
+
 def test_close_releases_cache(spark, index_dir):
     # assign_doc_ids' two-pass persist may already be in the cache (it is
     # released by the ContextCleaner, not eagerly) — the contract here is
