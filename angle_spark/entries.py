@@ -2744,6 +2744,170 @@ FROM hist
 """
 
 
+# --- PERCENTILE RANKS (round 5, the ES percentile_ranks aggregation —
+#     inverse percentiles): % of each query's matched metric values <=
+#     each check value, exact (100·|{v<=x}|/n — ES estimates the same
+#     quantity with a t-digest; exact is the oracle-assertable default,
+#     the cardinality precedent). Metric part-missing (doc_id % 5 == 4)
+#     so the skip rule is load-bearing.
+PCTRANK_AT = (200.0, 500.0, 900.0)
+
+
+def q_bm25_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import percentile_rank_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 5) != 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = percentile_rank_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        PCTRANK_AT,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id", "at_value", F.round("pct", 6).alias("pct")
+    )
+
+
+def _percentile_ranks_oracle_sql(
+    query_set: list[tuple[str, str, int]], at_values: tuple[float, ...]
+) -> str:
+    """percentile_ranks truth: membership CTEs joined to the
+    part-missing metric, 100·count(v<=x)/count(v) per (query, x)."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    ats = ", ".join(f"({x!r}::DOUBLE)" for x in at_values)
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vals AS (
+  SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.doc_id % 5 <> 4 AND d.n_chars IS NOT NULL
+), ats AS (
+  SELECT * FROM (VALUES {ats}) a(at_value)
+)
+SELECT v.query_id, a.at_value,
+       round(100.0 * count(CASE WHEN v.v <= a.at_value THEN 1 END)
+             / count(*), 6) AS pct
+FROM vals v CROSS JOIN ats a
+GROUP BY v.query_id, a.at_value
+"""
+
+
+# --- MOVING FUNCTION pipeline agg (round 5, ES moving_fn — the
+#     generalization that replaced moving_avg in ES 7): trailing max
+#     and sample-stddev windows over the length-band histogram; stddev
+#     is NULL on each query's first band (single-row window — the NaN
+#     ES emits, SQL-comparable).
+def q_bm25_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.pipeline_aggs import moving_fn
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor(F.col("n_chars") / F.lit(150)).cast("string").alias("bucket"),
+    )
+    hist = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    ).select("query_id", F.col("group").cast("long").alias("band"), "n_docs")
+    out = moving_fn(
+        moving_fn(hist, "n_docs", "band", window=3, fn="max", out_col="mov_max"),
+        "n_docs", "band", window=3, fn="stddev", out_col="mov_std",
+    )
+    return out.select(
+        "query_id",
+        "band",
+        "n_docs",
+        F.col("mov_max").cast("long").alias("mov_max"),
+        F.round("mov_std", 6).alias("mov_std"),
+    )
+
+
+def _moving_fn_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """moving_fn truth: trailing 3-band max and stddev_samp windows
+    over the histogram CTE."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), hist AS (
+  SELECT m.query_id,
+         (d.n_chars // 150)::BIGINT AS band,
+         count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY m.query_id, (d.n_chars // 150)
+)
+SELECT query_id, band, n_docs,
+       max(n_docs) OVER (PARTITION BY query_id ORDER BY band
+                         ROWS 2 PRECEDING)::BIGINT AS mov_max,
+       round(stddev_samp(n_docs) OVER (
+         PARTITION BY query_id ORDER BY band ROWS 2 PRECEDING), 6)
+         AS mov_std
+FROM hist
+"""
+
+
 # --- SIBLING pipeline aggregation (round 5, ES stats_bucket — the
 #     avg_bucket / sum_bucket / min_bucket / max_bucket family as one
 #     frame): per-query stats over the histogram's bucket metric; the
@@ -7699,6 +7863,8 @@ QUERIES = {
     "bm25_range_agg": q_bm25_range_agg,
     "bm25_histogram_pipeline": q_bm25_histogram_pipeline,
     "bm25_bucket_stats": q_bm25_bucket_stats,
+    "bm25_percentile_ranks": q_bm25_percentile_ranks,
+    "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
     "bm25_percentiles": q_bm25_percentiles,
@@ -7881,6 +8047,8 @@ ORACLE_SQL = {
     "bm25_range_agg": _range_agg_oracle_sql(STATS_QUERY_SET),
     "bm25_histogram_pipeline": _histogram_pipeline_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_stats": _bucket_stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_percentile_ranks": _percentile_ranks_oracle_sql(STATS_QUERY_SET, PCTRANK_AT),
+    "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_percentiles": _percentiles_oracle_sql(STATS_QUERY_SET),

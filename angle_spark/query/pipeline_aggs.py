@@ -79,6 +79,37 @@ def moving_avg(
     return buckets.withColumn(out_col, F.avg(value_col).over(w))
 
 
+_MOVING_FNS = {
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "stddev": F.stddev_samp,
+}
+
+
+def moving_fn(
+    buckets: DataFrame, value_col: str, order_col: str, window: int = 3,
+    fn: str = "avg", out_col: str = "moving_fn",
+) -> DataFrame:
+    """+= trailing ``fn`` over the last ``window`` buckets including the
+    current one — ES moving_fn with the MovingFunctions built-ins
+    (unweightedAvg / min / max / sum / stdDev); ``fn="avg"`` IS
+    moving_avg. The window shrinks at each query's head (ES behavior);
+    ``stddev`` is the n-1 sample form and NULL on a single-bucket
+    window (Spark stddev_samp), matching the NaN ES emits there."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if fn not in _MOVING_FNS:
+        raise ValueError(
+            f"fn must be one of {sorted(_MOVING_FNS)}, got {fn!r}"
+        )
+    w = _order_window(buckets, order_col).rowsBetween(
+        -(window - 1), Window.currentRow
+    )
+    return buckets.withColumn(out_col, _MOVING_FNS[fn](value_col).over(w))
+
+
 def bucket_selector(
     buckets: DataFrame, predicate: Column | str
 ) -> DataFrame:

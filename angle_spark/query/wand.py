@@ -2197,6 +2197,63 @@ def percentile_matches(
     )
 
 
+def percentile_rank_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    at_values: tuple[float, ...],
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, at_value, pct): the percentage of each query's
+    matched metric values that are <= at_value — the Elasticsearch
+    ``percentile_ranks`` aggregation (the inverse of percentiles:
+    "what fraction of matching turns are shorter than 500 chars").
+
+    Exact by default, like the percentiles/cardinality family: shards
+    ship (query, value) rows (collector="values", the honest exact
+    cost), the check-values broadcast in as a literal array, and one
+    bounded fold per (query, at_value) computes 100·|{v <= x}|/n — the
+    plain exact definition (ES's own output is a t-digest estimate of
+    the same quantity; exact is the stronger, oracle-assertable
+    default, the cardinality-agg precedent). Docs missing a value are
+    skipped (the ES missing rule); a query whose matches all lack
+    values emits no rows. Composes with every mode + deletes /
+    doc_filter / field_meta; ``values`` may be a DocValues handle."""
+    xs = [float(x) for x in at_values]
+    if not xs:
+        raise ValueError("at_values must be non-empty")
+    if len(set(xs)) != len(xs):
+        raise ValueError(f"duplicate at_values: {at_values!r}")
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    vals = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="values", sort_meta=values, **kwargs,
+    )
+    at = F.broadcast(
+        spark.createDataFrame([(x,) for x in xs], "at_value double")
+    )
+    return (
+        vals.crossJoin(at)
+        .groupBy("query_id", "at_value")
+        .agg(
+            (
+                F.lit(100.0)
+                * F.count(F.when(F.col("val") <= F.col("at_value"), F.lit(1)))
+                / F.count(F.lit(1))
+            ).alias("pct")
+        )
+    )
+
+
 def matched_ids(
     spark: SparkSession,
     merged: DataFrame,

@@ -192,3 +192,33 @@ def test_validation(spark, loaded, values):
             )
     with pytest.raises(ValueError, match="values"):
         wand_topk(spark, merged, tstats, meta, q, collector="values")
+
+def test_percentile_ranks(spark, loaded, values, doc_tokens):
+    """percentile_ranks == 100·|{v <= x}|/n brute force per (query, x);
+    missing-value docs skipped; all-missing query emits nothing;
+    validation on empty/duplicate check values."""
+    from angle_spark.query.wand import percentile_rank_matches
+
+    merged, tstats, meta = loaded
+    a, b, _ = _terms(doc_tokens)
+    q = _qdf(spark, [("pr", f"{a} {b}", 1)])
+    ats = (10.0, 48.0, 200.0)
+    got = percentile_rank_matches(
+        spark, merged, tstats, meta, q, values, ats
+    ).toPandas()
+    docs = [d for d, tk in doc_tokens.items() if a in tk or b in tk]
+    vals = [_value_of(d) for d in docs if _value_of(d) is not None]
+    assert len(got) == len(ats)
+    for _, r in got.iterrows():
+        x = r["at_value"]
+        want = 100.0 * sum(1 for v in vals if v <= x) / len(vals)
+        assert r["pct"] == pytest.approx(want, rel=1e-12), x
+    # the largest check value covers everything
+    assert float(got[got.at_value == 200.0]["pct"].iloc[0]) == 100.0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        percentile_rank_matches(spark, merged, tstats, meta, q, values, ())
+    with pytest.raises(ValueError, match="duplicate"):
+        percentile_rank_matches(
+            spark, merged, tstats, meta, q, values, (1.0, 1.0)
+        )

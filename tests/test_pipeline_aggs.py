@@ -126,6 +126,31 @@ def test_bucket_sort_cut_and_ties(spark):
         bucket_sort(bks, "n", "band", size=0)
 
 
+def test_moving_fn(spark, buckets):
+    from angle_spark.query.pipeline_aggs import moving_fn
+
+    got = _by(moving_fn(buckets, "n", "band", window=2, fn="max", out_col="m"))
+    assert got[("a", 0)]["m"] == 4
+    assert got[("a", 1)]["m"] == 6
+    assert got[("a", 3)]["m"] == 6   # trailing 2 present rows: 6, 2
+    assert got[("b", 0)]["m"] == 10
+    gsum = _by(moving_fn(buckets, "n", "band", window=3, fn="sum", out_col="s"))
+    assert gsum[("a", 3)]["s"] == 12
+    # avg IS moving_avg
+    ga = _by(moving_fn(buckets, "n", "band", window=2, fn="avg", out_col="x"))
+    gm = _by(moving_avg(buckets, "n", "band", window=2))
+    for k in ga:
+        assert ga[k]["x"] == gm[k]["moving_avg"]
+    # stddev: NULL on a single-row window (the ES NaN), n-1 form after
+    gs = _by(moving_fn(buckets, "n", "band", window=2, fn="stddev", out_col="sd"))
+    assert gs[("a", 0)]["sd"] is None
+    assert gs[("a", 1)]["sd"] == pytest.approx(2.0 ** 0.5)
+    with pytest.raises(ValueError, match="fn"):
+        moving_fn(buckets, "n", "band", fn="median")
+    with pytest.raises(ValueError, match="window"):
+        moving_fn(buckets, "n", "band", window=0)
+
+
 def test_stats_bucket_skips_nulls(spark):
     rows = [
         ("a", 0, 4.0), ("a", 1, None), ("a", 2, 6.0),
