@@ -2744,6 +2744,134 @@ FROM hist
 """
 
 
+# --- T-TEST aggregation (round 5, the Elasticsearch ``t_test``
+#     agg): Student's t between two numeric doc fields over each
+#     query's matched docs — welch (ES default) and paired, unioned
+#     with a test_type tag. Metric a = n_chars (missing for doc_id % 5
+#     == 4 — the unpaired variants use each field's own rows, paired
+#     demands both), metric b = (doc_id·13) % 211 + 100 (always
+#     present, SQL-replicable). Variances use the explicit
+#     (Σx² − (Σx)²/n)/(n−1) association on exactly-representable
+#     integer sums, so the oracle matches beyond round(6). The p-value
+#     is deliberately not emitted (no t-CDF in the oracle engine — the
+#     matrix_stats skew/kurtosis precedent); (t, dof) is sufficient.
+def q_bm25_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import t_test_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            (F.col("doc_id") % 5) != 4, F.col("n_chars").cast("double")
+        ).alias("a"),
+        ((F.col("doc_id") * 13) % 211 + 100).cast("double").alias("b"),
+    )
+    frames = []
+    for tt in ("welch", "paired"):
+        frames.append(
+            t_test_matches(
+                spark,
+                merged,
+                tstats,
+                meta,
+                _doc_queries_df(spark, STATS_QUERY_SET),
+                vals,
+                test_type=tt,
+                mode="boolean",
+            ).withColumn("test_type", F.lit(tt))
+        )
+    out = frames[0].unionByName(frames[1])
+    return out.select(
+        "test_type",
+        "query_id",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_value", 6).alias("t_value"),
+        F.round("dof", 6).alias("dof"),
+    )
+
+
+def _t_test_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """t_test truth: membership CTEs joined to the two metrics; welch
+    and paired statistics from the engine's exact expressions."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vw AS (
+  SELECT m.query_id,
+         CASE WHEN d.doc_id % 5 <> 4 THEN CAST(d.n_chars AS DOUBLE) END AS a,
+         CAST((d.doc_id * 13) % 211 + 100 AS DOUBLE) AS b
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+), welch0 AS (
+  SELECT query_id,
+         count(a)::BIGINT AS n_a, sum(a) AS s_a, sum(a*a) AS ss_a,
+         count(b)::BIGINT AS n_b, sum(b) AS s_b, sum(b*b) AS ss_b
+  FROM vw GROUP BY query_id
+), welch1 AS (
+  SELECT query_id, n_a, n_b,
+         s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+         greatest(0.0, (ss_a - s_a*s_a/n_a) / (n_a - 1)) / n_a AS sea,
+         greatest(0.0, (ss_b - s_b*s_b/n_b) / (n_b - 1)) / n_b AS seb
+  FROM welch0 WHERE n_a >= 2 AND n_b >= 2
+), welch AS (
+  SELECT 'welch' AS test_type, query_id, n_a, n_b,
+         round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+         round(CASE WHEN sea + seb > 0 THEN
+           (mean_a - mean_b) / sqrt(sea + seb) END, 6) AS t_value,
+         round(CASE WHEN sea + seb > 0 AND (sea > 0 OR seb > 0) THEN
+           (sea + seb) * (sea + seb)
+           / (sea*sea/(n_a - 1) + seb*seb/(n_b - 1)) END, 6) AS dof
+  FROM welch1
+), paired0 AS (
+  SELECT query_id,
+         count(*)::BIGINT AS n,
+         sum(a - b) AS s_d, sum((a - b) * (a - b)) AS ss_d,
+         sum(a) AS s_a, sum(b) AS s_b
+  FROM vw WHERE a IS NOT NULL AND b IS NOT NULL
+  GROUP BY query_id
+), paired AS (
+  SELECT 'paired' AS test_type, query_id, n AS n_a, n AS n_b,
+         round(s_a / n, 6) AS mean_a, round(s_b / n, 6) AS mean_b,
+         round(CASE WHEN n >= 2
+                     AND greatest(0.0, (ss_d - s_d*s_d/n)/(n - 1)) > 0
+           THEN (s_d / n)
+                / sqrt(greatest(0.0, (ss_d - s_d*s_d/n)/(n - 1)) / n)
+           END, 6) AS t_value,
+         round(CASE WHEN n >= 2
+                     AND greatest(0.0, (ss_d - s_d*s_d/n)/(n - 1)) > 0
+           THEN CAST(n - 1 AS DOUBLE) END, 6) AS dof
+  FROM paired0
+)
+SELECT * FROM welch UNION ALL SELECT * FROM paired
+"""
+
+
 # --- PERCENTILE RANKS (round 5, the ES percentile_ranks aggregation —
 #     inverse percentiles): % of each query's matched metric values <=
 #     each check value, exact (100·|{v<=x}|/n — ES estimates the same
@@ -7864,6 +7992,7 @@ QUERIES = {
     "bm25_histogram_pipeline": q_bm25_histogram_pipeline,
     "bm25_bucket_stats": q_bm25_bucket_stats,
     "bm25_percentile_ranks": q_bm25_percentile_ranks,
+    "bm25_t_test": q_bm25_t_test,
     "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
@@ -8048,6 +8177,7 @@ ORACLE_SQL = {
     "bm25_histogram_pipeline": _histogram_pipeline_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_stats": _bucket_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_percentile_ranks": _percentile_ranks_oracle_sql(STATS_QUERY_SET, PCTRANK_AT),
+    "bm25_t_test": _t_test_oracle_sql(STATS_QUERY_SET),
     "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),

@@ -2197,6 +2197,129 @@ def percentile_matches(
     )
 
 
+def t_test_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    test_type: str = "welch",
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_a, n_b, mean_a, mean_b, t_value, dof): Student's
+    t-test between two numeric doc fields over each query's matched
+    docs — the Elasticsearch ``t_test`` aggregation ("is the length of
+    error-mentioning turns statistically different from their token
+    count" class of question). ``values`` is a (doc_id, a, b) frame.
+
+    ``test_type`` (ES's own three):
+
+    - ``"welch"`` (ES default): unequal variances —
+      t = (m_a − m_b)/√(v_a/n_a + v_b/n_b), Welch–Satterthwaite dof;
+    - ``"homoscedastic"``: pooled variance, dof = n_a + n_b − 2;
+    - ``"paired"``: per-doc differences d = a − b over docs carrying
+      BOTH fields — t = m_d/(s_d/√n), dof = n − 1; n_a = n_b = n.
+
+    Missing rules are ES's: unpaired variants use each field's own
+    non-null rows independently; paired requires both. Variances are
+    the sample (n−1) form computed with the SAME explicit
+    (Σx² − (Σx)²/n)/(n−1) association as extended_stats, so a DuckDB
+    oracle replays them bitwise on integer-valued metrics. The
+    p-value ES derives from (t, dof) via the t-distribution CDF is
+    deliberately NOT emitted: no incomplete-beta in the oracle engine
+    to pin it against (the matrix_stats skew/kurtosis precedent) —
+    (t_value, dof) is the complete sufficient statistic. Queries
+    without enough data (a variance undefined, or zero variance
+    denominator) emit NULL t_value/dof rather than an ANSI error.
+
+    One matched_ids membership pass + one metadata equi-join (the
+    weighted_avg shape) + a constant-size per-query fold."""
+    if test_type not in ("welch", "homoscedastic", "paired"):
+        raise ValueError(
+            "test_type must be welch|homoscedastic|paired, "
+            f"got {test_type!r}"
+        )
+    ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
+    c0, c1, c2 = values.columns[:3]
+    vals = values.select(
+        F.col(c0).cast("long").alias("doc_id"),
+        F.col(c1).cast("double").alias("_tt_a"),
+        F.col(c2).cast("double").alias("_tt_b"),
+    )
+    joined = ids.join(vals, "doc_id", "left")
+    a, b = F.col("_tt_a"), F.col("_tt_b")
+
+    def _moments(col, tag):
+        return [
+            F.count(col).cast("long").alias(f"n_{tag}"),
+            F.sum(col).alias(f"s_{tag}"),
+            F.sum(col * col).alias(f"ss_{tag}"),
+        ]
+
+    if test_type == "paired":
+        d = F.when(a.isNotNull() & b.isNotNull(), a - b)
+        agg = joined.groupBy("query_id").agg(
+            *_moments(d, "d"),
+            F.sum(F.when(d.isNotNull(), a)).alias("s_a"),
+            F.sum(F.when(d.isNotNull(), b)).alias("s_b"),
+        )
+        n = F.col("n_d")
+        var_d = F.when(
+            n >= 2,
+            F.greatest(
+                F.lit(0.0),
+                (F.col("ss_d") - F.col("s_d") * F.col("s_d") / n) / (n - 1),
+            ),
+        )
+        t = F.when(
+            (n >= 2) & (var_d > 0.0),
+            (F.col("s_d") / n) / F.sqrt(var_d / n),
+        )
+        dof = F.when((n >= 2) & (var_d > 0.0), (n - 1).cast("double"))
+        return agg.select(
+            "query_id",
+            n.alias("n_a"),
+            n.alias("n_b"),
+            F.when(n > 0, F.col("s_a") / n).alias("mean_a"),
+            F.when(n > 0, F.col("s_b") / n).alias("mean_b"),
+            t.alias("t_value"),
+            dof.alias("dof"),
+        )
+
+    agg = joined.groupBy("query_id").agg(*_moments(a, "a"), *_moments(b, "b"))
+    na, nb = F.col("n_a"), F.col("n_b")
+
+    def _var(tag, n):
+        s, ss = F.col(f"s_{tag}"), F.col(f"ss_{tag}")
+        return F.when(
+            n >= 2, F.greatest(F.lit(0.0), (ss - s * s / n) / (n - 1))
+        )
+    va, vb = _var("a", na), _var("b", nb)
+    ma = F.when(na > 0, F.col("s_a") / na)
+    mb = F.when(nb > 0, F.col("s_b") / nb)
+    ok = (na >= 2) & (nb >= 2)
+    if test_type == "welch":
+        sea, seb = va / na, vb / nb
+        se2 = F.when(ok, sea + seb)
+        t = F.when(ok & (se2 > 0.0), (ma - mb) / F.sqrt(se2))
+        dof = F.when(
+            ok & (sea + seb > 0.0) & ((sea > 0.0) | (seb > 0.0)),
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+        )
+    else:  # homoscedastic
+        sp2 = F.when(ok, ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+        se2 = sp2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        t = F.when(ok & (se2 > 0.0), (ma - mb) / F.sqrt(se2))
+        dof = F.when(ok & (se2 > 0.0), (na + nb - 2).cast("double"))
+    return agg.select(
+        "query_id", "n_a", "n_b",
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        t.alias("t_value"), dof.alias("dof"),
+    )
+
+
 def percentile_rank_matches(
     spark: SparkSession,
     merged: DataFrame,

@@ -202,3 +202,82 @@ def test_validation(spark, loaded):
         )
     with pytest.raises(ValueError, match="offset"):
         wand_topk(spark, merged, tstats, meta, q, collector="ids", offset=3)
+
+
+def test_t_test_matches(spark, loaded, doc_tokens):
+    """t_test == numpy brute force for all three ES test types; missing
+    rules (unpaired per-field, paired both-required); zero-variance and
+    short-data folds yield NULL t/dof, never errors; bad type guard."""
+    import math
+
+    from angle_spark.query.wand import t_test_matches
+
+    merged, tstats, meta = loaded
+    a_t, b_t = _terms(doc_tokens)
+    n = max(doc_tokens) + 1
+    av = {d: float((d * 7) % 53) if d % 4 != 3 else None for d in range(n)}
+    bv = {d: float((d * 11) % 67) if d % 6 != 5 else None for d in range(n)}
+    vdf = spark.createDataFrame(
+        [(d, av[d], bv[d]) for d in range(n)], "doc_id long, a double, b double"
+    )
+    q = spark.createDataFrame(
+        [("t", f"{a_t} {b_t}", 1)], "query_id string, text string, k int"
+    )
+    docs = [d for d, tk in doc_tokens.items() if a_t in tk or b_t in tk]
+    va = [av[d] for d in docs if av[d] is not None]
+    vb = [bv[d] for d in docs if bv[d] is not None]
+
+    def svar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    # welch
+    row = t_test_matches(
+        spark, merged, tstats, meta, q, vdf, test_type="welch"
+    ).toPandas().iloc[0]
+    sea, seb = svar(va) / len(va), svar(vb) / len(vb)
+    t_want = (sum(va) / len(va) - sum(vb) / len(vb)) / math.sqrt(sea + seb)
+    dof_want = (sea + seb) ** 2 / (
+        sea**2 / (len(va) - 1) + seb**2 / (len(vb) - 1)
+    )
+    assert int(row["n_a"]) == len(va) and int(row["n_b"]) == len(vb)
+    assert math.isclose(float(row["t_value"]), t_want, rel_tol=1e-9)
+    assert math.isclose(float(row["dof"]), dof_want, rel_tol=1e-9)
+
+    # homoscedastic
+    row = t_test_matches(
+        spark, merged, tstats, meta, q, vdf, test_type="homoscedastic"
+    ).toPandas().iloc[0]
+    na, nb = len(va), len(vb)
+    sp2 = ((na - 1) * svar(va) + (nb - 1) * svar(vb)) / (na + nb - 2)
+    t_want = (sum(va) / na - sum(vb) / nb) / math.sqrt(sp2 * (1 / na + 1 / nb))
+    assert math.isclose(float(row["t_value"]), t_want, rel_tol=1e-9)
+    assert float(row["dof"]) == na + nb - 2
+
+    # paired: only docs with BOTH fields
+    row = t_test_matches(
+        spark, merged, tstats, meta, q, vdf, test_type="paired"
+    ).toPandas().iloc[0]
+    dpairs = [
+        av[d] - bv[d]
+        for d in docs
+        if av[d] is not None and bv[d] is not None
+    ]
+    nd = len(dpairs)
+    t_want = (sum(dpairs) / nd) / math.sqrt(svar(dpairs) / nd)
+    assert int(row["n_a"]) == int(row["n_b"]) == nd < len(docs)
+    assert math.isclose(float(row["t_value"]), t_want, rel_tol=1e-9)
+    assert float(row["dof"]) == nd - 1
+
+    # zero variance both sides -> NULL t/dof (not an error)
+    const = spark.createDataFrame(
+        [(d, 5.0, 5.0) for d in range(n)], "doc_id long, a double, b double"
+    )
+    row = t_test_matches(
+        spark, merged, tstats, meta, q, const, test_type="welch"
+    ).toPandas().iloc[0]
+    assert pd.isna(row["t_value"]) and pd.isna(row["dof"])
+    assert float(row["mean_a"]) == 5.0
+
+    with pytest.raises(ValueError, match="test_type"):
+        t_test_matches(spark, merged, tstats, meta, q, vdf, test_type="x")
