@@ -2744,6 +2744,96 @@ FROM hist
 """
 
 
+# --- BOXPLOT aggregation (round 5, the ES boxplot agg): five-number
+#     summary + Tukey whiskers over each query's matched metric —
+#     lower/upper are the smallest/largest ACTUAL values inside the
+#     [q1−1.5·IQR, q3+1.5·IQR] fence (ES's definition), quartiles are
+#     exact linear interpolation (Spark percentile == DuckDB
+#     quantile_cont, the percentiles-entry precedent). Metric
+#     part-missing (doc_id % 5 == 4).
+def q_bm25_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import boxplot_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 5) != 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = boxplot_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "n_values",
+        "min",
+        "max",
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        "lower",
+        "upper",
+    )
+
+
+def _boxplot_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """Boxplot truth: quantile_cont quartiles per query over the
+    part-missing metric + conditional min/max inside the 1.5·IQR
+    fence."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vals AS (
+  SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.doc_id % 5 <> 4 AND d.n_chars IS NOT NULL
+), quarts AS (
+  SELECT query_id,
+         count(*)::BIGINT AS n_values,
+         min(v) AS min, max(v) AS max,
+         quantile_cont(v, 0.25) AS q1,
+         quantile_cont(v, 0.50) AS q2,
+         quantile_cont(v, 0.75) AS q3
+  FROM vals GROUP BY query_id
+)
+SELECT q.query_id, q.n_values, q.min, q.max,
+       round(q.q1, 6) AS q1, round(q.q2, 6) AS q2, round(q.q3, 6) AS q3,
+       min(CASE WHEN v.v >= q.q1 - 1.5 * (q.q3 - q.q1) THEN v.v END) AS lower,
+       max(CASE WHEN v.v <= q.q3 + 1.5 * (q.q3 - q.q1) THEN v.v END) AS upper
+FROM quarts q JOIN vals v ON v.query_id = q.query_id
+GROUP BY q.query_id, q.n_values, q.min, q.max, q.q1, q.q2, q.q3
+"""
+
+
 # --- T-TEST aggregation (round 5, the Elasticsearch ``t_test``
 #     agg): Student's t between two numeric doc fields over each
 #     query's matched docs — welch (ES default) and paired, unioned
@@ -7993,6 +8083,7 @@ QUERIES = {
     "bm25_bucket_stats": q_bm25_bucket_stats,
     "bm25_percentile_ranks": q_bm25_percentile_ranks,
     "bm25_t_test": q_bm25_t_test,
+    "bm25_boxplot": q_bm25_boxplot,
     "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
@@ -8178,6 +8269,7 @@ ORACLE_SQL = {
     "bm25_bucket_stats": _bucket_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_percentile_ranks": _percentile_ranks_oracle_sql(STATS_QUERY_SET, PCTRANK_AT),
     "bm25_t_test": _t_test_oracle_sql(STATS_QUERY_SET),
+    "bm25_boxplot": _boxplot_oracle_sql(STATS_QUERY_SET),
     "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),

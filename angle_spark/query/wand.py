@@ -2197,6 +2197,68 @@ def percentile_matches(
     )
 
 
+def boxplot_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    whisker_iqr: float = 1.5,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_values, min, max, q1, q2, q3, lower, upper):
+    the Elasticsearch ``boxplot`` aggregation — five-number summary of
+    a metric over each query's matched docs plus Tukey whiskers:
+    ``lower``/``upper`` are the SMALLEST/LARGEST ACTUAL VALUES inside
+    the [q1 − k·IQR, q3 + k·IQR] fence (k = ``whisker_iqr``, ES uses
+    1.5) — not the fence itself, exactly ES's definition. Quartiles
+    are exact linear-interpolation percentiles (ES estimates them with
+    a t-digest; exact is the oracle-assertable default — the
+    percentiles/cardinality precedent).
+
+    One values-collector pass (O(matches) (query, value) rows), then a
+    single plan: quartiles as an unordered window aggregate per query
+    followed by one conditional fold — the window and the fold share
+    the query_id partitioning, so the narrow frame shuffles once.
+    Missing-value docs are skipped; all-missing queries emit no row."""
+    if whisker_iqr < 0:
+        raise ValueError(f"whisker_iqr must be >= 0, got {whisker_iqr}")
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    vals = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="values", sort_meta=values, **kwargs,
+    )
+    w = Window.partitionBy("query_id")
+    qs = F.percentile(F.col("val"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).over(w)
+    with_q = vals.select(
+        "query_id",
+        "val",
+        F.element_at(qs, 1).alias("q1"),
+        F.element_at(qs, 2).alias("q2"),
+        F.element_at(qs, 3).alias("q3"),
+    )
+    k = F.lit(float(whisker_iqr))
+    lo_fence = F.col("q1") - k * (F.col("q3") - F.col("q1"))
+    hi_fence = F.col("q3") + k * (F.col("q3") - F.col("q1"))
+    return with_q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.min("val").alias("min"),
+        F.max("val").alias("max"),
+        F.first("q1").alias("q1"),
+        F.first("q2").alias("q2"),
+        F.first("q3").alias("q3"),
+        F.min(F.when(F.col("val") >= lo_fence, F.col("val"))).alias("lower"),
+        F.max(F.when(F.col("val") <= hi_fence, F.col("val"))).alias("upper"),
+    )
+
+
 def t_test_matches(
     spark: SparkSession,
     merged: DataFrame,

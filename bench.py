@@ -355,6 +355,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_bucket_sort",
         "bm25_must_not",
         "bm25_weighted_avg",
+        "bm25_percentile_ranks",
+        "bm25_moving_fn",
+        "bm25_t_test",
+        "bm25_boxplot",
+        "suggest_modes",
+        "fuzzy_prefix_expand",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).count()

@@ -222,3 +222,54 @@ def test_percentile_ranks(spark, loaded, values, doc_tokens):
         percentile_rank_matches(
             spark, merged, tstats, meta, q, values, (1.0, 1.0)
         )
+
+
+def test_boxplot_matches(spark, loaded, values, doc_tokens):
+    """boxplot == numpy brute force: exact quartiles, Tukey whiskers
+    are ACTUAL values inside the fence (an outlier pushes min below
+    lower), whisker_iqr=0 degenerates to values inside [q1, q3]."""
+    import numpy as np
+
+    from angle_spark.query.wand import boxplot_matches
+
+    merged, tstats, meta = loaded
+    a, b, _ = _terms(doc_tokens)
+    q = _qdf(spark, [("bx", f"{a} {b}", 1)])
+    # plant one extreme outlier on a matched, valued doc
+    docs = [d for d, tk in doc_tokens.items() if a in tk or b in tk]
+    valued = [d for d in docs if _value_of(d) is not None]
+    out_doc = valued[0]
+    rows = [
+        (d, 1e6 if d == out_doc else _value_of(d))
+        for d in range(max(doc_tokens) + 1)
+        if _value_of(d) is not None
+    ]
+    vdf = spark.createDataFrame(rows, "doc_id long, value double")
+    got = boxplot_matches(
+        spark, merged, tstats, meta, q, vdf
+    ).toPandas().iloc[0]
+    vs = np.array([1e6 if d == out_doc else _value_of(d) for d in valued])
+    q1, q2, q3 = np.percentile(vs, [25, 50, 75])  # linear interpolation
+    iqr = q3 - q1
+    inside = vs[(vs >= q1 - 1.5 * iqr) & (vs <= q3 + 1.5 * iqr)]
+    assert int(got["n_values"]) == len(vs)
+    assert float(got["min"]) == vs.min() and float(got["max"]) == 1e6
+    for col, want in (("q1", q1), ("q2", q2), ("q3", q3)):
+        assert abs(float(got[col]) - want) < 1e-9, col
+    assert float(got["lower"]) == inside.min()
+    assert float(got["upper"]) == inside.max() < 1e6  # outlier excluded
+
+    # whisker_iqr=0: whiskers are actual values inside [q1, q3]
+    got0 = boxplot_matches(
+        spark, merged, tstats, meta, q, vdf, whisker_iqr=0.0
+    ).toPandas().iloc[0]
+    in0 = vs[(vs >= q1) & (vs <= q3)]
+    assert float(got0["lower"]) == in0.min()
+    assert float(got0["upper"]) == in0.max()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="whisker_iqr"):
+        boxplot_matches(
+            spark, merged, tstats, meta, q, vdf, whisker_iqr=-1
+        )
