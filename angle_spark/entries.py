@@ -2834,6 +2834,81 @@ GROUP BY q.query_id, q.n_values, q.min, q.max, q.q1, q.q2, q.q3
 """
 
 
+# --- MAD aggregation (round 5, ES median_absolute_deviation): the
+#     robust dispersion companion — mad = median(|v − median(v)|),
+#     both medians exact (the boxplot precedent); part-missing metric.
+def q_bm25_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import mad_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    vals = docs.filter((F.col("doc_id") % 5) != 4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = mad_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        vals,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "n_values",
+        F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+def _mad_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """MAD truth: quantile_cont median per query, then quantile_cont of
+    the absolute deviations from it."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), vals AS (
+  SELECT m.query_id, CAST(d.n_chars AS DOUBLE) AS v
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+  WHERE d.doc_id % 5 <> 4 AND d.n_chars IS NOT NULL
+), meds AS (
+  SELECT query_id, count(*)::BIGINT AS n_values,
+         quantile_cont(v, 0.5) AS median
+  FROM vals GROUP BY query_id
+)
+SELECT m.query_id, m.n_values,
+       round(m.median, 6) AS median,
+       round(quantile_cont(abs(v.v - m.median), 0.5), 6) AS mad
+FROM meds m JOIN vals v ON v.query_id = m.query_id
+GROUP BY m.query_id, m.n_values, m.median
+"""
+
+
 # --- T-TEST aggregation (round 5, the Elasticsearch ``t_test``
 #     agg): Student's t between two numeric doc fields over each
 #     query's matched docs — welch (ES default) and paired, unioned
@@ -8084,6 +8159,7 @@ QUERIES = {
     "bm25_percentile_ranks": q_bm25_percentile_ranks,
     "bm25_t_test": q_bm25_t_test,
     "bm25_boxplot": q_bm25_boxplot,
+    "bm25_mad": q_bm25_mad,
     "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
@@ -8270,6 +8346,7 @@ ORACLE_SQL = {
     "bm25_percentile_ranks": _percentile_ranks_oracle_sql(STATS_QUERY_SET, PCTRANK_AT),
     "bm25_t_test": _t_test_oracle_sql(STATS_QUERY_SET),
     "bm25_boxplot": _boxplot_oracle_sql(STATS_QUERY_SET),
+    "bm25_mad": _mad_oracle_sql(STATS_QUERY_SET),
     "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),

@@ -2259,6 +2259,53 @@ def boxplot_matches(
     )
 
 
+def mad_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    values: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_values, median, mad): median absolute deviation
+    of a metric over each query's matched docs — the Elasticsearch
+    ``median_absolute_deviation`` aggregation (the robust dispersion
+    companion of extended_stats' σ). mad = median(|v − median(v)|),
+    both medians exact linear-interpolation percentiles (ES runs the
+    same formula over t-digest sketches; exact is the
+    oracle-assertable default — the boxplot/percentiles precedent).
+
+    Same plan family as boxplot: one values-collector pass, the inner
+    median as an unordered window aggregate per query, then the outer
+    median in the fold that shares the window's query_id partitioning.
+    Missing-value docs skip; all-missing queries emit no row."""
+    kwargs.pop("collector", None)
+    kwargs.pop("sort_meta", None)
+    if not isinstance(values, DocValues):
+        values = values.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(values.columns[1]).cast("double").alias("sort_key"),
+        )
+    vals = wand_topk(
+        spark, merged, tstats, meta, queries,
+        collector="values", sort_meta=values, **kwargs,
+    )
+    w = Window.partitionBy("query_id")
+    med = F.percentile(F.col("val"), F.lit(0.5)).over(w)
+    return (
+        vals.select("query_id", "val", med.alias("med"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.first("med").alias("median"),
+            F.percentile(F.abs(F.col("val") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            ),
+        )
+    )
+
+
 def t_test_matches(
     spark: SparkSession,
     merged: DataFrame,

@@ -359,6 +359,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_moving_fn",
         "bm25_t_test",
         "bm25_boxplot",
+        "bm25_mad",
         "suggest_modes",
         "fuzzy_prefix_expand",
     ):

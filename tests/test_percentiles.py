@@ -273,3 +273,26 @@ def test_boxplot_matches(spark, loaded, values, doc_tokens):
         boxplot_matches(
             spark, merged, tstats, meta, q, vdf, whisker_iqr=-1
         )
+
+
+def test_mad_matches(spark, loaded, values, doc_tokens):
+    """MAD == numpy brute force (median of |v - median|, linear
+    interpolation both levels); robust to the planted outlier that
+    inflates stddev."""
+    import numpy as np
+
+    from angle_spark.query.wand import mad_matches
+
+    merged, tstats, meta = loaded
+    a, b, _ = _terms(doc_tokens)
+    q = _qdf(spark, [("md", f"{a} {b}", 1)])
+    got = mad_matches(
+        spark, merged, tstats, meta, q, values
+    ).toPandas().iloc[0]
+    docs = [d for d, tk in doc_tokens.items() if a in tk or b in tk]
+    vs = np.array([_value_of(d) for d in docs if _value_of(d) is not None])
+    med = np.percentile(vs, 50)
+    mad = np.percentile(np.abs(vs - med), 50)
+    assert int(got["n_values"]) == len(vs)
+    assert abs(float(got["median"]) - med) < 1e-9
+    assert abs(float(got["mad"]) - mad) < 1e-9
