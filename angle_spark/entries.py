@@ -2834,6 +2834,103 @@ GROUP BY q.query_id, q.n_values, q.min, q.max, q.q1, q.q2, q.q3
 """
 
 
+# --- STRING_STATS aggregation (round 5, the ES string_stats agg):
+#     length stats + Shannon entropy (log2) of the character
+#     distribution of a string field over matched docs — the
+#     repetitiveness/data-quality scan. Field = documents.text, made
+#     part-missing (doc_id % 7 == 6 -> NULL) to exercise the ES
+#     missing rules. The per-char explode aggregates map-side, so the
+#     shuffle is (queries x alphabet) rows.
+def q_bm25_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import string_stats_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    texts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when((F.col("doc_id") % 7) != 6, F.col("text")).alias("s"),
+    )
+    out = string_stats_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        texts,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        "n_values",
+        "min_length",
+        "max_length",
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def _string_stats_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """string_stats truth: membership CTEs joined to the part-missing
+    text field; length stats per query + -Σ p·log2(p) over the
+    per-(query, char) counts."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), txt AS (
+  SELECT m.query_id,
+         CASE WHEN d.doc_id % 7 <> 6 THEN d.text END AS s
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+), lens AS (
+  SELECT query_id,
+         count(s)::BIGINT AS n_values,
+         min(length(s))::BIGINT AS min_length,
+         max(length(s))::BIGINT AS max_length,
+         avg(length(s)) AS avg_length
+  FROM txt GROUP BY query_id
+), chars AS (
+  SELECT query_id, ch, count(*)::DOUBLE AS c
+  FROM (SELECT query_id, unnest(string_split(s, '')) AS ch
+        FROM txt WHERE s IS NOT NULL)
+  WHERE ch <> ''
+  GROUP BY query_id, ch
+), ent AS (
+  SELECT query_id,
+         sum(-(c / tot) * log2(c / tot)) AS entropy
+  FROM (SELECT query_id, c,
+               sum(c) OVER (PARTITION BY query_id) AS tot
+        FROM chars)
+  GROUP BY query_id
+)
+SELECT l.query_id, l.n_values, l.min_length, l.max_length,
+       round(l.avg_length, 6) AS avg_length,
+       round(e.entropy, 6) AS entropy
+FROM lens l LEFT JOIN ent e ON e.query_id = l.query_id
+"""
+
+
 # --- MAD aggregation (round 5, ES median_absolute_deviation): the
 #     robust dispersion companion — mad = median(|v − median(v)|),
 #     both medians exact (the boxplot precedent); part-missing metric.
@@ -8160,6 +8257,7 @@ QUERIES = {
     "bm25_t_test": q_bm25_t_test,
     "bm25_boxplot": q_bm25_boxplot,
     "bm25_mad": q_bm25_mad,
+    "bm25_string_stats": q_bm25_string_stats,
     "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
@@ -8347,6 +8445,7 @@ ORACLE_SQL = {
     "bm25_t_test": _t_test_oracle_sql(STATS_QUERY_SET),
     "bm25_boxplot": _boxplot_oracle_sql(STATS_QUERY_SET),
     "bm25_mad": _mad_oracle_sql(STATS_QUERY_SET),
+    "bm25_string_stats": _string_stats_oracle_sql(STATS_QUERY_SET),
     "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),

@@ -2259,6 +2259,66 @@ def boxplot_matches(
     )
 
 
+def string_stats_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    texts: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, n_values, min_length, max_length, avg_length,
+    entropy): the Elasticsearch ``string_stats`` aggregation over a
+    string doc field for each query's matched docs — length statistics
+    plus the Shannon entropy (log2, ES's definition) of the field's
+    CHARACTER distribution, the data-quality scan ("how repetitive is
+    the text matching X") a training-data pipeline runs at corpus
+    scale. ``texts`` is a (doc_id, string) frame; NULL strings are
+    missing (skip n_values and both stats; empty strings count with
+    length 0 and contribute no characters — ES's own rules).
+
+    Scale shape: one membership pass + one metadata equi-join (the
+    weighted_avg shape), then TWO bounded aggregations over the
+    O(matches) joined frame — a constant-size length fold, and the
+    entropy pass whose per-char explode happens IN-TASK with map-side
+    combine, so what shuffles is (queries × alphabet) rows, never the
+    character stream. Two jobs over the joined frame by construction
+    (disclosed; ES folds both in one collector pass)."""
+    ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
+    c0, c1 = texts.columns[:2]
+    tx = texts.select(
+        F.col(c0).cast("long").alias("doc_id"),
+        F.col(c1).cast("string").alias("_ss_s"),
+    )
+    joined = ids.join(tx, "doc_id", "left")
+    s = F.col("_ss_s")
+    lengths = joined.groupBy("query_id").agg(
+        F.count(s).cast("long").alias("n_values"),
+        F.min(F.length(s)).cast("long").alias("min_length"),
+        F.max(F.length(s)).cast("long").alias("max_length"),
+        F.avg(F.length(s)).alias("avg_length"),
+    )
+    chars = (
+        joined.filter(s.isNotNull())
+        .select("query_id", F.explode(F.split(s, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("query_id", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = Window.partitionBy("query_id")
+    p = F.col("c") / F.sum("c").over(tot)
+    ent = (
+        chars.select("query_id", (-p * F.log2(p)).alias("term"))
+        .groupBy("query_id")
+        .agg(F.sum("term").alias("entropy"))
+    )
+    return lengths.join(ent, "query_id", "left").select(
+        "query_id", "n_values", "min_length", "max_length",
+        "avg_length", "entropy",
+    )
+
+
 def mad_matches(
     spark: SparkSession,
     merged: DataFrame,

@@ -360,6 +360,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_t_test",
         "bm25_boxplot",
         "bm25_mad",
+        "bm25_string_stats",
         "suggest_modes",
         "fuzzy_prefix_expand",
     ):

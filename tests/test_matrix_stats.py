@@ -281,3 +281,42 @@ def test_t_test_matches(spark, loaded, doc_tokens):
 
     with pytest.raises(ValueError, match="test_type"):
         t_test_matches(spark, merged, tstats, meta, q, vdf, test_type="x")
+
+
+def test_string_stats_matches(spark, loaded, doc_tokens):
+    """string_stats == python brute force: length stats, log2 Shannon
+    entropy over the pooled character distribution, ES missing rules
+    (NULL skips everything; empty string counts with length 0 and no
+    chars)."""
+    import math
+    from collections import Counter
+
+    from angle_spark.query.wand import string_stats_matches
+
+    merged, tstats, meta = loaded
+    a_t, b_t = _terms(doc_tokens)
+    n = max(doc_tokens) + 1
+    texts = {
+        d: (None if d % 5 == 0 else ("" if d % 7 == 3 else f"doc {d} " * (1 + d % 3)))
+        for d in range(n)
+    }
+    tdf = spark.createDataFrame(
+        [(d, texts[d]) for d in range(n)], "doc_id long, s string"
+    )
+    q = _qdf(spark, [("ss", f"{a_t} {b_t}", 1)])
+    got = string_stats_matches(
+        spark, merged, tstats, meta, q, tdf
+    ).toPandas().iloc[0]
+    docs = [d for d, tk in doc_tokens.items() if a_t in tk or b_t in tk]
+    vals = [texts[d] for d in docs if texts[d] is not None]
+    cnt = Counter("".join(vals))
+    total = sum(cnt.values())
+    ent = -sum((c / total) * math.log2(c / total) for c in cnt.values())
+    assert int(got["n_values"]) == len(vals)
+    assert int(got["min_length"]) == min(len(v) for v in vals) == 0
+    assert int(got["max_length"]) == max(len(v) for v in vals)
+    assert math.isclose(
+        float(got["avg_length"]), sum(len(v) for v in vals) / len(vals),
+        rel_tol=1e-12,
+    )
+    assert math.isclose(float(got["entropy"]), ent, rel_tol=1e-9)
