@@ -2834,6 +2834,158 @@ GROUP BY q.query_id, q.n_values, q.min, q.max, q.q1, q.q2, q.q3
 """
 
 
+# --- MULTI_TERMS aggregation (round 5, the ES multi_terms agg):
+#     buckets keyed by a COMPOSITE of two fields (lang × source here) —
+#     in this engine a multi_terms key is just a composed label column
+#     feeding the same group_matches collector (ES builds the compound
+#     key the same way internally); the '|' separator is unambiguous on
+#     these vocabularies. Docs missing EITHER field drop (ES's
+#     multi_terms rule — stricter than terms' per-field missing).
+def q_bm25_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import group_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    groups = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(
+            F.col("lang").isNotNull() & F.col("source").isNotNull(),
+            F.concat_ws("|", F.col("lang"), F.col("source")),
+        ).alias("bucket"),
+    )
+    out = group_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        groups,
+        mode="boolean",
+    )
+    return out.select("query_id", F.col("group").alias("bucket"), "n_docs")
+
+
+def _multi_terms_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """multi_terms truth: membership CTEs counted per (lang, source)
+    compound key, both fields required."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+)
+SELECT m.query_id,
+       d.lang || '|' || d.source AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+GROUP BY m.query_id, bucket
+"""
+
+
+# --- TOP_METRICS aggregation (round 5, the ES top_metrics agg): the
+#     metric values AT the top-2 docs by n_chars DESC per query —
+#     sort-by-field selection + the broadcast hydration join; metrics
+#     here are a keyword (lang) and a numeric (n_chars % 64) column.
+def q_bm25_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from angle_spark.index.build import load_index
+    from angle_spark.query.wand import top_metrics_matches
+
+    merged, tstats, meta = load_index(
+        spark, _cached_doc_index(spark, sf_dir, positional=True)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    sort = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("double").alias("key"),
+    )
+    metrics = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("lang"),
+        (F.col("n_chars") % 64).cast("long").alias("m_num"),
+    )
+    out = top_metrics_matches(
+        spark,
+        merged,
+        tstats,
+        meta,
+        _doc_queries_df(spark, STATS_QUERY_SET),
+        sort,
+        metrics,
+        size=2,
+        mode="boolean",
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("sort_value").alias("sort_value"),
+        "lang",
+        "m_num",
+    )
+
+
+def _top_metrics_oracle_sql(query_set: list[tuple[str, str, int]]) -> str:
+    """top_metrics truth: membership CTEs ranked by (n_chars DESC,
+    doc_id ASC), cut at 2, joined back to the metric columns."""
+    from angle_spark.query.boolean import parse_query
+
+    matches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{qid}' AS query_id, doc_id "
+        f"FROM ({_bool_match_sql(parse_query(text))})"
+        for qid, text, _k in query_set
+    )
+    toks_sql = duckdb_tokens_sql("text")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks_sql} AS tokens FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), pos AS (
+  SELECT doc_id, unnest(tokens) AS term, generate_subscripts(tokens, 1) AS p
+  FROM docs
+), matches AS (
+  {matches}
+), ranked AS (
+  SELECT m.query_id, m.doc_id,
+         CAST(d.n_chars AS DOUBLE) AS sort_value,
+         d.lang, (d.n_chars % 64)::BIGINT AS m_num,
+         row_number() OVER (
+           PARTITION BY m.query_id
+           ORDER BY d.n_chars DESC, m.doc_id ASC) AS rnk
+  FROM (SELECT DISTINCT query_id, doc_id FROM matches) m
+  JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT query_id, rnk::BIGINT AS rank, doc_id, sort_value, lang, m_num
+FROM ranked WHERE rnk <= 2
+"""
+
+
 # --- STRING_STATS aggregation (round 5, the ES string_stats agg):
 #     length stats + Shannon entropy (log2) of the character
 #     distribution of a string field over matched docs — the
@@ -8258,6 +8410,8 @@ QUERIES = {
     "bm25_boxplot": q_bm25_boxplot,
     "bm25_mad": q_bm25_mad,
     "bm25_string_stats": q_bm25_string_stats,
+    "bm25_top_metrics": q_bm25_top_metrics,
+    "bm25_multi_terms": q_bm25_multi_terms,
     "bm25_moving_fn": q_bm25_moving_fn,
     "bm25_bucket_sort": q_bm25_bucket_sort,
     "bm25_sig_terms": q_bm25_sig_terms,
@@ -8446,6 +8600,8 @@ ORACLE_SQL = {
     "bm25_boxplot": _boxplot_oracle_sql(STATS_QUERY_SET),
     "bm25_mad": _mad_oracle_sql(STATS_QUERY_SET),
     "bm25_string_stats": _string_stats_oracle_sql(STATS_QUERY_SET),
+    "bm25_top_metrics": _top_metrics_oracle_sql(STATS_QUERY_SET),
+    "bm25_multi_terms": _multi_terms_oracle_sql(STATS_QUERY_SET),
     "bm25_moving_fn": _moving_fn_oracle_sql(STATS_QUERY_SET),
     "bm25_bucket_sort": _bucket_sort_oracle_sql(STATS_QUERY_SET),
     "bm25_sig_terms": _sig_terms_oracle_sql(STATS_QUERY_SET),

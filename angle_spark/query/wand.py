@@ -2259,6 +2259,63 @@ def boxplot_matches(
     )
 
 
+def top_metrics_matches(
+    spark: SparkSession,
+    merged: DataFrame,
+    tstats: DataFrame,
+    meta: IndexMeta,
+    queries: DataFrame,
+    sort: DataFrame,
+    metrics: DataFrame,
+    size: int = 1,
+    sort_ascending: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, sort_value, <metric cols>): the
+    Elasticsearch ``top_metrics`` aggregation — the metric values AT
+    the top-``size`` docs by a sort field ("the quality score of the
+    longest matching turn"). A composition of two existing shapes:
+    sort-by-field selection (``wand_topk(sort_meta=...)`` — per-shard
+    top-``size`` by key, exhaustive membership, missing keys last) and
+    the bounded hydration join (the selected frame is queries×size
+    rows, so it BROADCASTS into one scan of the metrics frame).
+
+    ``sort`` is the (doc_id, key) frame (or DocValues handle);
+    ``metrics`` is (doc_id, <any metric columns...>) — every non-id
+    column comes back. Ties break on ascending docID (the engine's
+    sort-by-field rule, which is what lets an oracle pin the cut)."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not isinstance(sort, DocValues):
+        sort = sort.select(
+            F.col(sort.columns[0]).cast("long").alias("doc_id"),
+            F.col(sort.columns[1]).cast("double").alias("sort_key"),
+        )
+    if isinstance(queries, pd.DataFrame):
+        queries = queries.assign(k=size)
+        queries = spark.createDataFrame(
+            queries[["query_id", "text", "k"]],
+            "query_id string, text string, k int",
+        )
+    else:
+        queries = queries.select(
+            "query_id", "text", F.lit(int(size)).alias("k")
+        )
+    top = wand_topk(
+        spark, merged, tstats, meta, queries,
+        sort_meta=sort, sort_ascending=sort_ascending, **kwargs,
+    ).select(
+        "query_id", "rank", "doc_id", F.col("score").alias("sort_value")
+    )
+    mcols = [c for c in metrics.columns if c != metrics.columns[0]]
+    m = metrics.select(
+        F.col(metrics.columns[0]).cast("long").alias("doc_id"), *mcols
+    )
+    return F.broadcast(top).join(m, "doc_id", "left").select(
+        "query_id", "rank", "doc_id", "sort_value", *mcols
+    )
+
+
 def string_stats_matches(
     spark: SparkSession,
     merged: DataFrame,

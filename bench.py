@@ -361,6 +361,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "bm25_boxplot",
         "bm25_mad",
         "bm25_string_stats",
+        "bm25_top_metrics",
         "suggest_modes",
         "fuzzy_prefix_expand",
     ):

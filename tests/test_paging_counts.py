@@ -423,6 +423,48 @@ def test_aggregate_matches_extended_stats(spark, index_dir, corpus):
         )
 
 
+def test_top_metrics_matches(spark, index_dir, corpus):
+    """top_metrics == brute force: metric values at the top-size docs
+    by sort key (desc/asc), docID tie-break, missing keys last; extra
+    metric columns come back verbatim."""
+    from angle_spark.query.wand import top_metrics_matches
+
+    _, toks = corpus
+    a, b, _, _ = _common_terms(toks)
+    merged, tstats, meta = load_index(spark, index_dir)
+    n = len(toks)
+    sort = spark.createDataFrame(
+        [(d, float((d * 17) % 41)) for d in range(n) if d % 6 != 5],
+        "doc_id long, key double",
+    )
+    metrics = spark.createDataFrame(
+        [(d, f"m{d % 3}", d * 2) for d in range(n)],
+        "doc_id long, tag string, twice long",
+    )
+    q = _qdf(spark, [("tm", f"{a} {b}", 99)])
+    docs = [d for d, tk in enumerate(toks) if a in tk or b in tk]
+    keyof = {d: float((d * 17) % 41) for d in range(n) if d % 6 != 5}
+
+    for asc in (False, True):
+        got = top_metrics_matches(
+            spark, merged, tstats, meta, q, sort, metrics,
+            size=3, sort_ascending=asc,
+        ).toPandas().sort_values("rank")
+        keyed = [d for d in docs if d in keyof]
+        want = sorted(
+            keyed, key=lambda d: ((keyof[d] if asc else -keyof[d]), d)
+        )[:3]
+        assert list(got["doc_id"]) == want, asc
+        assert list(got["sort_value"]) == [keyof[d] for d in want]
+        assert list(got["tag"]) == [f"m{d % 3}" for d in want]
+        assert list(got["twice"]) == [d * 2 for d in want]
+
+    with pytest.raises(ValueError, match="size"):
+        top_metrics_matches(
+            spark, merged, tstats, meta, q, sort, metrics, size=0
+        )
+
+
 def test_weighted_avg_matches(spark, index_dir, corpus):
     """weighted_avg == Σ(v·w)/Σ(w) brute force with ES missing rules:
     a doc missing value OR weight is skipped unless the matching
