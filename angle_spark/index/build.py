@@ -259,11 +259,17 @@ def build_index(
         batch_docs = docs.filter(lo_ids.cast("long").isin(batch))
         blocks = build_segments(
             batch_docs, avgdl, segment_docs, block_size, positional
-        ).persist()
+        )
+        # write STRAIGHT from the applyInArrow output: each grouped task
+        # already holds whole segments (the groupBy(segment_id) shuffle IS
+        # the partitioning), so the old repartition(segment_id) was a
+        # second full shuffle of the encoded bytes (guide §2.4 — two ops
+        # keyed the same way share one exchange). The leading segment_id
+        # sort key keeps one open file per partition dir during the
+        # dynamic-partition write; (term, block_in_seg) after it preserves
+        # the row-group min/max term stats the query scan prunes on.
         _write(
-            blocks.repartition(F.col("segment_id")).sortWithinPartitions(
-                "term", "block_in_seg"
-            ),
+            blocks.sortWithinPartitions("segment_id", "term", "block_in_seg"),
             seg_dir,
             sink_format,
             "overwrite",
@@ -271,18 +277,25 @@ def build_index(
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
 
-        # lineage from the persisted batch blocks (the write above either
-        # committed them all or raised; no second disk read needed)
-        lin = blocks.groupBy("segment_id").agg(
-            F.sum("n_postings").alias("post_count"),
-            F.count_distinct("term").alias("term_count"),
-            F.sum(
-                F.octet_length("docs_bin")
-                + F.octet_length("tfs_bin")
-                + F.octet_length("dls_bin")
-                + F.octet_length("pos_bin")
-            ).alias("bytes"),
-            F.sum("sum_tf").alias("token_count"),
+        # lineage from the COMMITTED batch partitions: a column-pruned
+        # re-read is far cheaper than persisting the block frame was (the
+        # old .persist() built a columnar cache of the binary payloads —
+        # ~26s at sf0.1, measured r6; this scan re-reads the batch once).
+        lin = (
+            _read_table(spark, seg_dir, sink_format)
+            .filter(F.col("segment_id").isin(batch))
+            .groupBy("segment_id")
+            .agg(
+                F.sum("n_postings").alias("post_count"),
+                F.count_distinct("term").alias("term_count"),
+                F.sum(
+                    F.octet_length("docs_bin")
+                    + F.octet_length("tfs_bin")
+                    + F.octet_length("dls_bin")
+                    + F.octet_length("pos_bin")
+                ).alias("bytes"),
+                F.sum("sum_tf").alias("token_count"),
+            )
         )
         doc_counts = spark.createDataFrame(
             [(s, seg_counts.get(s, 0)) for s in batch],
@@ -298,7 +311,6 @@ def build_index(
             F.coalesce("token_count", F.lit(0)).alias("token_count"),
         )
         _write(lineage_rows, _lineage_dir(out_dir), sink_format, "append")
-        blocks.unpersist()
         batches += 1
         if fail_after_batches is not None and batches >= fail_after_batches:
             raise RuntimeError(f"injected failure after {batches} batches")

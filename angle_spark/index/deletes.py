@@ -59,6 +59,7 @@ from angle_spark.codec import (
     encode_doc_deltas,
     encode_tfs,
     encode_varints,
+    encode_varints_with_lengths,
 )
 from angle_spark.index.build import IndexMeta, _read_table, _write
 from angle_spark.index.spimi import SEGMENT_SCHEMA
@@ -176,68 +177,140 @@ def mask_postings(
 def _purge_block_rows(pdf: pd.DataFrame, deleted: np.ndarray, avgdl: float) -> pd.DataFrame:
     """One segment's block rows minus tombstoned postings. Blocks with no
     tombstoned doc pass through unchanged (byte-identical); emptied
-    blocks are dropped; the rest re-encode with recomputed stats."""
+    blocks are dropped; the rest re-encode with recomputed stats.
+
+    Vectorized across the segment's blocks (guide §4.2 — the round-5
+    version looped ``pdf.iloc[i]`` row-at-a-time, ~100us of pandas
+    overhead per block on top of each decode): the range reject is one
+    searchsorted over (first_doc, last_doc) arrays, all candidate blocks'
+    doc streams decode in ONE concat pass, membership is one flat
+    searchsorted, and the surviving postings re-encode in one varint pass
+    per stream, sliced back to blocks at the kept-count boundaries."""
     if len(pdf) == 0 or deleted.size == 0:
         return pdf
-    keep_rows = []
-    for i in range(len(pdf)):
-        row = pdf.iloc[i]
-        # cheap range reject before any decode
-        lo = np.searchsorted(deleted, row["first_doc"])
-        if lo == deleted.size or deleted[lo] > row["last_doc"]:
-            keep_rows.append(row)
-            continue
-        d = decode_doc_deltas(row["docs_bin"])
-        keep = mask_postings(d, deleted)
-        if keep is None:
-            keep_rows.append(row)
-            continue
-        if not keep.any():
-            continue  # block fully deleted
-        tf_all = decode_tfs(row["tfs_bin"])
-        d = d[keep]
-        tf = tf_all[keep]
-        dl = decode_varints(row["dls_bin"]).astype(np.int64)[keep]
-        pos_bin = row["pos_bin"] if "pos_bin" in row.index else b""
-        if pos_bin:
-            # positions are within-doc, so kept postings' runs re-encode
-            # unchanged — only the dropped runs disappear from the stream
-            from angle_spark.codec import decode_positions
+    from angle_spark.codec import decode_doc_deltas_concat, decode_varints_concat
 
-            flat, bounds = decode_positions(pos_bin, tf_all)
-            kept_groups = [
-                flat[bounds[i] : bounds[i + 1]]
-                for i in np.flatnonzero(keep)
-            ]
+    first = pdf["first_doc"].to_numpy(dtype=np.int64)
+    last = pdf["last_doc"].to_numpy(dtype=np.int64)
+    # cheap range reject before any decode (same rule as the old per-row
+    # loop: a block whose [first_doc, last_doc] span holds no tombstone
+    # passes through byte-identical)
+    lo = np.searchsorted(deleted, first)
+    cand = (lo < deleted.size) & (deleted[np.minimum(lo, deleted.size - 1)] <= last)
+    if not cand.any():
+        return pdf
+    cidx = np.flatnonzero(cand)
+    counts = pdf["n_postings"].to_numpy(dtype=np.int64)[cidx]
+    docs_flat = decode_doc_deltas_concat([pdf["docs_bin"].iat[i] for i in cidx])
+    # flat membership: both sides sorted per block -> searchsorted
+    pos = np.searchsorted(deleted, docs_flat)
+    pos[pos == deleted.size] = 0
+    hit = deleted[pos] == docs_flat
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    ndel = np.add.reduceat(hit.astype(np.int64), bounds[:-1])
+    # candidates with no actual tombstoned posting pass through unchanged
+    untouched = ndel == 0
+    emptied = ndel == counts
+    partial = ~untouched & ~emptied
+
+    pass_mask = np.ones(len(pdf), dtype=bool)
+    pass_mask[cidx[emptied]] = False
+    pass_mask[cidx[partial]] = False
+    passthrough = pdf.iloc[np.flatnonzero(pass_mask)]
+    if not partial.any():
+        return passthrough.reset_index(drop=True)
+
+    pidx = cidx[partial]  # rows needing a re-encode
+    has_pos = "pos_bin" in pdf.columns
+    # flat kept mask restricted to partial blocks
+    keep_block = np.repeat(partial, counts)
+    keep_flat = (~hit)[keep_block]
+    pcounts = counts[partial]
+    pbounds = np.concatenate(([0], np.cumsum(pcounts)))
+    d_all = docs_flat[keep_block]
+    tf_all, _ = decode_varints_concat([pdf["tfs_bin"].iat[i] for i in pidx])
+    tf_all = tf_all.astype(np.int64) + 1
+    dl_all, _ = decode_varints_concat([pdf["dls_bin"].iat[i] for i in pidx])
+    dl_all = dl_all.astype(np.int64)
+
+    kept_counts = pcounts - ndel[partial]
+    kbounds = np.concatenate(([0], np.cumsum(kept_counts)))
+    d = d_all[keep_flat]
+    tf = tf_all[keep_flat]
+    dl = dl_all[keep_flat]
+    kb = kbounds[:-1]
+
+    # per-block stats in one reduceat pass each
+    tff = tf.astype(np.float64)
+    imp = tff * (K1 + 1.0) / (
+        tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
+    )
+    new_first = d[kb]
+    new_last = d[kbounds[1:] - 1]
+    new_maxtf = np.maximum.reduceat(tf, kb)
+    new_mindl = np.minimum.reduceat(dl, kb)
+    new_sumtf = np.add.reduceat(tf, kb)
+    new_maximp = np.maximum.reduceat(imp, kb)
+
+    # ONE varint encode per stream; blocks are byte slices at the kept
+    # boundaries (delta restart absolute at each block start)
+    deltas = np.diff(d, prepend=np.int64(0))
+    deltas[kb] = d[kb]
+    docs_bytes, dlen = encode_varints_with_lengths(deltas.astype(np.uint64))
+    tfs_bytes, tlen = encode_varints_with_lengths(tf.astype(np.uint64) - np.uint64(1))
+    dls_bytes, llen = encode_varints_with_lengths(dl.astype(np.uint64))
+    doff = np.concatenate(([0], np.cumsum(dlen)))
+    toff = np.concatenate(([0], np.cumsum(tlen)))
+    loff = np.concatenate(([0], np.cumsum(llen)))
+    mv_d, mv_t, mv_l = memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(dls_bytes)
+    docs_bin = [bytes(mv_d[doff[s]:doff[e]]) for s, e in zip(kb, kbounds[1:], strict=False)]
+    tfs_bin = [bytes(mv_t[toff[s]:toff[e]]) for s, e in zip(kb, kbounds[1:], strict=False)]
+    dls_bin = [bytes(mv_l[loff[s]:loff[e]]) for s, e in zip(kb, kbounds[1:], strict=False)]
+
+    pos_out = None
+    if has_pos:
+        # positions are within-doc, so kept postings' runs re-encode
+        # unchanged — only the dropped runs disappear from each stream.
+        # Rare path (positional purges only); per-partial-block decode.
+        from angle_spark.codec import decode_positions
+
+        pos_out = []
+        for j, i in enumerate(pidx):
+            pb = pdf["pos_bin"].iat[i]
+            if not pb:
+                pos_out.append(b"")
+                continue
+            blk_tf = tf_all[pbounds[j]:pbounds[j + 1]]
+            keep = keep_flat[pbounds[j]:pbounds[j + 1]]
+            flat, fb = decode_positions(pb, blk_tf)
+            kept_groups = [flat[fb[g]:fb[g + 1]] for g in np.flatnonzero(keep)]
             pdeltas = np.concatenate(
                 [np.concatenate(([g[0]], np.diff(g))) for g in kept_groups]
             )
-            pos_bin = encode_varints(pdeltas.astype(np.uint64))
-        tff = tf.astype(np.float64)
-        imp = tff * (K1 + 1.0) / (
-            tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
-        )
-        new = row.copy()
-        new["first_doc"] = int(d[0])
-        new["last_doc"] = int(d[-1])
-        new["n_postings"] = np.int32(len(d))
-        new["max_tf"] = np.int32(tf.max())
-        new["min_dl"] = np.int64(dl.min())
-        new["sum_tf"] = np.int64(tf.sum())
-        new["max_impact"] = float(imp.max())
-        new["docs_bin"] = encode_doc_deltas(d)
-        new["tfs_bin"] = encode_tfs(tf)
-        if "pos_bin" in row.index:
-            # only when the input carries the column: a legacy index
-            # without pos_bin must not gain mixed-column rows (passthrough
-            # rows would get NaN pos_bin and break the SEGMENT_SCHEMA
-            # conversion; round-3 ADVICE)
-            new["pos_bin"] = pos_bin
-        new["dls_bin"] = encode_varints(dl.astype(np.uint64))
-        keep_rows.append(new)
-    if not keep_rows:
-        return pdf.iloc[0:0]
-    return pd.DataFrame(keep_rows).reset_index(drop=True)
+            pos_out.append(encode_varints(pdeltas.astype(np.uint64)))
+
+    recoded = {
+        "term": pdf["term"].to_numpy()[pidx],
+        "segment_id": pdf["segment_id"].to_numpy()[pidx],
+        "block_in_seg": pdf["block_in_seg"].to_numpy()[pidx],
+        "first_doc": new_first,
+        "last_doc": new_last,
+        "n_postings": kept_counts.astype(np.int32),
+        "max_tf": new_maxtf.astype(np.int32),
+        "min_dl": new_mindl.astype(np.int64),
+        "sum_tf": new_sumtf.astype(np.int64),
+        "max_impact": new_maximp,
+        "docs_bin": docs_bin,
+        "tfs_bin": tfs_bin,
+        "dls_bin": dls_bin,
+    }
+    if has_pos:
+        recoded["pos_bin"] = pos_out
+    out = pd.concat(
+        [passthrough, pd.DataFrame(recoded)[list(pdf.columns)]],
+        ignore_index=True,
+    )
+    return out
 
 
 def _recover_purge_swap(spark: SparkSession, seg_dir: str) -> None:
@@ -312,10 +385,13 @@ def purge_deletes(spark: SparkSession, out_dir: str) -> IndexMeta:
             .cogroup(dels_seg.groupby("segment_id"))
             .applyInPandas(fn, schema=SEGMENT_SCHEMA)
         )
+        # the cogroup already partitioned by segment_id — write straight
+        # from its output (the old repartition(segment_id) re-shuffled
+        # every index byte a second time; guide §2.4). segment_id leads
+        # the sort so the dynamic-partition writer keeps one open file
+        # per partition dir.
         _write(
-            purged.repartition(F.col("segment_id")).sortWithinPartitions(
-                "term", "block_in_seg"
-            ),
+            purged.sortWithinPartitions("segment_id", "term", "block_in_seg"),
             seg_dir + "_tmp",
             meta.sink_format,
             "overwrite",

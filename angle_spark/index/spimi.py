@@ -179,6 +179,156 @@ def _segment_blocks(
     )
 
 
+def _pa_binary_from_stream(stream: bytes, value_offsets: np.ndarray):
+    """Zero-copy Arrow binary array over one encoded byte stream.
+
+    Blocks partition the posting sequence, so consecutive blocks' byte
+    extents are contiguous — the whole stream is ONE Arrow data buffer
+    and the per-block slices are just an offsets array. No per-block
+    ``bytes`` objects are ever materialized (guide §4.2: re-slice, don't
+    copy)."""
+    import pyarrow as pa
+
+    offs = np.ascontiguousarray(value_offsets, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offs) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream)],
+    )
+
+
+def _segment_blocks_arrow(tbl, avgdl: float, block_size: int, positional: bool = False):
+    """Arrow rendition of :func:`_segment_blocks` — value-identical block
+    rows (possibly in a different row order; every writer sorts by
+    (term, block_in_seg) before committing).
+
+    Why it exists (guide §4.1/§4.2): applyInPandas materializes the
+    ``tokens array<string>`` column as per-row Python lists of Python str
+    objects — tens of millions of object allocations per build. The Arrow
+    path keeps tokens in Arrow buffers end to end: ``flatten()`` is
+    zero-copy, ``dictionary_encode`` factorizes terms in native code, and
+    all grouping runs over the int32 code array. Term strings only
+    surface for the final one-string-per-block column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _empty():
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "segment_id": pa.array([], type=pa.int64()),
+                "block_in_seg": pa.array([], type=pa.int32()),
+                "first_doc": pa.array([], type=pa.int64()),
+                "last_doc": pa.array([], type=pa.int64()),
+                "n_postings": pa.array([], type=pa.int32()),
+                "max_tf": pa.array([], type=pa.int32()),
+                "min_dl": pa.array([], type=pa.int64()),
+                "sum_tf": pa.array([], type=pa.int64()),
+                "max_impact": pa.array([], type=pa.float64()),
+                "docs_bin": pa.array([], type=pa.binary()),
+                "tfs_bin": pa.array([], type=pa.binary()),
+                "dls_bin": pa.array([], type=pa.binary()),
+                "pos_bin": pa.array([], type=pa.binary()),
+            }
+        )
+
+    if tbl.num_rows == 0:
+        return _empty()
+    seg_id = tbl.column("segment_id")[0].as_py()
+    toks = tbl.column("tokens").combine_chunks()
+    doc_np = tbl.column("doc_id").to_numpy().astype(np.int64)
+    dl_np = tbl.column("dl").to_numpy().astype(np.int64)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    if lens.sum() == 0:
+        return _empty()
+    flat = toks.flatten()
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy().astype(np.int64)
+    uniq = dic.dictionary
+    docs = np.repeat(doc_np, lens)
+    dls = np.repeat(dl_np, lens)
+    row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    tok_pos = np.arange(len(codes), dtype=np.int64) - np.repeat(row_starts, lens)
+
+    order = np.lexsort((docs, codes))
+    codes, docs, dls, tok_pos = codes[order], docs[order], dls[order], tok_pos[order]
+    new_run = np.concatenate(
+        ([True], (codes[1:] != codes[:-1]) | (docs[1:] != docs[:-1]))
+    )
+    starts = np.flatnonzero(new_run)
+    tfs = np.diff(np.append(starts, len(codes)))
+    p_codes, p_docs, p_dls = codes[starts], docs[starts], dls[starts]
+
+    n_post = len(p_codes)
+    new_term = np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+    term_starts = np.flatnonzero(new_term)
+    term_counts = np.diff(np.append(term_starts, n_post))
+    pos_in_term = np.arange(n_post) - np.repeat(term_starts, term_counts)
+    block_in_seg = pos_in_term // block_size
+    new_block = new_term.copy()
+    new_block[1:] |= block_in_seg[1:] != block_in_seg[:-1]
+    bstart = np.flatnonzero(new_block)
+    bend = np.append(bstart[1:], n_post)
+
+    deltas = np.diff(p_docs, prepend=np.int64(0))
+    deltas[bstart] = p_docs[bstart]
+
+    docs_bytes, dlen = encode_varints_with_lengths(deltas.astype(np.uint64))
+    tfs_bytes, tlen = encode_varints_with_lengths(tfs.astype(np.uint64) - np.uint64(1))
+    dls_bytes, llen = encode_varints_with_lengths(p_dls.astype(np.uint64))
+    doff = np.concatenate(([0], np.cumsum(dlen)))
+    toff = np.concatenate(([0], np.cumsum(tlen)))
+    loff = np.concatenate(([0], np.cumsum(llen)))
+
+    imp = tfs.astype(np.float64)
+    imp = imp * (K1 + 1.0) / (imp + K1 * (1.0 - B + B * p_dls.astype(np.float64) / avgdl))
+    max_impact = np.maximum.reduceat(imp, bstart)
+    max_tf = np.maximum.reduceat(tfs, bstart)
+    min_dl = np.minimum.reduceat(p_dls, bstart)
+    sum_tf = np.add.reduceat(tfs, bstart)
+
+    bbound = np.append(bstart, n_post)
+    docs_bin = _pa_binary_from_stream(docs_bytes, doff[bbound])
+    tfs_bin = _pa_binary_from_stream(tfs_bytes, toff[bbound])
+    dls_bin = _pa_binary_from_stream(dls_bytes, loff[bbound])
+
+    if positional:
+        pdeltas = np.diff(tok_pos, prepend=np.int64(0))
+        pdeltas[starts] = tok_pos[starts]
+        pos_bytes, plen = encode_varints_with_lengths(pdeltas.astype(np.uint64))
+        tok_bound = np.append(starts, len(codes))
+        poff = np.concatenate(([0], np.cumsum(plen)))
+        pos_bin = _pa_binary_from_stream(pos_bytes, poff[tok_bound[bbound]])
+    else:
+        pos_bin = _pa_binary_from_stream(b"", np.zeros(len(bstart) + 1, dtype=np.int32))
+
+    return pa.table(
+        {
+            "term": pc.take(uniq, pa.array(p_codes[bstart], type=pa.int64())).cast(
+                pa.string()
+            ),
+            "segment_id": pa.array(
+                np.full(len(bstart), seg_id, dtype=np.int64), type=pa.int64()
+            ),
+            "block_in_seg": pa.array(
+                block_in_seg[bstart].astype(np.int32), type=pa.int32()
+            ),
+            "first_doc": pa.array(p_docs[bstart], type=pa.int64()),
+            "last_doc": pa.array(p_docs[bend - 1], type=pa.int64()),
+            "n_postings": pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
+            "max_tf": pa.array(max_tf.astype(np.int32), type=pa.int32()),
+            "min_dl": pa.array(min_dl.astype(np.int64), type=pa.int64()),
+            "sum_tf": pa.array(sum_tf.astype(np.int64), type=pa.int64()),
+            "max_impact": pa.array(max_impact, type=pa.float64()),
+            "docs_bin": docs_bin,
+            "tfs_bin": tfs_bin,
+            "dls_bin": dls_bin,
+            "pos_bin": pos_bin,
+        }
+    )
+
+
 def build_segments(
     docs: DataFrame,
     avgdl: float,
@@ -188,14 +338,19 @@ def build_segments(
 ) -> DataFrame:
     """docs(doc_id, tokens, dl) -> encoded block rows.
 
-    groupBy(segment_id).applyInPandas gives each segment to exactly one
+    groupBy(segment_id).applyInArrow gives each segment to exactly one
     task; segments are uniform doc-count slices so the shuffle is unskewed
     regardless of term skew (skew shows up only as bigger posting lists
     *within* a segment, which blocks cap at block_size docs each).
+
+    The per-segment encoder is the Arrow rendition (_segment_blocks_arrow)
+    — value-identical to the pandas rendition (_segment_blocks, kept as
+    the cross-checked reference), without ever materializing the token
+    strings as Python objects (guide §4).
     """
 
-    def fn(key, pdf):
-        return _segment_blocks(pdf, avgdl, block_size, positional)
+    def fn(key, tbl):
+        return _segment_blocks_arrow(tbl, avgdl, block_size, positional)
 
     with_seg = docs.select(
         "doc_id",
@@ -203,7 +358,7 @@ def build_segments(
         "dl",
         (F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id"),
     )
-    return with_seg.groupBy("segment_id").applyInPandas(fn, schema=SEGMENT_SCHEMA)
+    return with_seg.groupBy("segment_id").applyInArrow(fn, schema=SEGMENT_SCHEMA)
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

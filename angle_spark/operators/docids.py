@@ -7,31 +7,45 @@ rank of the row under the total order (conv_id, turn_idx), dense 0..N-1.
 
 Two implementations:
 
-* ``assign_doc_ids`` — scale path, fully JVM-side. Range-partition by
-  the sort key, sort within partitions, then two passes: pass 1 collects
-  only P partition counts (P ints to the driver — never data), pass 2
-  computes doc_id = offset[partition] + local rank, where the local rank
-  is extracted from monotonically_increasing_id()'s low 33 bits. No
-  global window, no single-partition bottleneck, no Arrow roundtrip, no
-  zipWithIndex/RDD. The partitioned frame is persisted between passes so
-  both see identical partition boundaries (range partitioning samples;
-  at 100 TB this intermediate would be a checkpoint table instead).
+* ``assign_doc_ids`` — scale path, decide-with-small-rows shape (guide
+  §8): the global rank decomposes as
+
+      doc_id = offset(conv_id) + rank of turn_idx within the conv
+
+  where offset(conv) = total turns in all convs with a smaller conv_id.
+  Offsets are computed on the per-conv COUNTS frame (O(#convs) narrow
+  rows, column-pruned scan of the source), cumulated with the classic
+  two-pass partition-prefix trick (range-partition the counts, collect
+  only P partition sums to the driver, add the per-partition running sum
+  task-locally). The corpus itself is shuffled exactly ONCE (hash by
+  conv_id for the per-conv rank window; the offsets join reuses that
+  partitioning or broadcasts). The round-5 implementation instead
+  range-partitioned and PERSISTED the full corpus (wide text rows) to
+  pin partition boundaries between two passes — a full extra
+  materialization that this shape never needs (measured ~10s of the
+  sf0.1 build leg, r6).
 
 * ``assign_doc_ids_window`` — semantic spec: a global row_number window.
   Single-partition (correct, unscalable); used by tests to cross-check
   the scale path.
+
+Skew note: the per-conv rank window keys on conv_id, so one pathological
+conversation with ~10^8 turns would serialize on one task; transcript
+conversations are bounded (tens to thousands of turns), and the previous
+range-partition shape paid the same worst case at the sort instead.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Spark versions whose monotonically_increasing_id layout has been probed
-# in this process — the (pid << 33) | local_rank contract is documented
-# behavior but still an implementation detail; validate once per version
-# so a silent layout change in a future Spark fails LOUDLY, not silently.
+# Spark versions whose assignment invariants have been probed in this
+# process — the invariant probe (dense ids 0..N-1, all distinct) runs
+# once per version so a planner regression fails LOUDLY, not silently.
 _LAYOUT_VALIDATED: set[str] = set()
 
 
@@ -43,47 +57,67 @@ def assign_doc_ids(
     validate: "auto" (default) runs a one-job invariant probe — dense ids
     0..N-1, all distinct — the FIRST time each Spark version is seen in
     this process; True forces it, False skips (the probe is one agg over
-    the persisted frame, cheap but not free)."""
+    the result frame, cheap but not free)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
+    # per-conv turn counts: a column-pruned scan + map-side-combined agg
+    # (shuffle volume = #convs rows, never the corpus)
+    counts = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
     parted = (
-        df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .persist(StorageLevel.DISK_ONLY)  # wide text rows: disk beats
-        # columnar-cache construction by a wide margin
+        counts.repartitionByRange(num_partitions, "conv_id")
+        .sortWithinPartitions("conv_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # 2 longs/conv — tiny
     )
-
-    # pass 1: count per physical partition — JVM-side, no Arrow transfer
-    counts = {
-        r["pid"]: r["count"]
-        for r in parted.groupBy(
-            F.spark_partition_id().alias("pid")
-        ).count().collect()
+    # pass 1: per-partition turn totals — P longs to the driver, never data
+    psums = {
+        r["pid"]: r["s"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("_n").alias("s"))
+        .collect()
     }
-    offsets = {}
+    bases = []
     acc = 0
     for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
+        bases.append(acc)
+        acc += psums.get(pid, 0) or 0
+    b_bases = spark.sparkContext.broadcast(bases)
 
-    # pass 2: also JVM-side. monotonically_increasing_id() is documented
-    # as (partition_id << 33) | row_index_within_partition, assigned in
-    # partition row order — on the persisted, sorted-within-partition
-    # frame that row index IS the local rank, so
-    #   doc_id = offset[partition] + (mono_id & (2^33 - 1))
-    # with the offset looked up from a small literal map. No Arrow pass,
-    # no window, no shuffle.
-    offset_map = F.create_map(
-        *[F.lit(x) for pid in range(num_partitions) for x in (pid, offsets[pid])]
+    # pass 2: task-local running prefix over the SAME persisted partitions
+    # (persist pins content and order, so the prefix is deterministic)
+    def _cum(it):
+        from pyspark import TaskContext
+
+        run = b_bases.value[TaskContext.get().partitionId()]
+        for pdf in it:
+            n = pdf["_n"].to_numpy()
+            off = n.cumsum() - n + run
+            run += int(n.sum())
+            yield pd.DataFrame({"conv_id": pdf["conv_id"], "_off": off})
+
+    conv_field = next(f for f in df.schema.fields if f.name == "conv_id")
+    offsets = parted.mapInPandas(
+        _cum, schema=f"conv_id {conv_field.dataType.simpleString()}, _off long"
     )
-    mono = F.monotonically_increasing_id()
-    local = mono.bitwiseAND(F.lit((1 << 33) - 1))
-    pid_col = F.shiftright(mono, 33).cast("int")
-    result = parted.withColumn(
-        "doc_id", (offset_map[pid_col] + local).cast("long")
+
+    # attach: null-safe equi-join (a NULL conv_id is a valid group and
+    # sorts first, matching the old range-partition order); the rank
+    # window reuses the join's conv_id hash partitioning
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    result = (
+        df.join(offsets, ["conv_id"], "left")
+        if not conv_field.nullable
+        else df.join(
+            offsets.withColumnRenamed("conv_id", "_cid"),
+            F.col("conv_id").eqNullSafe(F.col("_cid")),
+            "left",
+        ).drop("_cid")
     )
+    result = result.withColumn(
+        "doc_id",
+        (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long"),
+    ).drop("_off")
 
     if validate == "auto":
         validate = spark.version not in _LAYOUT_VALIDATED
@@ -96,16 +130,15 @@ def assign_doc_ids(
         n = probe["n"]
         if n and (probe["mx"] != n - 1 or probe["nd"] != n):
             raise RuntimeError(
-                "monotonically_increasing_id layout drift: doc_ids not dense "
-                f"0..N-1 (n={n}, max={probe['mx']}, distinct={probe['nd']}) — "
-                "Spark changed the (pid << 33) | local_rank contract"
+                "doc_id assignment invariant broken: ids not dense 0..N-1 "
+                f"(n={n}, max={probe['mx']}, distinct={probe['nd']})"
             )
         _LAYOUT_VALIDATED.add(spark.version)
-    # cleanup handle: the persisted two-pass frame backing `result`.
-    # Long-lived callers that assign ids repeatedly (the streaming
-    # micro-batch sink) unpersist it once their downstream writes have
-    # materialized; one-shot batch callers may leave it to the
-    # ContextCleaner as before.
+    # cleanup handle: the persisted per-conv counts frame backing the
+    # offsets (O(#convs) narrow rows). Long-lived callers that assign ids
+    # repeatedly (the streaming micro-batch sink) unpersist it once their
+    # downstream writes have materialized; one-shot batch callers may
+    # leave it to the ContextCleaner as before.
     result._persisted_source = parted  # type: ignore[attr-defined]
     return result
 

@@ -1,0 +1,130 @@
+"""Round-6 optimization guards: the vectorized internals must be
+value-identical to the (slower) reference renditions they replaced.
+
+- _segment_blocks_arrow (index/spimi.py) vs _segment_blocks: the Arrow
+  encoder is the build hot path; the pandas rendition stays as the
+  cross-checked reference.
+- _purge_block_rows (index/deletes.py): the vectorized purge vs a
+  straight re-derivation from decoded postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from angle_spark.codec import (
+    decode_doc_deltas,
+    decode_positions,
+    decode_tfs,
+    decode_varints,
+)
+from angle_spark.index.deletes import _purge_block_rows
+from angle_spark.index.spimi import _segment_blocks, _segment_blocks_arrow
+
+
+def _rand_docs(rng, n_docs, vocab=40, max_len=30):
+    toks = []
+    for _ in range(n_docs):
+        n = int(rng.integers(0, max_len))
+        toks.append([f"w{j:03d}" for j in rng.integers(0, vocab, size=n)])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(50, 50 + n_docs, dtype=np.int64),
+            "tokens": toks,
+            "dl": [len(t) for t in toks],
+            "segment_id": np.full(n_docs, 2, dtype=np.int64),
+        }
+    )
+
+
+@pytest.mark.parametrize("positional", [False, True])
+def test_arrow_spimi_matches_pandas_reference(positional):
+    rng = np.random.default_rng(11)
+    pdf = _rand_docs(rng, 300)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(pdf["doc_id"]),
+            "tokens": pa.array(list(pdf["tokens"]), type=pa.list_(pa.string())),
+            "dl": pa.array(pdf["dl"], type=pa.int64()),
+            "segment_id": pa.array(pdf["segment_id"]),
+        }
+    )
+    a = (
+        _segment_blocks(pdf, 12.5, 16, positional)
+        .sort_values(["term", "block_in_seg"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _segment_blocks_arrow(tbl, 12.5, 16, positional)
+        .to_pandas()
+        .sort_values(["term", "block_in_seg"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for col in a.columns:
+        assert list(a[col]) == list(b[col]), col
+
+
+def test_purge_block_rows_matches_reference():
+    rng = np.random.default_rng(23)
+    pdf = _rand_docs(rng, 400)
+    blocks = _segment_blocks(pdf, 14.0, 16, positional=True)
+    # tombstone a scattered ~10% of the docID space
+    deleted = np.sort(
+        rng.choice(np.arange(50, 450, dtype=np.int64), size=40, replace=False)
+    )
+    out = _purge_block_rows(blocks.copy(), deleted, 14.0)
+
+    # reference: re-derive every surviving block row from decoded postings
+    ref_rows = 0
+    out_by_key = {
+        (r["term"], int(r["block_in_seg"])): r for _, r in out.iterrows()
+    }
+    for _, row in blocks.iterrows():
+        d = decode_doc_deltas(row["docs_bin"])
+        tf = decode_tfs(row["tfs_bin"])
+        dl = decode_varints(row["dls_bin"]).astype(np.int64)
+        keep = ~np.isin(d, deleted)
+        if not keep.any():
+            assert (row["term"], int(row["block_in_seg"])) not in out_by_key
+            continue
+        ref_rows += 1
+        got = out_by_key[(row["term"], int(row["block_in_seg"]))]
+        gd = decode_doc_deltas(got["docs_bin"])
+        gtf = decode_tfs(got["tfs_bin"])
+        gdl = decode_varints(got["dls_bin"]).astype(np.int64)
+        assert list(gd) == list(d[keep])
+        assert list(gtf) == list(tf[keep])
+        assert list(gdl) == list(dl[keep])
+        assert int(got["n_postings"]) == int(keep.sum())
+        assert int(got["first_doc"]) == int(d[keep][0])
+        assert int(got["last_doc"]) == int(d[keep][-1])
+        assert int(got["max_tf"]) == int(tf[keep].max())
+        assert int(got["min_dl"]) == int(dl[keep].min())
+        assert int(got["sum_tf"]) == int(tf[keep].sum())
+        if keep.all():
+            # untouched blocks pass through byte-identical
+            assert got["docs_bin"] == row["docs_bin"]
+            assert got["pos_bin"] == row["pos_bin"]
+        else:
+            # positions of kept postings survive exactly
+            flat, fb = decode_positions(row["pos_bin"], tf)
+            kept_flat = np.concatenate(
+                [flat[fb[i] : fb[i + 1]] for i in np.flatnonzero(keep)]
+            )
+            gflat, _ = decode_positions(got["pos_bin"], gtf)
+            assert list(gflat) == list(kept_flat)
+    assert ref_rows == len(out)
+
+
+def test_purge_block_rows_no_candidates_is_identity():
+    rng = np.random.default_rng(5)
+    pdf = _rand_docs(rng, 100)
+    blocks = _segment_blocks(pdf, 10.0, 16)
+    deleted = np.array([5000, 6000], dtype=np.int64)  # outside doc range
+    out = _purge_block_rows(blocks.copy(), deleted, 10.0)
+    assert len(out) == len(blocks)
+    assert list(out["docs_bin"]) == list(blocks["docs_bin"])
