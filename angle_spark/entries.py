@@ -288,6 +288,10 @@ def _cached_doc_index(
         d,
         segment_docs=128,
         block_size=16,
+        # one batch: the entry never resumes a half-built cache dir, and
+        # the default 64-segment batching cost 7 serial write+lineage
+        # jobs at sf0.1 (r6 guide §1 measurement)
+        batch_segments=4096,
         positional=positional,
         analyzer=analyzer,
     )
@@ -3936,7 +3940,9 @@ def _cached_split_indexes(spark: SparkSession, sf_dir: str):
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).withColumn("doc_id", F.col("doc_id") - F.lit(shift))
         d = tempfile.mkdtemp(prefix=f"msearch_idx_{lo}_")
-        build_index(spark, part, d, segment_docs=128, block_size=16)
+        build_index(
+            spark, part, d, segment_docs=128, block_size=16, batch_segments=4096
+        )
         halves.append(d)
     cached = (halves[0], halves[1], cut)
     _INDEX_CACHE[key] = cached

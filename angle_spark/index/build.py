@@ -214,7 +214,19 @@ def build_index(
     from pyspark import StorageLevel
 
     docs = docs.persist(StorageLevel.DISK_ONLY)
-    n_docs, avgdl = corpus_stats(docs)
+    # one agg job yields the corpus stats AND the docID span: dense ids
+    # (0..N-1, the assigner's contract and the overwhelmingly common
+    # case) make per-segment doc counts pure arithmetic, skipping the
+    # old dedicated groupBy job (r6 guide §1: small builds were ~30
+    # Spark jobs of fixed latency each)
+    srow = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"] or 0.0)
+    dense_ids = n_docs > 0 and srow["lo"] == 0 and srow["hi"] == n_docs - 1
     if segment_docs is None:
         # data-derived, never core-count-derived: the index content must be
         # identical at any parallelism level (and block fragmentation must
@@ -239,19 +251,27 @@ def build_index(
     done = committed_segments(spark, out_dir, sink_format)
     todo = [s for s in range(n_segments) if s not in done]
 
-    # per-segment doc counts: one job up front (segment count is bounded)
-    seg_counts = {
-        r["segment_id"]: r["count"]
-        for r in docs.select(
-            (F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id")
-        )
-        .groupBy("segment_id")
-        .count()
-        .collect()
-    }
+    # per-segment doc counts: arithmetic for dense ids; one job up front
+    # otherwise (segment count is bounded)
+    if dense_ids:
+        seg_counts = {
+            s: min((s + 1) * segment_docs, n_docs) - s * segment_docs
+            for s in range(n_segments)
+        }
+    else:
+        seg_counts = {
+            r["segment_id"]: r["count"]
+            for r in docs.select(
+                (F.col("doc_id") / F.lit(segment_docs)).cast("long").alias("segment_id")
+            )
+            .groupBy("segment_id")
+            .count()
+            .collect()
+        }
 
     seg_dir = os.path.join(out_dir, "segments")
     batches = 0
+    built_hi: int | None = None
     for i in range(0, len(todo), batch_segments):
         batch = todo[i : i + batch_segments]
         t0 = time.monotonic()
@@ -281,12 +301,15 @@ def build_index(
         # re-read is far cheaper than persisting the block frame was (the
         # old .persist() built a columnar cache of the binary payloads —
         # ~26s at sf0.1, measured r6; this scan re-reads the batch once).
-        lin = (
+        # Collected driver-side (bounded: one row per batch segment) so
+        # the same pass also yields the max-doc watermark merge_index
+        # would otherwise re-scan for, and the doc-count attach is a dict
+        # lookup instead of a join stage.
+        lin_rows = (
             _read_table(spark, seg_dir, sink_format)
             .filter(F.col("segment_id").isin(batch))
             .groupBy("segment_id")
             .agg(
-                F.sum("n_postings").alias("post_count"),
                 F.count_distinct("term").alias("term_count"),
                 F.sum(
                     F.octet_length("docs_bin")
@@ -295,27 +318,48 @@ def build_index(
                     + F.octet_length("pos_bin")
                 ).alias("bytes"),
                 F.sum("sum_tf").alias("token_count"),
+                F.max("last_doc").alias("hi"),
             )
+            .collect()
         )
-        doc_counts = spark.createDataFrame(
-            [(s, seg_counts.get(s, 0)) for s in batch],
-            schema="segment_id long, doc_count long",
-        )
-        lineage_rows = lin.join(doc_counts, "segment_id", "right").select(
-            F.col("segment_id").alias("partition_id"),
-            F.col("doc_count"),
-            F.coalesce("term_count", F.lit(0)).alias("term_count"),
-            F.coalesce("bytes", F.lit(0)).alias("bytes"),
-            F.lit(wall_ms).alias("wall_ms"),
-            F.current_timestamp().alias("commit_ts"),
-            F.coalesce("token_count", F.lit(0)).alias("token_count"),
+        by_seg = {r["segment_id"]: r for r in lin_rows}
+        for r in lin_rows:
+            if r["hi"] is not None and (built_hi is None or r["hi"] > built_hi):
+                built_hi = int(r["hi"])
+        lineage_rows = spark.createDataFrame(
+            [
+                (
+                    s,
+                    seg_counts.get(s, 0),
+                    int(by_seg[s]["term_count"]) if s in by_seg else 0,
+                    int(by_seg[s]["bytes"]) if s in by_seg else 0,
+                    wall_ms,
+                    int(by_seg[s]["token_count"]) if s in by_seg else 0,
+                )
+                for s in batch
+            ],
+            schema=(
+                "partition_id long, doc_count long, term_count long, "
+                "bytes long, wall_ms long, token_count long"
+            ),
+        ).withColumn("commit_ts", F.current_timestamp()).select(
+            "partition_id", "doc_count", "term_count", "bytes", "wall_ms",
+            "commit_ts", "token_count",
         )
         _write(lineage_rows, _lineage_dir(out_dir), sink_format, "append")
         batches += 1
         if fail_after_batches is not None and batches >= fail_after_batches:
             raise RuntimeError(f"injected failure after {batches} batches")
 
-    merge_index(spark, out_dir, meta)
+    # a fresh, uninterrupted build saw every block's last_doc in its
+    # lineage aggs — merge_index can skip its own watermark scan. A
+    # resumed build (done != empty) only saw the new batches; merge
+    # recomputes. -1 encodes "complete but empty" (no blocks at all).
+    if not done:
+        known_hi = built_hi if built_hi is not None else -1
+    else:
+        known_hi = None
+    merge_index(spark, out_dir, meta, known_hi=known_hi)
     docs.unpersist()
     return meta
 
@@ -389,6 +433,7 @@ def merge_index(
     meta: IndexMeta,
     incremental: bool = False,
     max_delta_runs: int = 8,
+    known_hi: int | None = None,
 ) -> None:
     """Segments -> final queryable layout + global term stats.
 
@@ -466,12 +511,13 @@ def merge_index(
 
     _write(_range_layout(seg), merged_path, fmt, "overwrite")
     merged = _read_table(spark, merged_path, fmt)
-    # (term, doc) is unique across blocks, so df = total postings per
-    # term; column pruning means this scan touches only
-    # (term, n_postings, last_doc)
-    agg = merged.agg(
-        F.max("last_doc").alias("hi"),
-    ).collect()[0]
+    # max-doc watermark: a fresh build already aggregated it from its
+    # lineage passes (known_hi; -1 = complete-but-empty) — otherwise one
+    # column-pruned scan of (last_doc)
+    if known_hi is not None:
+        hi = known_hi if known_hi >= 0 else None
+    else:
+        hi = merged.agg(F.max("last_doc").alias("hi")).collect()[0]["hi"]
     _write(
         merged.groupBy("term").agg(
             F.sum("n_postings").alias("df"),
@@ -483,7 +529,7 @@ def merge_index(
         fmt,
         "overwrite",
     )
-    meta.merged_docs = int(agg["hi"]) + 1 if agg["hi"] is not None else 0
+    meta.merged_docs = int(hi) + 1 if hi is not None else 0
     meta.stats_docs = meta.merged_docs
     meta.delta_runs = []
     meta.retired_runs = []
