@@ -2311,7 +2311,15 @@ def top_metrics_matches(
     m = metrics.select(
         F.col(metrics.columns[0]).cast("long").alias("doc_id"), *mcols
     )
-    return F.broadcast(top).join(m, "doc_id", "left").select(
+    # bounded hydration, done right (r5 ADVICE): broadcasting the LEFT
+    # (row-preserving) side of a left-outer join is unsupported and was
+    # silently ignored — the metrics frame shuffled corpus-sized. A
+    # broadcast LEFT-SEMI on the selected doc_ids first bounds the
+    # metrics frame to queries x size rows in ONE scan (no shuffle),
+    # then the outer join broadcasts that bounded right side.
+    sel = top.select("doc_id").distinct()
+    m_bounded = m.join(F.broadcast(sel), "doc_id", "left_semi")
+    return top.join(F.broadcast(m_bounded), "doc_id", "left").select(
         "query_id", "rank", "doc_id", "sort_value", *mcols
     )
 
