@@ -71,12 +71,13 @@ def assign_doc_ids(
         .persist(StorageLevel.MEMORY_AND_DISK)  # 2 longs/conv — tiny
     )
     # pass 1: per-partition turn totals — P longs to the driver, never data
-    psums = {
-        r["pid"]: r["s"]
-        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum("_n").alias("s"))
+    prows = (
+        parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("_n").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()
-    }
+    )
+    psums = {r["pid"]: r["s"] for r in prows}
+    n_convs = sum(r["c"] for r in prows)
     bases = []
     acc = 0
     for pid in range(num_partitions):
@@ -100,6 +101,13 @@ def assign_doc_ids(
     offsets = parted.mapInPandas(
         _cum, schema=f"conv_id {conv_field.dataType.simpleString()}, _off long"
     )
+    # mapInPandas output has no size statistics, so the planner can't
+    # prove the offsets frame broadcastable; pass 1 just counted it
+    # exactly — hint the broadcast while it is bounded, let the planner
+    # shuffle-join past that (the corpus is hash-partitioned by conv_id
+    # for the rank window either way)
+    if n_convs <= 4_000_000:
+        offsets = F.broadcast(offsets)
 
     # attach: null-safe equi-join (a NULL conv_id is a valid group and
     # sorts first, matching the old range-partition order); the rank
