@@ -78,9 +78,13 @@ def expand_fuzzy(
     query pushes to the scan). Distance is still full-string
     levenshtein: identical prefixes trim without changing edit distance
     (the standard common-prefix property), so the filtered result is
-    exactly Lucene's suffix-measured one. A word shorter than
-    ``prefix_length`` can only match terms sharing the whole word as
-    prefix (Lucene's own degenerate rule)."""
+    exactly Lucene's suffix-measured one. Degenerate-case divergence
+    (disclosed; r5 ADVICE): when ``prefix_length >= len(word)``, Lucene
+    FuzzyQuery rewrites to an EXACT single-term query; this
+    implementation instead matches any vocabulary term that starts
+    with the whole word and is within the edit distance (e.g. word
+    'ab', prefix_length=3, dist 2 also matches 'abcd'). The entries'
+    oracles pin the implemented semantics."""
     out: dict[tuple[str, int], list[str]] = {p: [] for p in pairs}
     if not pairs:
         return out

@@ -96,8 +96,11 @@ def moving_fn(
     current one — ES moving_fn with the MovingFunctions built-ins
     (unweightedAvg / min / max / sum / stdDev); ``fn="avg"`` IS
     moving_avg. The window shrinks at each query's head (ES behavior);
-    ``stddev`` is the n-1 sample form and NULL on a single-bucket
-    window (Spark stddev_samp), matching the NaN ES emits there."""
+    ``stddev`` DIVERGES from ES deliberately (disclosed; r5 ADVICE):
+    Spark stddev_samp is the n-1 sample form and NULL on a
+    single-bucket window, while ES MovingFunctions.stdDev is the
+    population form (divide by count) and returns 0.0 there. The
+    entry's oracle pins the implemented (sample/NULL) semantics."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if fn not in _MOVING_FNS:

@@ -2349,7 +2349,14 @@ def string_stats_matches(
     entropy pass whose per-char explode happens IN-TASK with map-side
     combine, so what shuffles is (queries × alphabet) rows, never the
     character stream. Two jobs over the joined frame by construction
-    (disclosed; ES folds both in one collector pass)."""
+    (disclosed; ES folds both in one collector pass).
+
+    BMP-only assumption (disclosed; r5 ADVICE): characters split with
+    Spark ``F.split(s, '')`` and ``F.length`` count UTF-16 code units,
+    while the DuckDB oracle counts Unicode codepoints — entropy and
+    length stats diverge on astral-plane text (emoji, rare CJK). The
+    corpora this engine indexes are ASCII-tokenized (tokenizer v1/v2),
+    so the divergence cannot reach any oracle-checked entry."""
     ids = matched_ids(spark, merged, tstats, meta, queries, **kwargs)
     c0, c1 = texts.columns[:2]
     tx = texts.select(
@@ -2468,7 +2475,14 @@ def t_test_matches(
     denominator) emit NULL t_value/dof rather than an ANSI error.
 
     One matched_ids membership pass + one metadata equi-join (the
-    weighted_avg shape) + a constant-size per-query fold."""
+    weighted_avg shape) + a constant-size per-query fold.
+
+    Row-count edge (disclosed; r5 ADVICE): a query with >= 1 match but
+    fewer than 2 valued docs per side (welch/homoscedastic) or zero
+    paired rows emits a NULL-stat row here, while the entry's oracle
+    drops such queries — a latent mismatch that STATS_QUERY_SET never
+    reaches (every query matches hundreds of valued docs). Aligning
+    them is a behavior change deferred past the optimization round."""
     if test_type not in ("welch", "homoscedastic", "paired"):
         raise ValueError(
             "test_type must be welch|homoscedastic|paired, "
