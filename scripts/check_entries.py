@@ -32,6 +32,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif str(df[c].dtype).startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("datetime"):
+            # Spark toPandas yields datetime64[ns], DuckDB .df() yields
+            # datetime64[us]; same instants, different units — normalize
+            # so the value comparison compares values
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
