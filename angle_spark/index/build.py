@@ -46,8 +46,8 @@ LINEAGE_SCHEMA = (
     "wall_ms long, commit_ts timestamp, token_count long"
 )
 
-# kept in IndexMeta for layout versioning; the merged layout is range-
-# partitioned on (term, segment_id, block_in_seg) — see merge_index
+# kept in IndexMeta for layout versioning; the merged layout is bucket-
+# hashed + sorted on (term, segment_id, block_in_seg) — see _merged_layout
 N_BUCKETS = 64
 
 
@@ -380,10 +380,50 @@ def _sweep_unreferenced_runs(spark: SparkSession, out_dir: str, meta: IndexMeta)
             fsio.delete(spark, os.path.join(_runs_dir(out_dir), name))
 
 
-def _range_layout(df: DataFrame) -> DataFrame:
-    return df.repartitionByRange(
+# merged-layout spread parameters (see _merged_layout): a term's blocks
+# stay together per LAYOUT_BLOCK_CHUNK-block chunk, chunks hash into
+# LAYOUT_BUCKETS spread units. Buckets >> any sane partition count so the
+# hash balances (guide §2.5: many more distinct key values than
+# partitions); the chunk size keeps a stopword's posting list from
+# hot-spotting one task while small terms land whole in one bucket.
+LAYOUT_BUCKETS = 32768
+LAYOUT_BLOCK_CHUNK = 64
+
+
+def _merged_layout(df: DataFrame) -> DataFrame:
+    """Deterministic bucket-hash exchange + per-partition sort for the
+    queryable block layout (merged/ and the delta runs).
+
+    Layout contract: rows sorted by (term, segment_id, block_in_seg)
+    within every parquet file — row-group min/max stats on the sorted
+    term column give the query scan free block skipping — and no hot
+    partition when one stopword's posting list dwarfs the rest.
+
+    Until round 6 this was repartitionByRange on the same key, which
+    satisfies both but whose RangePartitioner SAMPLES the exchange's
+    child to pick boundaries — one full EXTRA execution of whatever
+    feeds it (Spark reuses shuffle map outputs below the child, not the
+    child's own stage): a second scan+decode of segments/ in every
+    merge, and a second full re-encode pass in resegment_index
+    (measured: exactly 2x the _encode_run invocations). Hashing
+    (term, block-chunk) into many buckets needs no sampling pass and
+    keeps both contract properties: a term occupies one bucket per
+    LAYOUT_BLOCK_CHUNK blocks (hot terms spread, small terms whole), the
+    bucket count hash-balances partitions, the within-partition sort is
+    unchanged so row groups stay term-sorted, and the key is
+    deterministic (retry/speculation-safe, unlike rand-derived keys).
+    Global cross-file term order is gone, but nothing read it: queries
+    re-shard by segment group, and pruning is row-group-level."""
+    bucket = F.pmod(
+        F.xxhash64(
+            "term",
+            (F.col("block_in_seg") / F.lit(LAYOUT_BLOCK_CHUNK)).cast("int"),
+        ),
+        F.lit(LAYOUT_BUCKETS),
+    )
+    return df.repartition(bucket).sortWithinPartitions(
         "term", "segment_id", "block_in_seg"
-    ).sortWithinPartitions("term", "segment_id", "block_in_seg")
+    )
 
 
 def compact_delta_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> None:
@@ -414,7 +454,7 @@ def compact_delta_runs(spark: SparkSession, out_dir: str, meta: IndexMeta) -> No
     path = os.path.join(_runs_dir(out_dir), name)
     if fsio.exists(spark, path):
         fsio.delete(spark, path)  # unreferenced debris from a crashed attempt
-    _write(_range_layout(combined), path + "_tmp", fmt, "overwrite")
+    _write(_merged_layout(combined), path + "_tmp", fmt, "overwrite")
     fsio.rename(spark, path + "_tmp", path)
     meta.delta_runs = [name]
     # superseded runs enter their one-generation grace: still on disk,
@@ -440,16 +480,18 @@ def merge_index(
     Segments hold disjoint ascending docID ranges, so the globally sorted
     posting list of a term is its blocks ordered by (segment_id,
     block_in_seg) — the merge is a *layout* operation, not a re-sort.
-    Layout = range-partition by (term, segment_id, block_in_seg) and sort
-    within partitions: parquet row-group min/max stats on the sorted term
-    column give the query side free block skipping (finer than hash-bucket
-    dirs, and no small-file explosion), while the range key's block suffix
-    spreads a stopword's posting list across several partitions instead of
-    hot-spotting one task (skew-aware salting by block position).
+    Layout = _merged_layout: deterministic bucket-hash of (term,
+    block-chunk) + sort within partitions by (term, segment_id,
+    block_in_seg): parquet row-group min/max stats on the sorted term
+    column give the query side free block skipping (finer than
+    hash-bucket dirs, and no small-file explosion), while the block-chunk
+    hash component spreads a stopword's posting list across several
+    partitions instead of hot-spotting one task (skew-aware salting by
+    block position). No sampling pass — see _merged_layout.
 
     incremental=True merges ONLY blocks newer than the meta.merged_docs
     watermark — an O(delta) operation, never an O(index) rewrite. The
-    delta is range-laid-out among itself and written as ONE new run
+    delta is laid out among itself (_merged_layout) and written as ONE new run
     directory under delta_runs/ (merged/ is never touched); the meta
     write that lists the run and advances the watermark is the single
     atomic commit point, so a crash anywhere leaves either the old state
@@ -461,7 +503,7 @@ def merge_index(
     folded into one (compact_delta_runs) — the middle tier that bounds
     file count under a long append tail. A periodic full merge
     (incremental=False) is the top-tier compaction that restores the
-    tight single-range layout, rebuilds term_stats, and clears the runs.
+    tight single-layout merged/, rebuilds term_stats, and clears the runs.
     Requires a watermark (merged_docs > 0), i.e. one prior full merge —
     build_index always provides that.
 
@@ -491,7 +533,7 @@ def merge_index(
         path = os.path.join(_runs_dir(out_dir), name)
         if fsio.exists(spark, path):
             fsio.delete(spark, path)  # debris: same delta, crashed commit
-        _write(_range_layout(delta), path + "_tmp", fmt, "overwrite")
+        _write(_merged_layout(delta), path + "_tmp", fmt, "overwrite")
         fsio.rename(spark, path + "_tmp", path)
         meta.delta_runs = list(meta.delta_runs) + [name]
         meta.merged_docs = int(hi) + 1
@@ -509,7 +551,7 @@ def merge_index(
             _sweep_unreferenced_runs(spark, out_dir, meta)
         return
 
-    _write(_range_layout(seg), merged_path, fmt, "overwrite")
+    _write(_merged_layout(seg), merged_path, fmt, "overwrite")
     merged = _read_table(spark, merged_path, fmt)
     # max-doc watermark: a fresh build already aggregated it from its
     # lineage passes (known_hi; -1 = complete-but-empty) — otherwise one

@@ -31,7 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from angle_spark.codec import decode_doc_deltas, decode_positions, decode_tfs
 from angle_spark.index.build import IndexMeta, build_index, load_index
 
 _DOCS_SCHEMA = "doc_id long, tokens array<string>, dl long"
@@ -39,18 +38,16 @@ _DOCS_SCHEMA = "doc_id long, tokens array<string>, dl long"
 
 def _rebuild_segment(pdf: pd.DataFrame) -> pd.DataFrame:
     """One segment's blocks -> (doc_id, tokens, dl) rows, token order
-    exact (positions are unique per doc — each indexes one token)."""
-    term_parts: list[np.ndarray] = []
-    doc_parts: list[np.ndarray] = []
-    pos_parts: list[np.ndarray] = []
-    for row in pdf.itertuples(index=False):
-        docs = decode_doc_deltas(row.docs_bin)
-        tfs = decode_tfs(row.tfs_bin).astype(np.int64)
-        pos, _bounds = decode_positions(row.pos_bin, tfs)
-        term_parts.append(np.repeat(row.term, int(tfs.sum())))
-        doc_parts.append(np.repeat(docs, tfs))
-        pos_parts.append(pos.astype(np.int64))
-    if not term_parts:
+    exact (positions are unique per doc — each indexes one token).
+
+    Vectorized across the segment's blocks (guide §4.2 — the round-5
+    version looped ``itertuples`` with three decode calls per block,
+    ~100us of per-block Python overhead): each stream family decodes in
+    ONE concat pass. Positions restart absolute at every posting (see
+    the SPIMI encoder), so the concatenated delta stream un-carries with
+    the flat tf array as group lengths — block boundaries need no
+    special-casing."""
+    if len(pdf) == 0:
         return pd.DataFrame(
             {
                 "doc_id": pd.Series(dtype="int64"),
@@ -58,9 +55,23 @@ def _rebuild_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 "dl": pd.Series(dtype="int64"),
             }
         )
-    terms = np.concatenate(term_parts)
-    docs = np.concatenate(doc_parts)
-    pos = np.concatenate(pos_parts)
+    from angle_spark.codec import decode_doc_deltas_concat, decode_varints_concat
+
+    blk_docs = decode_doc_deltas_concat(list(pdf["docs_bin"]))
+    tfs, _ = decode_varints_concat(list(pdf["tfs_bin"]))
+    tfs = tfs.astype(np.int64) + 1
+    pdeltas, _ = decode_varints_concat(list(pdf["pos_bin"]))
+    # per-posting un-carry: first delta of every posting is absolute
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    cs = np.cumsum(pdeltas.astype(np.int64))
+    offsets = np.zeros(len(tfs), dtype=np.int64)
+    if len(tfs) > 1:
+        offsets[1:] = cs[bounds[1:-1] - 1]
+    pos = cs - np.repeat(offsets, tfs)
+
+    n_post = pdf["n_postings"].to_numpy(dtype=np.int64)
+    terms = np.repeat(np.repeat(pdf["term"].to_numpy(), n_post), tfs)
+    docs = np.repeat(blk_docs, tfs)
     order = np.lexsort((pos, docs))
     terms, docs = terms[order], docs[order]
     new_doc = np.concatenate(([True], docs[1:] != docs[:-1]))

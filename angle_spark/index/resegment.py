@@ -49,7 +49,7 @@ from angle_spark.codec import (
     decode_varints,
     encode_varints_with_lengths,
 )
-from angle_spark.index.build import IndexMeta, load_index, _write
+from angle_spark.index.build import IndexMeta, load_index, _merged_layout, _write
 from angle_spark.index.spimi import SEGMENT_SCHEMA
 
 _SLICE_SCHEMA = (
@@ -209,10 +209,12 @@ def resegment_index(
 
     fsio.mkdirs(spark, dst_dir)
     fmt = meta.sink_format
+    # _merged_layout (not repartitionByRange): the range partitioner's
+    # sampling pass re-executed the whole re-encode stage a second time
+    # (2x _encode_run invocations, probe-verified r6); the deterministic
+    # bucket-hash layout needs no sampling, so decode+re-encode run once.
     _write(
-        blocks.repartitionByRange(
-            "term", "segment_id", "block_in_seg"
-        ).sortWithinPartitions("term", "segment_id", "block_in_seg"),
+        _merged_layout(blocks),
         os.path.join(dst_dir, "merged"),
         fmt,
         "overwrite",

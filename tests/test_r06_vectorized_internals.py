@@ -128,3 +128,108 @@ def test_purge_block_rows_no_candidates_is_identity():
     out = _purge_block_rows(blocks.copy(), deleted, 10.0)
     assert len(out) == len(blocks)
     assert list(out["docs_bin"]) == list(blocks["docs_bin"])
+
+
+def test_rebuild_segment_matches_rowwise_reference():
+    """index/reconstruct.py _rebuild_segment (vectorized r6: one concat
+    decode per stream family) vs the straight per-block-row reference it
+    replaced — identical docs, token order, and dl."""
+    from angle_spark.index.reconstruct import _rebuild_segment
+
+    rng = np.random.default_rng(31)
+    pdf = _rand_docs(rng, 250)
+    blocks = _segment_blocks(pdf, 13.0, 16, positional=True)
+
+    got = (
+        _rebuild_segment(blocks)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: per-row decode + scatter (the round-5 shape)
+    term_parts, doc_parts, pos_parts = [], [], []
+    for _, row in blocks.iterrows():
+        d = decode_doc_deltas(row["docs_bin"])
+        tf = decode_tfs(row["tfs_bin"]).astype(np.int64)
+        pos, _b = decode_positions(row["pos_bin"], tf)
+        term_parts.append(np.repeat(row["term"], int(tf.sum())))
+        doc_parts.append(np.repeat(d, tf))
+        pos_parts.append(pos.astype(np.int64))
+    terms = np.concatenate(term_parts)
+    docs = np.concatenate(doc_parts)
+    pos = np.concatenate(pos_parts)
+    order = np.lexsort((pos, docs))
+    terms, docs = terms[order], docs[order]
+    starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+    bounds = np.append(starts, len(docs))
+    want = pd.DataFrame(
+        {
+            "doc_id": docs[starts],
+            "tokens": [
+                list(terms[s:e])
+                for s, e in zip(bounds[:-1], bounds[1:], strict=False)
+            ],
+            "dl": (bounds[1:] - starts).astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["dl"]) == list(want["dl"])
+    assert [list(t) for t in got["tokens"]] == [list(t) for t in want["tokens"]]
+
+
+def test_rebuild_segment_empty():
+    from angle_spark.index.reconstruct import _rebuild_segment
+
+    blocks = _segment_blocks(
+        _rand_docs(np.random.default_rng(1), 10), 10.0, 16, positional=True
+    )
+    out = _rebuild_segment(blocks.iloc[0:0])
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "tokens", "dl"]
+
+
+def test_merged_layout_preserves_content_and_file_sort(spark, tmp_path):
+    """index/build.py _merged_layout (r6: deterministic bucket-hash, no
+    range-sampling pass): the merge stays a pure LAYOUT operation — the
+    merged/ row set equals the segments/ row set — and every output file
+    is internally sorted by (term, segment_id, block_in_seg) so parquet
+    row-group min/max stats on term keep pruning query scans."""
+    from pyspark.sql import functions as F
+
+    from angle_spark.index.build import build_index
+    from angle_spark.index.stats import with_tokens
+    from angle_spark.operators.docids import assign_doc_ids
+    from angle_spark.synth import transcripts_df
+
+    docs = with_tokens(
+        assign_doc_ids(transcripts_df(spark, 20, seed=9, partitions=4))
+    ).select("doc_id", "tokens", "dl")
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, d, segment_docs=64, block_size=16)
+
+    cols = [
+        "term", "segment_id", "block_in_seg", "first_doc", "last_doc",
+        "n_postings", "docs_bin", "tfs_bin", "dls_bin",
+    ]
+    seg = spark.read.parquet(d + "/segments").select(*cols).toPandas()
+    mrg_df = spark.read.parquet(d + "/merged")
+    mrg = mrg_df.select(
+        *cols, F.input_file_name().alias("_file")
+    ).toPandas()
+    # segments/ infers the partition-dir column as int32; merged/ keeps
+    # whatever the scan produced — normalize both (storage-path artifact,
+    # same note as tests/test_resegment.py)
+    seg["segment_id"] = seg["segment_id"].astype("int64")
+    mrg["segment_id"] = mrg["segment_id"].astype("int64")
+
+    key = ["term", "segment_id", "block_in_seg"]
+    a = seg.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = mrg[seg.columns].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # per-file sort invariant (row-group stats contract)
+    for _, grp in mrg.groupby("_file"):
+        g = grp.reset_index(drop=True)
+        s = g.sort_values(key, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g[key], s[key])
