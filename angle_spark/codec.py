@@ -89,8 +89,21 @@ def decode_varints_concat(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     if not bufs:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    bounds = np.cumsum(np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs)))
+    return decode_varints_concat_bounds(b, bounds)
+
+
+def decode_varints_concat_bounds(
+    b: np.ndarray, byte_bounds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`decode_varints_concat` over ONE pre-concatenated uint8
+    array with cumulative per-stream END byte offsets — the exact shape
+    of an Arrow binary column's (data buffer, offsets), so Arrow callers
+    decode a whole column with zero per-stream ``bytes`` objects."""
+    if byte_bounds.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     if b.size == 0:
-        return np.empty(0, dtype=np.uint64), np.zeros(len(bufs), dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), np.zeros(len(byte_bounds), dtype=np.int64)
     ends = np.flatnonzero((b & 0x80) == 0)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
@@ -100,8 +113,7 @@ def decode_varints_concat(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         vals[mask] |= (b[starts[mask] + i].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
             7 * i
         )
-    bounds = np.cumsum(np.fromiter((len(x) for x in bufs), dtype=np.int64, count=len(bufs)))
-    cum = np.searchsorted(ends, bounds - 1, side="right")
+    cum = np.searchsorted(ends, np.asarray(byte_bounds, dtype=np.int64) - 1, side="right")
     counts = np.diff(np.concatenate(([0], cum)))
     return vals, counts
 

@@ -14,8 +14,9 @@ and re-tokenization is the dominant build cost being skipped.
 
 Shape: one mapInPandas decode pass (each block splits into its new-
 segment slices — a block can span a boundary only when splitting to
-SMALLER segments), one shuffle keyed (term, new segment), one
-applyInPandas re-encode. No driver collect, no corpus scan. Shrinking
+SMALLER segments), one shuffle keyed (new segment, term-hash bucket),
+one applyInPandas re-encode vectorized across the bucket's terms.
+No driver collect, no corpus scan. Shrinking
 (fewer, larger segments) is the ES _shrink direction — fewer tasks per
 query batch, bigger per-task decode cache reuse; splitting (_split) is
 the parallelism-raising direction for an index that outgrew its layout.
@@ -58,11 +59,107 @@ _SLICE_SCHEMA = (
 )
 
 
+def _bin_col_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column -> (flat uint8 data, cumulative per-row end
+    byte offsets), zero-copy — the input shape of
+    codec.decode_varints_concat_bounds."""
+    col = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data[off[0] : off[-1]], off[1:] - off[0]
+
+
+def _decode_slices_arrow(it, segment_docs_new: int, positional: bool):
+    """mapInArrow pass 1: block rows -> per-(term, new segment) decoded
+    posting slices (raw int64 arrays — transient shuffle payload).
+
+    Vectorized across each Arrow batch's blocks (guide §4.2 — the pandas
+    rendition below loops ``itertuples`` with per-block decode calls):
+    every stream family decodes in ONE concat pass straight off the
+    Arrow column buffers, and the slice payloads go back out as ONE data
+    buffer + offsets per stream (no per-slice ``bytes`` objects)."""
+    import pyarrow as pa
+
+    from angle_spark.codec import decode_varints_concat_bounds
+    from angle_spark.index.spimi import _pa_binary_from_stream
+
+    out_fields = [
+        ("term", pa.string()), ("segment_id", pa.int64()),
+        ("first_doc", pa.int64()), ("docs_raw", pa.binary()),
+        ("tfs_raw", pa.binary()), ("dls_raw", pa.binary()),
+        ("pos_raw", pa.binary()),
+    ]
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        names = batch.schema.names
+        col = {n: batch.column(names.index(n)) for n in names}
+        ddeltas, dcounts = decode_varints_concat_bounds(
+            *_bin_col_view(col["docs_bin"])
+        )
+        # un-carry the per-block delta streams (absolute restart at each
+        # block start) — decode_doc_deltas_concat's math over the batch
+        cs = np.cumsum(ddeltas.astype(np.int64))
+        bstarts = np.concatenate(([0], np.cumsum(dcounts)[:-1]))
+        carry = np.zeros(len(dcounts), dtype=np.int64)
+        nz = bstarts > 0
+        carry[nz] = cs[bstarts[nz] - 1]
+        docs = cs - np.repeat(carry, dcounts)
+        n = len(docs)
+        if n == 0:
+            continue
+        tfs, _ = decode_varints_concat_bounds(*_bin_col_view(col["tfs_bin"]))
+        tfs = tfs.astype(np.int64) + 1
+        dls, _ = decode_varints_concat_bounds(*_bin_col_view(col["dls_bin"]))
+        dls = dls.astype(np.int64)
+        if positional:
+            pdeltas, _ = decode_varints_concat_bounds(
+                *_bin_col_view(col["pos_bin"])
+            )
+            # positions restart absolute at every posting
+            pbounds = np.concatenate(([0], np.cumsum(tfs)))
+            pcs = np.cumsum(pdeltas.astype(np.int64))
+            pcarry = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                pcarry[1:] = pcs[pbounds[1:-1] - 1]
+            pos = pcs - np.repeat(pcarry, tfs)
+
+        segs = docs // segment_docs_new
+        blk = np.repeat(np.arange(len(dcounts), dtype=np.int64), dcounts)
+        newslice = np.ones(n, dtype=bool)
+        newslice[1:] = (blk[1:] != blk[:-1]) | (segs[1:] != segs[:-1])
+        s_start = np.flatnonzero(newslice)
+        s_bound = np.append(s_start, n)
+
+        arrays = [
+            col["term"].take(pa.array(blk[s_start], type=pa.int64())),
+            pa.array(segs[s_start], type=pa.int64()),
+            pa.array(docs[s_start], type=pa.int64()),
+            _pa_binary_from_stream(docs.tobytes(), s_bound * 8),
+            _pa_binary_from_stream(tfs.tobytes(), s_bound * 8),
+            _pa_binary_from_stream(dls.tobytes(), s_bound * 8),
+            _pa_binary_from_stream(
+                pos.tobytes(), pbounds[s_bound] * 8
+            )
+            if positional
+            else _pa_binary_from_stream(
+                b"", np.zeros(len(s_start) + 1, dtype=np.int32)
+            ),
+        ]
+        yield pa.record_batch(
+            arrays, schema=pa.schema(out_fields)
+        )
+
+
 def _decode_slices(
     it, segment_docs_new: int, positional: bool
 ):
     """mapInPandas pass 1: block rows -> per-(term, new segment) decoded
-    posting slices (raw int64 arrays — transient shuffle payload)."""
+    posting slices. Reference rendition — production uses
+    _decode_slices_arrow (value-identical; unit-pinned in
+    tests/test_r06_vectorized_internals.py)."""
     for pdf in it:
         out = {
             "term": [],
@@ -100,20 +197,50 @@ def _decode_slices(
         yield pd.DataFrame(out)
 
 
-def _encode_run(
+# term-hash buckets per new segment for the re-encode grouping: block
+# bytes depend only on a term's OWN postings, so the grouping granularity
+# is free — coarse enough to amortize per-group pandas overhead, fine
+# enough to keep every core busy (segments x 128 groups)
+ENCODE_TERM_BUCKETS = 128
+
+
+def _encode_bucket(
     key, pdf: pd.DataFrame, avgdl: float, block_size: int, positional: bool
 ) -> pd.DataFrame:
-    """applyInPandas pass 2: one (term, new segment)'s slices ->
-    re-encoded posting blocks, bit-identical to a fresh build's
-    (same block boundaries, same delta restarts, same aggregates)."""
-    term, seg_id = key
-    pdf = pdf.sort_values("first_doc", kind="mergesort")
+    """applyInPandas pass 2: ONE (new segment, term-hash bucket)'s slices
+    -> re-encoded posting blocks for EVERY term in the bucket,
+    bit-identical to a fresh build's (same block boundaries, same delta
+    restarts, same aggregates — tests assert bitwise equality).
+
+    Vectorized across terms (r6, guide §4.1): the round-5 shape keyed the
+    group on (term, new segment) — one applyInPandas group per vocabulary
+    term per segment, whose per-group overhead dominated the stage
+    (probe: 109k groups / 40k docs, encode ~6s of the 8s leg). Grouping
+    by (segment, term-hash bucket) amortizes that overhead ~128x; the
+    encode itself is the same one-varint-pass-per-stream block math as
+    the SPIMI builder (index/spimi.py _segment_blocks)."""
+    seg_id = int(key[0])
+    pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+    row_lens = (pdf["docs_raw"].str.len() // 8).to_numpy(np.int64)
     docs = np.frombuffer(b"".join(pdf["docs_raw"]), dtype=np.int64)
     tfs = np.frombuffer(b"".join(pdf["tfs_raw"]), dtype=np.int64)
     dls = np.frombuffer(b"".join(pdf["dls_raw"]), dtype=np.int64)
+    terms = pdf["term"].to_numpy()
     n = len(docs)
-    block_idx = np.arange(n, dtype=np.int64) // block_size
-    new_block = np.concatenate(([True], block_idx[1:] != block_idx[:-1]))
+
+    # per-posting term codes from the sorted per-slice terms
+    tchange = np.concatenate(([True], terms[1:] != terms[:-1]))
+    uniq = terms[tchange]
+    p_codes = np.repeat(np.cumsum(tchange) - 1, row_lens)
+
+    # blockization identical to the SPIMI encoder
+    new_term = np.concatenate(([True], p_codes[1:] != p_codes[:-1]))
+    term_starts = np.flatnonzero(new_term)
+    term_counts = np.diff(np.append(term_starts, n))
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_counts)
+    block_in_seg = pos_in_term // block_size
+    new_block = new_term.copy()
+    new_block[1:] |= block_in_seg[1:] != block_in_seg[:-1]
     bstart = np.flatnonzero(new_block)
     bend = np.append(bstart[1:], n)
 
@@ -155,9 +282,9 @@ def _encode_run(
     )
     return pd.DataFrame(
         {
-            "term": np.repeat(term, len(bstart)),
-            "segment_id": np.full(len(bstart), int(seg_id), dtype=np.int64),
-            "block_in_seg": block_idx[bstart].astype(np.int32),
+            "term": uniq[p_codes[bstart]],
+            "segment_id": np.full(len(bstart), seg_id, dtype=np.int64),
+            "block_in_seg": block_in_seg[bstart].astype(np.int32),
             "first_doc": docs[bstart],
             "last_doc": docs[bend - 1],
             "n_postings": (bend - bstart).astype(np.int32),
@@ -197,11 +324,13 @@ def resegment_index(
     positional = bool(getattr(meta, "positional", False))
     sd = int(segment_docs_new)
 
-    slices = merged.mapInPandas(
-        lambda it: _decode_slices(it, sd, positional), schema=_SLICE_SCHEMA
+    slices = merged.mapInArrow(
+        lambda it: _decode_slices_arrow(it, sd, positional), schema=_SLICE_SCHEMA
+    ).withColumn(
+        "_tb", F.pmod(F.xxhash64("term"), F.lit(ENCODE_TERM_BUCKETS))
     )
-    blocks = slices.groupBy("term", "segment_id").applyInPandas(
-        lambda key, pdf: _encode_run(
+    blocks = slices.groupBy("segment_id", "_tb").applyInPandas(
+        lambda key, pdf: _encode_bucket(
             key, pdf, meta.avgdl, meta.block_size, positional
         ),
         schema=SEGMENT_SCHEMA,

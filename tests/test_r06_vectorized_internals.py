@@ -189,6 +189,34 @@ def test_rebuild_segment_empty():
     assert list(out.columns) == ["doc_id", "tokens", "dl"]
 
 
+@pytest.mark.parametrize("positional", [False, True])
+@pytest.mark.parametrize("sd_new", [8, 64, 4096])
+def test_decode_slices_arrow_matches_pandas_reference(positional, sd_new):
+    """index/resegment.py _decode_slices_arrow (r6: one concat decode per
+    stream family off the Arrow buffers) vs the pandas reference rendition
+    — identical slices for splitting, merging, and no-op granularities."""
+    from angle_spark.index.resegment import _decode_slices, _decode_slices_arrow
+
+    rng = np.random.default_rng(17)
+    pdf = _rand_docs(rng, 200)
+    blocks = _segment_blocks(pdf, 12.0, 16, positional=positional)
+    cols = list(blocks.columns)
+
+    ref = pd.concat(list(_decode_slices(iter([blocks]), sd_new, positional)),
+                    ignore_index=True)
+    tbl = pa.Table.from_pandas(blocks[cols], preserve_index=False)
+    got = pa.Table.from_batches(
+        list(_decode_slices_arrow(iter(tbl.to_batches()), sd_new, positional))
+    ).to_pandas()
+
+    key = ["term", "segment_id", "first_doc"]
+    a = ref.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert list(a[c]) == list(b[c]), c
+
+
 def test_merged_layout_preserves_content_and_file_sort(spark, tmp_path):
     """index/build.py _merged_layout (r6: deterministic bucket-hash, no
     range-sampling pass): the merge stays a pure LAYOUT operation — the
