@@ -57,12 +57,21 @@ def append_micro_batch(
     # unpartitioned-window task (round-3 verdict item)
     from angle_spark.operators.docids import assign_doc_ids
 
+    from pyspark import StorageLevel
+
     assigned = assign_doc_ids(rows)
+    ids = assigned.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(high_water_doc)).cast("long")
+    )
+    # one tokenize pass per micro-batch: the count below materializes the
+    # persist, the encode+write and lineage agg read it back (the
+    # round-5 shape recomputed the docids+tokenize chain for the count,
+    # the write, the lineage agg AND a per-segment doc-count job — 4
+    # executions per batch; guide §5. Doc counts are arithmetic now.)
+    docs = with_tokens(ids).select("doc_id", "tokens", "dl").persist(
+        StorageLevel.DISK_ONLY
+    )
     try:
-        ids = assigned.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(high_water_doc)).cast("long")
-        )
-        docs = with_tokens(ids).select("doc_id", "tokens", "dl")
         n_new = docs.count()
         if n_new == 0:
             return high_water_doc
@@ -79,44 +88,67 @@ def append_micro_batch(
             .partitionBy("segment_id")
             .parquet(os.path.join(out_dir, "segments"))
         )
-        # per-segment doc counts for THIS batch only (a batch may span several
-        # segments; every doc must be counted exactly once across all lineage
-        # rows — refresh_corpus_stats sums them)
-        seg_docs = (
-            docs.select(
-                (F.col("doc_id") / F.lit(meta.segment_docs)).cast("long").alias("segment_id")
+        # lineage from the blocks FRAME (not a committed re-read): the
+        # batch-build pattern of aggregating committed files is
+        # replay-safe only under its dynamic-partition OVERWRITE — this
+        # sink APPENDS, so a foreachBatch re-execution after a crash
+        # would double-count the crashed attempt's orphan files. The
+        # frame agg re-runs only the encode over the PERSISTED tokens
+        # (the expensive docids+tokenize chain runs once per batch now).
+        sd = meta.segment_docs
+        lin = (
+            blocks.groupBy("segment_id")
+            .agg(
+                F.count_distinct("term").alias("term_count"),
+                F.sum(
+                    F.octet_length("docs_bin")
+                    + F.octet_length("tfs_bin")
+                    + F.octet_length("dls_bin")
+                    + F.octet_length("pos_bin")
+                ).alias("bytes"),
+                F.sum("sum_tf").alias("token_count"),
             )
-            .groupBy("segment_id")
-            .count()
-            .withColumnRenamed("count", "doc_count")
+            .collect()
         )
-        lin = blocks.groupBy("segment_id").agg(
-            F.count_distinct("term").alias("term_count"),
-            F.sum(
-                F.octet_length("docs_bin")
-                + F.octet_length("tfs_bin")
-                + F.octet_length("dls_bin")
-                + F.octet_length("pos_bin")
-            ).alias("bytes"),
-            F.sum("sum_tf").alias("token_count"),
-        )
+        by_seg = {int(r["segment_id"]): r for r in lin}
+        # per-segment doc counts for THIS batch: docIDs are dense in
+        # [high_water_doc, high_water_doc + n_new), so each segment's
+        # share is pure arithmetic (every doc counted exactly once across
+        # all lineage rows — refresh_corpus_stats sums them; zero-token
+        # docs have no blocks but still occupy ids, hence range overlap,
+        # not block stats)
+        lo, hi = high_water_doc, high_water_doc + n_new
         wall_ms = int((time.monotonic() - t0) * 1000)
+        rows_out = [
+            (
+                s,
+                min((s + 1) * sd, hi) - max(s * sd, lo),
+                int(by_seg[s]["term_count"]) if s in by_seg else 0,
+                int(by_seg[s]["bytes"]) if s in by_seg else 0,
+                wall_ms,
+                int(by_seg[s]["token_count"]) if s in by_seg else 0,
+            )
+            for s in range(lo // sd, (hi - 1) // sd + 1)
+        ]
         (
-            lin.join(seg_docs, "segment_id")
+            spark.createDataFrame(
+                rows_out,
+                schema=(
+                    "partition_id long, doc_count long, term_count long, "
+                    "bytes long, wall_ms long, token_count long"
+                ),
+            )
+            .withColumn("commit_ts", F.current_timestamp())
             .select(
-                F.col("segment_id").alias("partition_id"),
-                F.col("doc_count"),
-                F.col("term_count"),
-                F.col("bytes"),
-                F.lit(wall_ms).cast("long").alias("wall_ms"),
-                F.current_timestamp().alias("commit_ts"),
-                F.col("token_count"),
+                "partition_id", "doc_count", "term_count", "bytes",
+                "wall_ms", "commit_ts", "token_count",
             )
             .write.mode("append")
             .parquet(os.path.join(out_dir, "lineage"))
         )
         return high_water_doc + n_new
     finally:
+        docs.unpersist()
         # the two-pass docID persist (DISK_ONLY) must not outlive the
         # micro-batch: a long-running stream would otherwise stack one
         # persisted frame per batch until GC happens to reclaim them
